@@ -1,0 +1,88 @@
+"""Text functions — similarity, normalization, fingerprinting, tokens.
+
+Reference seeds: `StringDistance.java:22-63` (Levenshtein ratio),
+`amo/FxaAccountAbuseAlias.java:68-98` (email alias normalization),
+`customs/PrivateRelayForward.java` (sha256 of forward address).
+
+Extended for the LLM-training-data pipeline surface (BASELINE.json
+north star): tokenization, shingles, document fingerprints, portable
+hashes. All built-in expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def levenshtein_ratio(a: Column, b: Column) -> Column:
+    """Edit distance normalized by the longer string
+    (`StringDistance.java:22-63`: distance / max(len)). 0 = equal."""
+    return F.levenshtein(a, b) / F.greatest(F.length(a), F.length(b))
+
+
+def normalize_email(email: Column) -> Column:
+    """Strip +alias from the local part and lowercase
+    (`FxaAccountAbuseAlias.java:68-98`)."""
+    return F.lower(F.regexp_replace(email, r"\+[^@]*@", "@"))
+
+
+def tokens(text: Column, pattern: str = r"\s+") -> Column:
+    """Whitespace tokenization -> array<string>."""
+    return F.split(F.trim(text), pattern)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles -> array<string>.
+
+    Built from `sequence` + `transform` + `slice` — fully JVM-side.
+    Returns empty array for docs shorter than n tokens.
+    """
+    t = tokens(text)
+    return F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-collapsed, lowercased text. The batch analog of the
+    reference's content hashing (`amo/AddonMultiMatch.java:105`
+    file-hash matching)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def md5_bucket(s: Column, prefix_hex_chars: int = 15) -> Column:
+    """Portable string -> int64 hash: first `prefix_hex_chars` hex
+    chars of md5, parsed base-16. Stable across engines (used by the
+    DuckDB oracles), unlike xxhash64/murmur which differ per engine.
+    15 hex chars = 60 bits < int64 max."""
+    return F.conv(F.substring(F.md5(s), 1, prefix_hex_chars), 16, 10).cast("long")
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature as array<string>: element i is
+    min(md5(i || '|' || shingle)). Lexicographic min over a uniform
+    hash is a valid min-wise permutation; md5 keeps it portable so
+    oracle SQL can reproduce it exactly.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )

@@ -1,0 +1,21 @@
+from .heuristics import (  # noqa: F401
+    detect_nat,
+    endpoint_abuse_analysis,
+    endpoint_sequence_abuse,
+    error_rate_analysis,
+    hard_limit_analysis,
+    per_key_stats,
+    session_analysis,
+    status_code_rate_analysis,
+    threshold_analysis,
+)
+from .windows import fixed_window, session_win, sliding_window, windowed_counts  # noqa: F401
+from .summary import (  # noqa: F401
+    sliding_counts,
+    source_correlation,
+    summary_delta,
+    windowed_type_counts,
+)
+from .dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash  # noqa: F401
+from .similarity import cosine_topk, cosine_topk_lsh  # noqa: F401
+from .textanalysis import fingerprint, language_id, quality_score, text_stats  # noqa: F401

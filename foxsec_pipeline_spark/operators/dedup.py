@@ -1,0 +1,187 @@
+"""Deduplication operators for the training-data pipeline surface.
+
+Seeded by the reference's similarity detector
+(`customs/CustomsAccountCreationDist.java:56-126` — Levenshtein-ratio
+clustering within a group) and generalized to the standard dedup
+family: exact hash, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB):
+- exact_dedup: one shuffle on the content hash; hash computed map-side
+  so only (hash, id) shuffles if you project first.
+- ngram-jaccard: explode-on-shingle equi-join — candidate generation
+  is an equi-join on the shingle, never an O(n²) cross join; the
+  per-shingle bucket size is the skew knob (cap via frequent-shingle
+  pruning at scale).
+- minhash_lsh: candidates meet only within (band, signature) buckets,
+  the classic LSH bound; band count trades recall vs join fan-out.
+- simhash: fingerprint is a fixed-width agg; near-dup = equal
+  fingerprint (or hamming ≤ k via multi-probe of rotated bands).
+All expressed with built-in expressions (md5/conv/transform/aggregate),
+so whole-stage codegen applies and the DuckDB oracle can reproduce
+results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint, minhash_signature, tokens, word_shingles
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group by canonical content hash; keep min-id as the survivor.
+
+    Returns (content_hash, keeper_id, n_docs) — one row per distinct
+    content. `dropDuplicates` would pick an arbitrary survivor; min-id
+    is deterministic (oracle-friendly) and what dedup pipelines want.
+    """
+    return (
+        df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle, n_shingles) exploded — the common candidate base."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    return sh.select(
+        F.col(id_col),
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
+
+    |A∩B| via shingle equi-join + count; |A∪B| = |A|+|B|-|A∩B|.
+    One explode, one shuffle join on the shingle, one pair-group agg.
+    """
+    ex = _shingled(df, id_col, text_col, n)
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.shingle") == F.col(f"b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        pairs.where(jac >= F.lit(float(threshold)))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding.
+
+    Signature: num_hashes md5-permutation minima over word-n-gram
+    shingles. Docs sharing any band (band_size consecutive signature
+    slots) become a candidate pair. Join key is (band, band_sig) —
+    an equi-join whose fan-out is bounded by bucket sizes, the LSH
+    scale guarantee. Verify candidates with `ngram_jaccard_pairs`
+    downstream if exact Jaccard is needed.
+    """
+    assert num_hashes % band_size == 0
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    sig = sh.select(
+        F.col(id_col), minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    )
+    n_bands = num_hashes // band_size
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.concat(
+                            *[
+                                F.col("sig").getItem(band * band_size + j)
+                                for j in range(band_size)
+                            ]
+                        ).alias("band_sig"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "bs.band", "bs.band_sig")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """Per-document SimHash fingerprint (bit-majority over token
+    hashes), as (id, simhash int).
+
+    Token hash = first 4 md5 hex chars -> 16-bit int (portable).
+    Bit b of the fingerprint is 1 iff sum over tokens of
+    (+1 if bit set else -1) > 0. Computed as `aggregate` over the
+    token array per row — no explode, no shuffle: a pure map-side
+    fingerprint, which is what lets it run over 100 TB as a scan.
+    """
+    tok = tokens(F.col(text_col))
+    # per-token 16-bit portable hash
+    th = F.transform(
+        tok, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+    )
+    bit_cols = []
+    for b in range(bits):
+        contrib = F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda acc, h, b=b: acc
+            + F.when(F.floor(h / F.lit(2**b)) % 2 == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(F.when(contrib > 0, F.lit(2**b)).otherwise(F.lit(0)))
+    fp = bit_cols[0]
+    for c in bit_cols[1:]:
+        fp = fp + c
+    return df.select(F.col(id_col), fp.cast("long").alias("simhash"))

@@ -1,0 +1,101 @@
+"""Text analysis operators: token stats, quality scoring, language ID.
+
+The training-data pipeline surface (BASELINE.json north star).
+Everything is a map-side projection — array expressions inside
+whole-stage codegen, no shuffle, no UDF — so these run as pure scans
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint, tokens
+
+# tiny per-language stopword marker sets for the n-gram/stopword
+# heuristic language id (public-knowledge common words)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "es": ["el", "la", "de", "y", "es", "en", "un"],
+    "fr": ["le", "la", "de", "et", "est", "en", "un"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+}
+
+
+def _ratio_in(tok: Column, words: list[str]) -> Column:
+    hits = F.size(F.filter(tok, lambda t: t.isin(words)))
+    return hits / F.greatest(F.size(tok), F.lit(1))
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token/char stats: the quality-scoring feature base."""
+    tok = tokens(F.col(text_col))
+    avg_tok_len = F.aggregate(
+        tok, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(F.size(tok), F.lit(1))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(tok).alias("n_tokens"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.size(F.array_distinct(tok)).alias("n_distinct_tokens"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Composite quality score in [0,1]: length band + lexical
+    diversity + stopword presence (the standard cheap quality gates a
+    pretraining pipeline applies before expensive model scoring)."""
+    tok = tokens(F.col(text_col))
+    n_tok = F.size(tok)
+    diversity = F.size(F.array_distinct(tok)) / F.greatest(n_tok, F.lit(1))
+    stop_ratio = _ratio_in(tok, STOPWORDS["en"])
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), 1.0).otherwise(0.0)
+    score = F.round(
+        0.4 * len_ok + 0.3 * F.least(diversity * 2, F.lit(1.0)) + 0.3 * F.least(
+            stop_ratio * 10, F.lit(1.0)
+        ),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        F.col("lang") if "lang" in df.columns else F.lit(None).alias("lang"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(diversity, 6).alias("lexical_diversity"),
+        score.alias("quality"),
+    )
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-marker language guess: argmax over per-language
+    stopword hit ratios, 'und' (undetermined) if all zero.
+
+    A real deployment swaps this for fastText/CLD via a pandas UDF;
+    the operator shape (map-side projection, argmax over a struct
+    array) is identical.
+    """
+    tok = tokens(F.col(text_col))
+    scores = F.array(
+        *[
+            F.struct(
+                F.round(_ratio_in(tok, words), 6).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(scores)
+    return df.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("pred_lang"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
