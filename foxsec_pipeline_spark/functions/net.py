@@ -96,5 +96,6 @@ def xff_select_client(
         return F.element_at(arr, -1)
     trusted = lambda c: cidr_in_any(c, trusted_cidrs)  # noqa: E731
     untrusted = F.filter(arr, lambda s: ~trusted(s))
-    # last untrusted entry, else leftmost overall
-    return F.coalesce(F.element_at(untrusted, -1), F.element_at(arr, 1))
+    # last untrusted entry, else leftmost overall (try_: empty array
+    # must yield NULL for the coalesce, not an index error)
+    return F.coalesce(F.try_element_at(untrusted, F.lit(-1)), F.element_at(arr, 1))

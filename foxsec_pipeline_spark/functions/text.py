@@ -76,13 +76,13 @@ def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
     hash is a valid min-wise permutation; md5 keeps it portable so
     oracle SQL can reproduce it exactly.
     """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))
-                )
-            )
-            for i in range(num_hashes)
-        ]
-    )
+    def _perm_min(i: int):
+        # closure factory, NOT a default-arg lambda: `lambda s, i=i`
+        # has visible arity 2, which F.transform would treat as an
+        # (element, index) lambda
+        def h(s):
+            return F.md5(F.concat(F.lit(f"{i}|"), s))
+
+        return F.array_min(F.transform(shingles, h))
+
+    return F.array(*[_perm_min(i) for i in range(num_hashes)])

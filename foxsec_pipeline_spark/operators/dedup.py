@@ -172,14 +172,18 @@ def simhash(
     th = F.transform(
         tok, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
     )
+    def _bit_contrib(b: int):
+        # closure factory: a default-arg lambda would change the
+        # visible arity and break PySpark's higher-order-function
+        # signature inspection
+        def merge(acc, h):
+            return acc + F.when(F.floor(h / F.lit(2**b)) % 2 == 1, 1).otherwise(-1)
+
+        return F.aggregate(th, F.lit(0).cast("long"), merge)
+
     bit_cols = []
     for b in range(bits):
-        contrib = F.aggregate(
-            th,
-            F.lit(0).cast("long"),
-            lambda acc, h, b=b: acc
-            + F.when(F.floor(h / F.lit(2**b)) % 2 == 1, 1).otherwise(-1),
-        )
+        contrib = _bit_contrib(b)
         bit_cols.append(F.when(contrib > 0, F.lit(2**b)).otherwise(F.lit(0)))
     fp = bit_cols[0]
     for c in bit_cols[1:]:

@@ -69,6 +69,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 def registry() -> dict[str, QuerySpec]:
+    from . import catalog_data  # noqa: F401  (registers tranche-2 queries)
+
     return dict(_REGISTRY)
 
 

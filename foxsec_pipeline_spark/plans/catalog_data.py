@@ -1,0 +1,473 @@
+"""Catalog tranche 2: training-data pipeline operators (dedup,
+similarity search, text analysis, multimodal) and the relational
+join/agg benchmark queries.
+
+Float determinism notes (these queries hash-match DuckDB exactly):
+- money aggregates go through integer cents/micros (round(x*10^k) as
+  bigint), summed exactly, divided once at the end;
+- cosine similarity uses a sequential left-fold (`aggregate` /
+  `list_reduce`) over double-cast elements so both engines produce the
+  identical double, then rounds;
+- cross-engine hashes are md5-hex (portable), never xxhash/murmur.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.net import xff_select_client
+from ..operators import (
+    cosine_topk,
+    exact_dedup,
+    fingerprint,
+    language_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash,
+    text_stats,
+)
+from ..operators.multimodal import attach_binary_payload, binary_metadata
+from ..session import load_tables
+from .catalog import register
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, "documents")["documents"]
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family (north-star training-data ops)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS keeper_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+""",
+    doc="exact dedup: hash-groupBy on canonicalized content; min-id survivor",
+)
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+_SHINGLE_CTE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toks WHERE len(t) >= 3
+), ex AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _SHINGLE_CTE
+    + """
+, pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(common / (na + nb - common), 6) AS jaccard
+FROM pairs WHERE common / (na + nb - common) >= 0.5
+""",
+    doc="near-dup via word-3-gram Jaccard; candidate gen is a shingle equi-join",
+)
+def q_dedup_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    _SHINGLE_CTE
+    + """
+, mh AS (
+  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS h
+  FROM ex CROSS JOIN range(0, 8) r(i)
+  GROUP BY doc_id, i
+), bands AS (
+  SELECT doc_id, i // 2 AS band, string_agg(h, '' ORDER BY i) AS band_sig
+  FROM mh GROUP BY doc_id, i // 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+""",
+    doc="MinHash(8 perms, md5-permuted) + LSH banding (4 bands x 2) candidates",
+)
+def q_dedup_minhash(spark, sf_dir):
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_hashes=8, band_size=2)
+
+
+@register(
+    "dedup_simhash",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 4) AS BIGINT) AS th FROM tok
+), bits AS (
+  SELECT doc_id, i,
+         CASE WHEN sum(CASE WHEN (th // (1 << i)) % 2 = 1 THEN 1 ELSE -1 END) > 0
+              THEN (1 << i) ELSE 0 END AS bitval
+  FROM h CROSS JOIN range(0, 16) r(i)
+  GROUP BY doc_id, i
+)
+SELECT doc_id, sum(bitval)::BIGINT AS simhash FROM bits GROUP BY doc_id
+""",
+    doc="SimHash-16 fingerprint: bit-majority over md5-derived token hashes; "
+        "map-side only in Spark (aggregate over token array, no shuffle)",
+)
+def q_dedup_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir), bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_FOLD = "list_reduce(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round({_FOLD.format(a='qv', b='cv')}
+               / (sqrt({_FOLD.format(a='qv', b='qv')})
+                  * sqrt({_FOLD.format(a='cv', b='cv')})), 6) AS cosine
+  FROM c CROSS JOIN q
+  WHERE query_id <> neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+    doc="brute-force cosine top-k (exact baseline); LSH-bucketed variant in "
+        "operators/similarity.py is the 100TB path",
+)
+def q_ann_cosine(spark, sf_dir):
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return cosine_topk(emb.where(F.col("vec_id") < 10), emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    """
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         string_split_regex(trim(text), '\\s+') AS tok
+  FROM documents
+)
+SELECT doc_id, n_chars, len(tok) AS n_tokens,
+       round(list_reduce(list_transform(tok, s -> length(s) * 1.0),
+                         (a, b) -> a + b) / greatest(len(tok), 1), 6)
+         AS avg_token_len,
+       len(list_distinct(tok)) AS n_distinct_tokens
+FROM t
+""",
+    doc="token/char stats projection (map-side only)",
+)
+def q_text_stats(spark, sf_dir):
+    return text_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "text_quality",
+    """
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS tok
+  FROM documents
+), f AS (
+  SELECT doc_id, lang,
+         len(list_filter(tok, s -> s IN ('the','a','of','and','is','to','in')))
+           / greatest(len(tok), 1) AS stop_ratio,
+         len(list_distinct(tok)) / greatest(len(tok), 1) AS diversity,
+         CASE WHEN len(tok) >= 10 AND len(tok) <= 10000 THEN 1.0 ELSE 0.0 END AS len_ok
+  FROM t
+)
+SELECT doc_id, lang, round(stop_ratio, 6) AS stopword_ratio,
+       round(diversity, 6) AS lexical_diversity,
+       round(0.4 * len_ok + 0.3 * least(diversity * 2, 1.0)
+             + 0.3 * least(stop_ratio * 10, 1.0), 6) AS quality
+FROM f
+""",
+    doc="cheap quality gates: length band, lexical diversity, stopword ratio",
+)
+def q_text_quality(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+@register(
+    "language_id",
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents
+), scores AS (
+  SELECT doc_id, l.lang,
+         round(len(list_filter(tok, s -> list_contains(l.words, s)))
+               / greatest(len(tok), 1), 6) AS score
+  FROM t CROSS JOIN (
+    SELECT * FROM (VALUES
+      ('de', ['der','die','das','und','ist','ein','zu']),
+      ('en', ['the','a','of','and','is','to','in']),
+      ('es', ['el','la','de','y','es','en','un']),
+      ('fr', ['le','la','de','et','est','en','un'])
+    ) AS v(lang, words)) l
+), ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang DESC) AS rn
+  FROM scores
+)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang,
+       score AS lang_score
+FROM ranked WHERE rn = 1
+""",
+    doc="stopword-marker language id (argmax over per-language hit ratios)",
+)
+def q_language_id(spark, sf_dir):
+    return language_id(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_fingerprint",
+    """
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+    doc="canonicalized content fingerprint (md5 over collapsed whitespace)",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir))
+
+
+@register(
+    "multimodal_metadata",
+    """
+SELECT doc_id, octet_length(encode(text)) AS byte_len,
+       sha256(text) AS sha256
+FROM documents
+""",
+    doc="binary media column plumbing: metadata-only projection "
+        "(sha/length) without decode; mapInPandas decode stage in "
+        "operators/multimodal.py (stubbed codec, tested in pytest)",
+)
+def q_multimodal_metadata(spark, sf_dir):
+    docs = attach_binary_payload(_docs(spark, sf_dir))
+    return binary_metadata(docs)
+
+
+# ---------------------------------------------------------------------------
+# Relational / benchmark queries (join + agg surface, Stats combine A2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+         / 10000.0 AS sum_disc_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000)
+                AS BIGINT)) / 1000000.0 AS sum_charge,
+       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / count(*), 6)
+         AS avg_price,
+       round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(*), 6)
+         AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1-shaped pricing summary; money math in exact integer "
+        "cents/micros so the hash matches across engines (Stats.java:119-225 analog)",
+)
+def q_pricing_summary(spark, sf_dir):
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    charge6 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 1000000
+    ).cast("long")
+    d2 = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(cents) / 100.0).alias("sum_base_price"),
+            (F.sum(disc4) / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge6) / 1000000.0).alias("sum_charge"),
+            F.round(F.sum("l_quantity") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(cents) / 100.0 / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.round(F.sum(d2) / 100.0 / F.count(F.lit(1)), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "segment_revenue",
+    """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+         / 10000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY 1, 2, 3
+""",
+    doc="TPC-H Q3-shaped: selective dim filter -> broadcast join -> agg "
+        "(J7 broadcast dimension lookup at scale)",
+)
+def q_segment_revenue(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    orders = t["orders"].where(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].where(F.col("l_shipdate") > cutoff)
+    disc4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(disc4) / 10000.0).alias("revenue"))
+    )
+
+
+@register(
+    "priority_semijoin",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_discount > 0.09
+)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4-shaped EXISTS -> left-semi join (no row duplication, "
+        "distinct-free)",
+)
+def q_priority_semijoin(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].where(F.col("l_discount") > 0.09).select("l_orderkey")
+    return (
+        t["orders"]
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+WITH ranked AS (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+)
+SELECT p_brand, p_partkey, p_name, p_retailprice, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 3
+""",
+    doc="top-k per group via row_number window (§2.7 — max-endpoint pick "
+        "generalized)",
+)
+def q_topk_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    part = load_tables(spark, sf_dir, "part")["part"]
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rn")
+    )
+
+
+@register(
+    "events_dim_join",
+    """
+SELECT c_mktsegment, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+    doc="stream-to-dimension broadcast join (J7 IdentityManager-style lookup)",
+)
+def q_events_dim_join(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "events", "customer")
+    return (
+        t["events"]
+        .join(F.broadcast(t["customer"]), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "xff_client_select",
+    """
+WITH x AS (
+  SELECT event_id,
+         '203.0.113.' || (user_id % 200) || ', 10.0.0.1, 192.168.1.'
+           || (user_id % 100) AS xff
+  FROM events
+)
+SELECT event_id, xff, trim(string_split(xff, ',')[1]) AS client_ip FROM x
+""",
+    doc="parser/Parser.java:164-238 — X-Forwarded-For client selection with "
+        "trusted-proxy CIDRs (array funcs, no UDF)",
+)
+def q_xff_select(spark, sf_dir):
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    x = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("203.0.113."), (F.col("user_id") % 200).cast("string"),
+            F.lit(", 10.0.0.1, 192.168.1."), (F.col("user_id") % 100).cast("string"),
+        ).alias("xff"),
+    )
+    return x.select(
+        "event_id", "xff",
+        xff_select_client(F.col("xff"), ["10.0.0.0/8", "192.168.0.0/16"]).alias("client_ip"),
+    )
