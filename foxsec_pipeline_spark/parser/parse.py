@@ -1,0 +1,132 @@
+"""The parse operator: raw lines -> normalized events DataFrame.
+
+Reference: `parser/Parser.java:507-564` (parse entry: fast matcher,
+envelope strip, probe chain, normalization, max-age drop) and
+`parser/ParserDoFn.java:83-122` (per-element DoFn wrapper + event-time
+assignment `:116-118`).
+
+Pipeline (one projection pass, all JVM-side):
+  fast-matcher filter -> CloudWatch explode -> envelope strip ->
+  payload when-cascade -> normalized projection -> event-time
+  assignment -> max-age filter.
+
+The fast matcher runs BEFORE any JSON work so Catalyst can push the
+substring test into the scan — the reference implements the same
+optimization manually (`Parser.java:507-516`, `Input.java:429-445`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import EVENT_SCHEMA
+from .envelopes import explode_cloudwatch, strip_envelopes
+from .payloads import PayloadSpec, default_chain
+
+_NORM_FIELDS = [
+    "source_address",
+    "subject_user",
+    "object",
+    "request_method",
+    "request_path",
+    "request_host",
+    "request_status",
+    "user_agent",
+]
+
+
+@dataclass
+class ParserCfg:
+    """Parser configuration (`parser/ParserCfg.java` analog)."""
+
+    fast_matcher: str | None = None          # pre-parse substring filter
+    max_timestamp_skew_seconds: int | None = None  # EventTooOld drop
+    use_event_timestamp: bool = True         # ParserDoFn.java:116-118
+    xff_trusted_cidrs: list[str] = field(default_factory=list)
+    chain: list[PayloadSpec] | None = None
+
+
+def parse_events(
+    df: DataFrame,
+    cfg: ParserCfg | None = None,
+    value_col: str = "value",
+    now=None,
+) -> DataFrame:
+    """Parse raw log lines into the normalized event schema.
+
+    `now` pins the reference clock for the max-age drop (tests pass a
+    literal; production uses current_timestamp per micro-batch).
+    """
+    cfg = cfg or ParserCfg()
+    chain = cfg.chain or default_chain()
+
+    if cfg.fast_matcher:
+        # manual pushdown in the reference; free row-group pruning here
+        df = df.where(F.col(value_col).contains(cfg.fast_matcher))
+
+    df = explode_cloudwatch(df, value_col)
+    df = strip_envelopes(df, value_col)
+    # GLB keeps httpRequest at the LogEntry top level, not in payload
+    df = df.withColumn(
+        "http_request_json", F.get_json_object(F.col(value_col), "$.httpRequest")
+    )
+
+    # first-match-wins probe chain as a single when-cascade
+    ptype = F.lit(None).cast("string")
+    for spec in reversed(chain):
+        ptype = F.when(spec.matcher, F.lit(spec.name)).otherwise(ptype)
+    df = df.withColumn("payload_type", F.coalesce(ptype, F.lit("raw")))
+
+    def pick(fname: str):
+        col = F.lit(None).cast(dict(zip(EVENT_SCHEMA.fieldNames(),
+                                        [f.dataType.simpleString() for f in EVENT_SCHEMA]))
+                               .get(fname, "string"))
+        for spec in reversed(chain):
+            expr = spec.fields.get(fname)
+            if expr is not None:
+                col = F.when(F.col("payload_type") == spec.name, expr).otherwise(col)
+        return col
+
+    norm_type = F.lit(None).cast("string")
+    payload_ts = F.lit(None).cast("timestamp")
+    for spec in reversed(chain):
+        norm_type = F.when(
+            F.col("payload_type") == spec.name, spec.normalized_type
+        ).otherwise(norm_type)
+        if spec.event_ts is not None:
+            payload_ts = F.when(
+                F.col("payload_type") == spec.name, spec.event_ts
+            ).otherwise(payload_ts)
+
+    ref_now = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    event_ts = (
+        F.coalesce(payload_ts, F.col("envelope_ts"), ref_now)
+        if cfg.use_event_timestamp
+        else ref_now
+    )
+
+    out = df.select(
+        F.expr("uuid()").alias("event_id"),
+        event_ts.alias("timestamp"),
+        F.col("payload_type"),
+        norm_type.alias("normalized_type"),
+        *[pick(f).alias(f) for f in _NORM_FIELDS],
+        F.col("sd_project").alias("project_id"),
+        (F.col("resource") if "resource" in df.columns else F.lit(None).cast("string")).alias(
+            "resource"
+        ),
+        F.col("payload"),
+        F.col(value_col).alias("raw"),
+    )
+
+    if cfg.max_timestamp_skew_seconds is not None:
+        # ingest-time late-data policy (Parser.java:555-562
+        # EventTooOldException -> drop)
+        out = out.where(
+            F.col("timestamp")
+            >= ref_now - F.expr(f"INTERVAL {int(cfg.max_timestamp_skew_seconds)} SECONDS")
+        )
+    return out

@@ -1,0 +1,132 @@
+"""Catalog tranche 3: end-to-end pipeline-shaped queries — raw-line
+parsing and the alert output plane — driver-checkable via semantic
+oracles (the oracle states the expected normalized output directly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..alert.model import suppress_first_per_key, to_alerts
+from ..parser.parse import ParserCfg, parse_events
+from ..session import load_tables
+from .catalog import register
+
+
+def _synth_glb_lines(spark, sf_dir):
+    """Synthesize Stackdriver GLB LogEntry lines from the events table
+    (deterministic; FIXTURES.md F1 shape) — the parse input."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    http_request = F.struct(
+        F.concat(F.lit("10."), (F.col("user_id") % 32).cast("string"), F.lit(".0.1")).alias(
+            "remoteIp"
+        ),
+        F.when(F.col("event_type") == "view", "GET").otherwise("POST").alias(
+            "requestMethod"
+        ),
+        F.concat(
+            F.lit("https://h"), (F.col("user_id") % 3).cast("string"),
+            F.lit(".example.com/api/"), F.col("event_type"),
+        ).alias("requestUrl"),
+        F.when(F.col("event_type") == "error", 500).otherwise(200).alias("status"),
+        F.concat(F.lit("ua-"), (F.col("user_id") % 7).cast("string")).alias("userAgent"),
+    )
+    entry = F.struct(
+        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("timestamp"),
+        F.struct(
+            F.struct(
+                F.concat(F.lit("proj-"), (F.col("user_id") % 5).cast("string")).alias(
+                    "project_id"
+                )
+            ).alias("labels")
+        ).alias("resource"),
+        F.struct(
+            F.lit(
+                "type.googleapis.com/google.cloud.loadbalancing.type.LoadBalancerLogEntry"
+            ).alias("@type")
+        ).alias("jsonPayload"),
+        http_request.alias("httpRequest"),
+    )
+    return ev.select(F.to_json(entry).alias("value"))
+
+
+@register(
+    "parse_normalize",
+    """
+SELECT ts AS timestamp,
+       'glb' AS payload_type,
+       'http_request' AS normalized_type,
+       '10.' || (user_id % 32) || '.0.1' AS source_address,
+       CASE WHEN event_type = 'view' THEN 'GET' ELSE 'POST' END AS request_method,
+       '/api/' || event_type AS request_path,
+       'h' || (user_id % 3) || '.example.com' AS request_host,
+       CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS request_status,
+       'ua-' || (user_id % 7) AS user_agent,
+       'proj-' || (user_id % 5) AS project_id
+FROM events
+""",
+    doc="S8 parse scan end-to-end: raw Stackdriver GLB JSON lines -> "
+        "normalized events (envelope strip + probe chain + URL split + "
+        "event-time hoist); oracle states expected output semantically "
+        "(Parser.java:507-564, ParserDoFn.java:83-122)",
+)
+def q_parse_normalize(spark, sf_dir):
+    raw = _synth_glb_lines(spark, sf_dir)
+    parsed = parse_events(raw, ParserCfg(fast_matcher="LoadBalancerLogEntry"))
+    return parsed.select(
+        "timestamp", "payload_type", "normalized_type", "source_address",
+        "request_method", "request_path", "request_host", "request_status",
+        "user_agent", "project_id",
+    )
+
+
+@register(
+    "alert_pipeline",
+    """
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS window_start, user_id, count(*) AS event_count
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2 HAVING count(*) >= 2
+), alerts AS (
+  SELECT window_start AS timestamp, 'httprequest' AS category,
+         'warn' AS severity,
+         'error rate exceeded for user ' || user_id AS summary,
+         user_id, event_count
+  FROM counts
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, date_trunc('day', timestamp)
+    ORDER BY timestamp) AS rn
+  FROM alerts
+)
+SELECT timestamp, category, severity, summary,
+       CAST(user_id AS VARCHAR) AS meta_user_id,
+       CAST(event_count AS VARCHAR) AS meta_count
+FROM ranked WHERE rn = 1
+""",
+    doc="alert output plane end-to-end: heuristic -> to_alerts projection "
+        "-> first-per-key suppression (Alert.java, AlertSuppressor.java); "
+        "metadata map entries surfaced as columns for the oracle",
+)
+def q_alert_pipeline(spark, sf_dir):
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    hits = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .where(F.col("event_count") >= 2)
+        .select(F.col("w.start").alias("window_start"), "user_id", "event_count")
+    )
+    alerts = to_alerts(
+        hits,
+        category="httprequest",
+        severity="warn",
+        summary=F.concat(F.lit("error rate exceeded for user "), F.col("user_id")),
+        metadata_cols=["user_id", "event_count"],
+    )
+    suppressed = suppress_first_per_key(alerts, key_cols=[F.col("metadata")["user_id"]],
+                                        expiry="1 day")
+    return suppressed.select(
+        "timestamp", "category", "severity", "summary",
+        F.col("metadata").getItem("user_id").alias("meta_user_id"),
+        F.col("metadata").getItem("event_count").alias("meta_count"),
+    )

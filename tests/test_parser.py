@@ -1,0 +1,184 @@
+"""Parser golden tests over synthesized fixture lines (shapes from
+FIXTURES.md / the reference's testdata corpus; timestamps epoch-pinned
+like the reference so window math is deterministic)."""
+
+import json
+
+from pyspark.sql import Row
+
+from foxsec_pipeline_spark.parser.parse import ParserCfg, parse_events
+
+GLB_LINE = json.dumps(
+    {
+        "insertId": "x1",
+        "timestamp": "1970-01-01T00:00:30.000Z",
+        "resource": {"type": "http_load_balancer", "labels": {"project_id": "test-proj"}},
+        "jsonPayload": {
+            "@type": "type.googleapis.com/google.cloud.loadbalancing.type.LoadBalancerLogEntry",
+            "statusDetails": "response_sent_by_backend",
+        },
+        "httpRequest": {
+            "remoteIp": "192.168.1.1",
+            "requestMethod": "GET",
+            "requestUrl": "https://send.firefox.com/download/abc?x=1",
+            "status": 200,
+            "userAgent": "Mozilla/5.0",
+        },
+    }
+)
+
+NGINX_LINE = json.dumps(
+    {
+        "timestamp": "1970-01-01T00:00:59.000Z",
+        "resource": {"labels": {"project_id": "nginx-proj"}},
+        "jsonPayload": {
+            "remote_ip": "10.1.2.3",
+            "request": "POST /login HTTP/1.1",
+            "code": "401",
+            "agent": "curl/7.64",
+            "host": "example.org",
+        },
+    }
+)
+
+FXA_LINE = json.dumps(
+    {
+        "Timestamp": 60_000_000_000,
+        "Type": "request.summary",
+        "Logger": "fxa-auth-server",
+        "Fields": {
+            "email": "user@example.com",
+            "method": "POST",
+            "path": "/v1/account/login",
+            "status": 200,
+            "remoteAddressChain": '["203.0.113.5","10.0.0.1"]',
+            "agent": "Firefox",
+        },
+    }
+)
+
+SSH_LINE = json.dumps(
+    {
+        "timestamp": "1970-01-01T00:02:00.000Z",
+        "resource": {"labels": {"project_id": "ssh-proj"}},
+        "textPayload": "Jan  1 00:02:00 host sshd[1234]: Accepted publickey for riker from 216.160.83.56 port 4242 ssh2",
+    }
+)
+
+CLOUDTRAIL_LINE = json.dumps(
+    {
+        "eventVersion": "1.05",
+        "eventTime": "1970-01-01T00:03:00Z",
+        "eventName": "ConsoleLogin",
+        "sourceIPAddress": "127.0.0.1",
+        "userAgent": "aws-cli",
+        "userIdentity": {"type": "IAMUser", "userName": "riker"},
+    }
+)
+
+CLOUDWATCH_BATCH = json.dumps(
+    {
+        "owner": "123456789012",
+        "logGroup": "g",
+        "logEvents": [{"message": CLOUDTRAIL_LINE}, {"message": CLOUDTRAIL_LINE}],
+    }
+)
+
+ALERT_LINE = json.dumps(
+    {
+        "severity": "warn",
+        "category": "httprequest",
+        "summary": "threshold exceeded",
+        "timestamp": "1970-01-01T00:04:00.000Z",
+        "metadata": {"sourceaddress": "10.0.0.1", "username": "riker"},
+    }
+)
+
+
+def _parse(spark, lines, **cfg):
+    df = spark.createDataFrame([Row(value=ln) for ln in lines])
+    return parse_events(df, ParserCfg(**cfg), now="1970-01-01 00:05:00")
+
+
+def test_glb(spark):
+    r = _parse(spark, [GLB_LINE]).collect()[0]
+    assert r.payload_type == "glb"
+    assert r.normalized_type == "http_request"
+    assert r.source_address == "192.168.1.1"
+    assert r.request_method == "GET"
+    assert r.request_path == "/download/abc"
+    assert r.request_host == "send.firefox.com"
+    assert r.request_status == 200
+    assert r.project_id == "test-proj"
+    assert str(r.timestamp) == "1970-01-01 00:00:30"
+
+
+def test_nginx(spark):
+    r = _parse(spark, [NGINX_LINE]).collect()[0]
+    assert r.payload_type == "nginx"
+    assert (r.source_address, r.request_method, r.request_path) == (
+        "10.1.2.3", "POST", "/login",
+    )
+    assert r.request_status == 401 and r.user_agent == "curl/7.64"
+
+
+def test_fxaauth_mozlog(spark):
+    r = _parse(spark, [FXA_LINE]).collect()[0]
+    assert r.payload_type == "fxaauth"
+    assert r.normalized_type == "auth"
+    assert r.subject_user == "user@example.com"
+    assert r.source_address == "203.0.113.5"
+    assert str(r.timestamp) == "1970-01-01 00:01:00"  # mozlog ns ts
+
+
+def test_openssh(spark):
+    r = _parse(spark, [SSH_LINE]).collect()[0]
+    assert r.payload_type == "openssh"
+    assert r.normalized_type == "auth"
+    assert (r.subject_user, r.source_address, r.object) == (
+        "riker", "216.160.83.56", "publickey",
+    )
+    assert r.request_status == 0
+
+
+def test_cloudtrail_and_cloudwatch_explode(spark):
+    rows = _parse(spark, [CLOUDWATCH_BATCH, CLOUDTRAIL_LINE]).collect()
+    assert len(rows) == 3  # 2 exploded + 1 direct
+    for r in rows:
+        assert r.payload_type == "cloudtrail"
+        assert r.subject_user == "riker"
+        assert r.normalized_type == "auth"
+        assert str(r.timestamp) == "1970-01-01 00:03:00"
+
+
+def test_alert_payload(spark):
+    r = _parse(spark, [ALERT_LINE]).collect()[0]
+    assert r.payload_type == "alert"
+    assert r.source_address == "10.0.0.1"
+    assert r.object == "httprequest"
+
+
+def test_raw_fallback_and_fast_matcher(spark):
+    rows = _parse(spark, ["plain text line", GLB_LINE]).collect()
+    assert {r.payload_type for r in rows} == {"raw", "glb"}
+    only = _parse(spark, ["plain text line", GLB_LINE], fast_matcher="LoadBalancer")
+    assert only.count() == 1
+
+
+def test_max_age_drop(spark):
+    # now=00:05:00; GLB event at 00:00:30 dropped with 60s skew window
+    kept = _parse(spark, [GLB_LINE], max_timestamp_skew_seconds=60).count()
+    assert kept == 0
+    kept2 = _parse(spark, [GLB_LINE], max_timestamp_skew_seconds=3600).count()
+    assert kept2 == 1
+
+
+def test_probe_order_first_match_wins(spark):
+    # a line that superficially has nginx fields inside a GLB entry
+    # must match glb first (fixed chain order, Parser.java:597-619)
+    line = json.loads(GLB_LINE)
+    line["jsonPayload"]["remote_ip"] = "9.9.9.9"
+    line["jsonPayload"]["request"] = "GET /x HTTP/1.1"
+    r = _parse(spark, [json.dumps(line)]).collect()[0]
+    assert r.payload_type == "glb"
+    assert r.source_address == "192.168.1.1"

@@ -1,0 +1,150 @@
+"""Structured Streaming operators: suppression TTL state, auth state
+model, streaming windowed heuristics — driven to completion with
+file->memory streams (batch rows through the streaming engine)."""
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from foxsec_pipeline_spark.streaming.state import LOGIN_SCHEMA, auth_state_analyze
+from foxsec_pipeline_spark.streaming.suppress import (
+    suppress_count_stream,
+    suppress_stream,
+)
+
+
+def _run_stream(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def _stream_from_rows(spark, rows, schema, tmpdir):
+    path = os.path.join(tmpdir, "in")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(path)
+    return spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).parquet(path)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="fxs_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_suppress_stream_first_per_key(spark, tmpdir):
+    rows = [
+        Row(timestamp=datetime.fromisoformat("2024-01-01 00:00:00"), key="a", n=1),
+        Row(timestamp=datetime.fromisoformat("2024-01-01 00:01:00"), key="a", n=2),
+        Row(timestamp=datetime.fromisoformat("2024-01-01 00:02:00"), key="b", n=3),
+    ]
+    src = _stream_from_rows(spark, rows, "timestamp timestamp, key string, n int", tmpdir)
+    name = f"sup_{uuid.uuid4().hex[:8]}"
+    _run_stream(suppress_stream(src, ["key"], expiry="15 minutes"), name)
+    got = {r.key: r.n for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == {"a": 1, "b": 3}  # repeat for 'a' suppressed
+
+
+def test_suppress_count_reemit_on_change(spark, tmpdir):
+    rows = [
+        Row(timestamp=datetime.fromisoformat("2024-01-01 00:00:00"), key="a", count=5),
+        Row(timestamp=datetime.fromisoformat("2024-01-01 00:01:00"), key="a", count=5),
+        Row(timestamp=datetime.fromisoformat("2024-01-01 00:02:00"), key="a", count=9),
+    ]
+    src = _stream_from_rows(
+        spark, rows, "timestamp timestamp, key string, count long", tmpdir
+    )
+    name = f"supc_{uuid.uuid4().hex[:8]}"
+    _run_stream(
+        suppress_count_stream(src, ["key"], count_col="count", expiry="15 minutes"),
+        name,
+    )
+    got = [r["count"] for r in spark.sql(f"SELECT * FROM {name} ORDER BY timestamp").collect()]
+    assert got == [5, 9]  # duplicate 5 suppressed, change to 9 re-emitted
+
+
+def test_auth_state_known_ip_and_geovelocity(spark, tmpdir):
+    logins = [
+        # first sighting: info (no prior state)
+        Row(identity="u1", timestamp=datetime.fromisoformat("2024-01-01 00:00:00"),
+            source_address="1.1.1.1", lat=51.5, lon=-0.12),
+        # same ip again: known
+        Row(identity="u1", timestamp=datetime.fromisoformat("2024-01-01 01:00:00"),
+            source_address="1.1.1.1", lat=51.5, lon=-0.12),
+        # new ip, ~343 km away 30 min later (~686 km/h): warn
+        Row(identity="u1", timestamp=datetime.fromisoformat("2024-01-01 01:30:00"),
+            source_address="2.2.2.2", lat=48.85, lon=2.35),
+        # new ip on other side of the world 1 min later: critical
+        Row(identity="u1", timestamp=datetime.fromisoformat("2024-01-01 01:31:00"),
+            source_address="3.3.3.3", lat=-33.86, lon=151.2),
+        # other identity unaffected
+        Row(identity="u2", timestamp=datetime.fromisoformat("2024-01-01 00:00:00"),
+            source_address="9.9.9.9", lat=0.0, lon=0.0),
+    ]
+    src = _stream_from_rows(spark, logins, LOGIN_SCHEMA, tmpdir)
+    name = f"auth_{uuid.uuid4().hex[:8]}"
+    _run_stream(auth_state_analyze(src, max_kmh=800.0), name)
+    rows = {
+        (r.identity, str(r.timestamp)): r
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert rows[("u1", "2024-01-01 00:00:00")].known_ip is False
+    assert rows[("u1", "2024-01-01 00:00:00")].severity == "info"
+    assert rows[("u1", "2024-01-01 01:00:00")].known_ip is True
+    w = rows[("u1", "2024-01-01 01:30:00")]
+    assert w.severity == "warn" and 330 < w.km_from_last < 350
+    c = rows[("u1", "2024-01-01 01:31:00")]
+    assert c.severity == "critical" and c.kmh > 800
+    assert rows[("u2", "2024-01-01 00:00:00")].severity == "info"
+
+
+def test_streaming_windowed_heuristic_matches_batch(spark, tmpdir):
+    """The same session/window plan runs under readStream — batch and
+    streaming results agree on final windows (SURVEY §7 hard part 1)."""
+    from foxsec_pipeline_spark.session import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001", "events")["events"]
+    path = os.path.join(tmpdir, "ev")
+    ev.write.mode("overwrite").parquet(path)
+    sev = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    agg = (
+        sev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    name = f"w_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream_rows = {
+        (str(r.window_start), r.event_type): r.n
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch_rows = {
+        (str(r.window_start), r.event_type): r.n
+        for r in ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+        .collect()
+    }
+    assert stream_rows == batch_rows
