@@ -16,6 +16,16 @@ from .summary import (  # noqa: F401
     summary_delta,
     windowed_type_counts,
 )
+from .customs import (  # noqa: F401
+    account_creation_dist,
+    assume_role_correlate,
+    features_combine,
+    multi_ip_login,
+    private_relay_forward_mismatch,
+    sessionize,
+    status_comparator,
+    watchlist_match,
+)
 from .dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash  # noqa: F401
 from .similarity import cosine_topk, cosine_topk_lsh  # noqa: F401
 from .textanalysis import fingerprint, language_id, quality_score, text_stats  # noqa: F401

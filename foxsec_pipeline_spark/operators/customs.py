@@ -1,0 +1,338 @@
+"""Customs-family operators: windowed feature combining, similarity
+clustering, session correlation, per-key comparators.
+
+Reference files (semantics only; Spark-first implementations):
+- `customs/CustomsFeaturesCombiner.java:29-75` + `customs/CustomsFeatures.java`
+  (per-key windowed feature accumulator: per-type counters, retained
+  events of registered types, variance index recalculation)
+- `customs/CustomsAccountCreationDist.java:56-126` + `StringDistance.java:22-63`
+  (within-(domain,window) Levenshtein-ratio account clustering with a
+  differing-source-IP requirement)
+- `amo/AddonMultiIpLogin.java:84-265` (session-windowed distinct
+  IP/country counting per account)
+- `authprofile/AwsAssumeRoleCorrelator.java:47-180` (session-window
+  co-occurrence: AssumeRole event supplies the subject for later
+  sts:GetCallerIdentity events in the same session)
+- `customs/CustomsStatusComparator.java:90-181` (status-check scans
+  vs login failures per source -> at-risk accounts)
+- `customs/PrivateRelayForward.java:115-200` (uid -> hashed forward
+  address; alert on mismatch)
+- `Watchlist.java:29-49,201-232` + `postprocessing/PostProcessing.java:102-126`
+  (watchlist entries matched against alert metadata — broadcast join)
+
+All operators are single-shuffle declarative plans; sessionization is
+expressed with lag/cumsum window functions so the identical logical
+definition runs in DuckDB for the oracle (Spark's `session_window`
+gives the same assignment for final windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import levenshtein_ratio
+
+_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _gap_seconds(gap: str) -> int:
+    num, unit = gap.split()
+    return int(num) * _UNITS[unit]
+
+
+def features_combine(
+    df: DataFrame,
+    key: str,
+    type_col: str,
+    path_col: str,
+    ts: str = "ts",
+    duration: str = "1 hour",
+    counted_types: dict[str, str] | None = None,
+    success_predicate: Column | None = None,
+    retain_types: list[str] | None = None,
+) -> DataFrame:
+    """A3 CustomsFeaturesCombiner: per (key, window) feature row.
+
+    Emits total event count, one counter per registered type
+    (`counted_types`: output column -> type value), distinct-path
+    counts, the variance index (CustomsFeatures.recalculateVariance:
+    0 unless >1 distinct path, else n_paths + 10 * n_success_paths,
+    clamped at 100), and the retained event-id list for
+    `retain_types` as a deterministic sorted CSV (the reference
+    retains raw Events of registered types for downstream detectors).
+
+    One hash-aggregate: partial map-side combine makes this linear in
+    input with no per-key skew beyond the natural key distribution.
+    """
+    counted_types = counted_types or {}
+    success_predicate = (
+        success_predicate if success_predicate is not None else F.lit(True)
+    )
+    retain_types = retain_types or []
+
+    aggs = [
+        F.count(F.lit(1)).alias("total_events"),
+        *[
+            F.count(F.when(F.col(type_col) == tv, 1)).alias(out)
+            for out, tv in counted_types.items()
+        ],
+        F.countDistinct(F.col(path_col)).alias("n_paths"),
+        F.countDistinct(
+            F.when(success_predicate, F.col(path_col))
+        ).alias("n_success_paths"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col(type_col).isin(retain_types), F.col("event_id")
+                        )
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("retained_events"),
+    ]
+    agg = df.groupBy(
+        F.window(ts, duration).alias("w"), F.col(key)
+    ).agg(*aggs)
+    variance = F.when(
+        F.col("n_paths") > 1,
+        F.least(
+            F.lit(100), F.col("n_paths") + F.lit(10) * F.col("n_success_paths")
+        ),
+    ).otherwise(F.lit(0))
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col(key),
+        "total_events",
+        *counted_types.keys(),
+        "n_paths",
+        "n_success_paths",
+        variance.cast("long").alias("variance_index"),
+        "retained_events",
+    )
+
+
+def account_creation_dist(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    name_col: str,
+    addr_col: str,
+    max_ratio: float = 0.35,
+) -> DataFrame:
+    """A10 CustomsAccountCreationDist: for each account, count other
+    accounts in the same group whose name is within `max_ratio`
+    normalized Levenshtein distance AND was seen from a different
+    source address (`CustomsAccountCreationDist.java:56-126` — the
+    differing-IP requirement keeps same-machine re-registrations out).
+
+    The group key bounds the self-join (the reference groups by email
+    domain + window); at scale the join is an equi-join on the group
+    with AQE skew splitting, not a cross join.
+    """
+    a = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+        F.col(addr_col).alias("addr_a"),
+    )
+    b = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+        F.col(addr_col).alias("addr_b"),
+    )
+    ratio = levenshtein_ratio(F.col("name_a"), F.col("name_b"))
+    pairs = (
+        a.join(b, "g")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("addr_a") != F.col("addr_b"))
+            & (ratio <= F.lit(float(max_ratio)))
+        )
+    )
+    return (
+        pairs.groupBy(F.col("g").alias(group_col), F.col("id_a").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_similar"))
+    )
+
+
+def sessionize(
+    df: DataFrame, key: str, ts: str = "ts", gap: str = "2 hours"
+) -> DataFrame:
+    """Row-level session assignment (gap-based) via lag/cumsum —
+    the row-preserving complement of `session_window` groupBy (which
+    only yields aggregates). Adds a `session_id` column.
+
+    Identical semantics to `session_window` on final windows; lets
+    in-session resolution (J6) and per-session row outputs compose.
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    # microsecond math so the break condition is exactly
+    # `session_window`'s (merge while diff < gap) and the oracle's
+    # `ts - lag(ts) >= INTERVAL` — second-truncation would misplace
+    # events that land within 1 s of a boundary
+    us = F.unix_micros(F.col(ts))
+    brk = F.when(
+        us - F.lag(us).over(w) >= F.lit(_gap_seconds(gap) * 1_000_000),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(brk).over(
+            Window.partitionBy(key).orderBy(ts).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+
+
+def multi_ip_login(
+    df: DataFrame,
+    key: str,
+    addr_col: str,
+    country_col: str,
+    ts: str = "ts",
+    gap: str = "2 hours",
+    min_addrs: int = 2,
+    min_countries: int = 1,
+) -> DataFrame:
+    """A5 AddonMultiIpLogin: per-account session windows; alert-shaped
+    row when the session saw logins from >= min_addrs distinct
+    addresses / >= min_countries distinct countries
+    (`amo/AddonMultiIpLogin.java:84-265`, 15-min session gap there).
+    """
+    s = sessionize(df, key, ts, gap)
+    return (
+        s.groupBy(F.col(key), F.col("session_id"))
+        .agg(
+            F.min(ts).alias("first_ts"),
+            F.count(F.lit(1)).alias("n_logins"),
+            F.countDistinct(addr_col).alias("n_addrs"),
+            F.countDistinct(country_col).alias("n_countries"),
+        )
+        .where(
+            (F.col("n_addrs") >= min_addrs)
+            & (F.col("n_countries") >= min_countries)
+        )
+        .drop("session_id")
+    )
+
+
+def assume_role_correlate(
+    df: DataFrame,
+    key: str,
+    provider_predicate: Column,
+    consumer_predicate: Column,
+    subject_col: str,
+    ts: str = "ts",
+    gap: str = "2 minutes",
+) -> DataFrame:
+    """J6 AwsAssumeRoleCorrelator: within a per-key session, consumer
+    events (sts:GetCallerIdentity — no usable subject) inherit the
+    subject of the most recent provider event (AssumeRole) in the same
+    session (`authprofile/AwsAssumeRoleCorrelator.java:47-180`,
+    default 120 s gap).
+
+    Output: the consumer rows with `resolved_subject`. This is the
+    reference's only interval-join-shaped operator; expressed as a
+    last(ignorenulls) running value over the sessionized stream — one
+    shuffle on the key, no join.
+    """
+    s = sessionize(df.where(provider_predicate | consumer_predicate), key, ts, gap)
+    w = (
+        Window.partitionBy(key, "session_id")
+        .orderBy(ts, "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    resolved = s.withColumn(
+        "resolved_subject",
+        F.last(
+            F.when(provider_predicate, F.col(subject_col)), ignorenulls=True
+        ).over(w),
+    )
+    return resolved.where(consumer_predicate & F.col("resolved_subject").isNotNull())
+
+
+def status_comparator(
+    df: DataFrame,
+    key: str,
+    scan_predicate: Column,
+    failure_predicate: Column,
+    ts: str = "ts",
+    duration: str = "1 hour",
+    min_scans: int = 2,
+    min_failures: int = 1,
+) -> DataFrame:
+    """T6 CustomsStatusComparator (batch analog): per (key, window),
+    flag sources that ran >= min_scans account-status-check scans and
+    then >= min_failures login failures — the at-risk-account signal
+    (`customs/CustomsStatusComparator.java:90-181`; reference keeps
+    per-IP state in Datastore, here it's a windowed agg; the streaming
+    twin would use applyInPandasWithState like streaming/state.py).
+    """
+    return (
+        df.groupBy(F.window(ts, duration).alias("w"), F.col(key))
+        .agg(
+            F.count(F.when(scan_predicate, 1)).alias("n_scans"),
+            F.count(F.when(failure_predicate, 1)).alias("n_failures"),
+        )
+        .where(
+            (F.col("n_scans") >= min_scans) & (F.col("n_failures") >= min_failures)
+        )
+        .select(F.col("w.start").alias("window_start"), F.col(key), "n_scans", "n_failures")
+    )
+
+
+def private_relay_forward_mismatch(
+    df: DataFrame,
+    key: str,
+    forward_col: str,
+    ts: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """T7 PrivateRelayForward: the first-seen forward address per key
+    establishes the expected sha256; later events whose hashed forward
+    differs are mismatches (`customs/PrivateRelayForward.java:115-200`
+    — state holds the hash, never the raw address).
+    """
+    h = F.sha2(F.col(forward_col), 256)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("expected_hash", F.first(h).over(w))
+        .withColumn("got_hash", h)
+        .where(F.col("got_hash") != F.col("expected_hash"))
+        .select(key, ts, order_col, "expected_hash", "got_hash")
+    )
+
+
+def watchlist_match(
+    events: DataFrame,
+    watchlist: DataFrame,
+    obj_col: str,
+    type_value: str = "ip",
+) -> DataFrame:
+    """S16/T8 Watchlist matching: broadcast-join the (tiny) watchlist
+    against event/alert objects; matched rows carry the watchlist
+    severity + creator (`Watchlist.java:201-232`,
+    `postprocessing/PostProcessing.java:102-126` — the reference
+    batches Datastore lookups to bound QPS; a broadcast join makes the
+    batching moot).
+
+    `watchlist` columns: wl_type, wl_object, wl_severity, wl_created_by.
+    """
+    wl = watchlist.where(F.col("wl_type") == type_value)
+    return events.join(
+        F.broadcast(wl), events[obj_col] == wl["wl_object"]
+    ).drop("wl_type", "wl_object")

@@ -69,7 +69,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 def registry() -> dict[str, QuerySpec]:
-    from . import catalog_data, catalog_pipeline  # noqa: F401  (register tranches)
+    from . import catalog_customs, catalog_data, catalog_pipeline  # noqa: F401  (register tranches)
 
     return dict(_REGISTRY)
 

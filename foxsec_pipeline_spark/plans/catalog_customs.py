@@ -1,0 +1,341 @@
+"""Catalog tranche 4: Customs/AuthProfile/PostProcessing operator
+family — feature combining, similarity clustering, session
+correlation, comparators, watchlist matching, email normalization.
+
+Sessionized oracles reproduce `session_window` assignment with
+lag/cumsum over microsecond timestamps; hashes are sha256/md5 hex
+(portable across Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..filters.event_filter import compile_event_filter
+from ..functions.text import normalize_email
+from ..operators.customs import (
+    account_creation_dist,
+    assume_role_correlate,
+    features_combine,
+    multi_ip_login,
+    private_relay_forward_mismatch,
+    status_comparator,
+    watchlist_match,
+)
+from ..session import load_tables
+from .catalog import register
+
+
+def _events(spark, sf_dir):
+    return load_tables(spark, sf_dir, "events")["events"]
+
+
+@register(
+    "customs_features",
+    """
+SELECT date_trunc('hour', ts) AS window_start, user_id,
+       count(*) AS total_events,
+       count(*) FILTER (WHERE event_type = 'error') AS n_login_failure,
+       count(*) FILTER (WHERE event_type = 'click') AS n_login_success,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_account_create,
+       count(*) FILTER (WHERE event_type = 'view') AS n_status_check,
+       count(DISTINCT props) AS n_paths,
+       count(DISTINCT CASE WHEN event_type <> 'error' THEN props END)
+         AS n_success_paths,
+       CASE WHEN count(DISTINCT props) > 1
+            THEN least(100, count(DISTINCT props)
+                 + 10 * count(DISTINCT CASE WHEN event_type <> 'error'
+                                            THEN props END))
+            ELSE 0 END AS variance_index,
+       coalesce(string_agg(CASE WHEN event_type IN ('error', 'signup')
+                                THEN event_id::VARCHAR END, ','
+                           ORDER BY event_id), '') AS retained_events
+FROM events GROUP BY 1, 2
+""",
+    doc="A3 CustomsFeaturesCombiner (CustomsFeaturesCombiner.java:29-75, "
+        "CustomsFeatures.java recalculateVariance): per-key-window typed "
+        "counters + distinct-path variance index + retained registered "
+        "events — one hash-aggregate with map-side combine",
+)
+def q_customs_features(spark, sf_dir):
+    return features_combine(
+        _events(spark, sf_dir),
+        key="user_id",
+        type_col="event_type",
+        path_col="props",
+        ts="ts",
+        duration="1 hour",
+        counted_types={
+            "n_login_failure": "error",
+            "n_login_success": "click",
+            "n_account_create": "signup",
+            "n_status_check": "view",
+        },
+        success_predicate=F.col("event_type") != "error",
+        retain_types=["error", "signup"],
+    )
+
+
+@register(
+    "account_creation_dist",
+    """
+WITH pairs AS (
+  SELECT a.c_nationkey AS nation, a.c_custkey AS custkey
+  FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+  WHERE a.c_custkey <> b.c_custkey
+    AND a.c_acctbal <> b.c_acctbal
+    AND levenshtein(a.c_name, b.c_name) * 1.0
+        / greatest(length(a.c_name), length(b.c_name)) <= 0.35
+)
+SELECT nation AS c_nationkey, custkey AS c_custkey, count(*) AS n_similar
+FROM pairs GROUP BY 1, 2
+""",
+    doc="A10 CustomsAccountCreationDist.java:56-126 — within-group "
+        "Levenshtein-ratio clustering with the differing-source-address "
+        "requirement; group key bounds the self-join",
+)
+def q_account_creation_dist(spark, sf_dir):
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    return account_creation_dist(
+        cust,
+        group_col="c_nationkey",
+        id_col="c_custkey",
+        name_col="c_name",
+        addr_col="c_acctbal",
+        max_ratio=0.35,
+    )
+
+
+@register(
+    "multi_ip_login",
+    """
+WITH d AS (
+  SELECT user_id, ts, props, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 2 HOURS THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts, props, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, min(ts) AS first_ts, count(*) AS n_logins,
+       count(DISTINCT props) AS n_addrs,
+       count(DISTINCT event_type) AS n_countries
+FROM s GROUP BY user_id, sid
+HAVING count(DISTINCT props) >= 5 AND count(DISTINCT event_type) >= 2
+""",
+    doc="A5 amo/AddonMultiIpLogin.java:84-265 — per-account session "
+        "windows, distinct address/country thresholds",
+)
+def q_multi_ip_login(spark, sf_dir):
+    return multi_ip_login(
+        _events(spark, sf_dir),
+        key="user_id",
+        addr_col="props",
+        country_col="event_type",
+        ts="ts",
+        gap="2 hours",
+        min_addrs=5,
+        min_countries=2,
+    )
+
+
+@register(
+    "assume_role_correlate",
+    """
+WITH src AS (
+  SELECT event_id, user_id, ts, event_type, props
+  FROM events WHERE event_type IN ('signup', 'view')
+), d AS (
+  SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL 2 HOURS THEN 1 ELSE 0 END AS brk
+  FROM src
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+), r AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'signup' THEN props END IGNORE NULLS)
+           OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS resolved_subject
+  FROM s
+)
+SELECT event_id, user_id, ts, resolved_subject
+FROM r WHERE event_type = 'view' AND resolved_subject IS NOT NULL
+""",
+    doc="J6 authprofile/AwsAssumeRoleCorrelator.java:47-180 — session "
+        "co-occurrence: consumer events inherit the latest provider "
+        "subject in-session (running last-ignorenulls, no join)",
+)
+def q_assume_role(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = assume_role_correlate(
+        ev,
+        key="user_id",
+        provider_predicate=F.col("event_type") == "signup",
+        consumer_predicate=F.col("event_type") == "view",
+        subject_col="props",
+        ts="ts",
+        gap="2 hours",
+    )
+    return out.select("event_id", "user_id", "ts", "resolved_subject")
+
+
+@register(
+    "status_comparator",
+    """
+SELECT date_trunc('hour', ts) AS window_start, user_id,
+       count(*) FILTER (WHERE event_type = 'view') AS n_scans,
+       count(*) FILTER (WHERE event_type = 'error') AS n_failures
+FROM events GROUP BY 1, 2
+HAVING count(*) FILTER (WHERE event_type = 'view') >= 2
+   AND count(*) FILTER (WHERE event_type = 'error') >= 1
+""",
+    doc="T6 customs/CustomsStatusComparator.java:90-181 — status-check "
+        "scans followed by login failures per source-window (at-risk "
+        "account signal); windowed-agg batch analog of the Datastore state",
+)
+def q_status_comparator(spark, sf_dir):
+    return status_comparator(
+        _events(spark, sf_dir),
+        key="user_id",
+        scan_predicate=F.col("event_type") == "view",
+        failure_predicate=F.col("event_type") == "error",
+        ts="ts",
+        duration="1 hour",
+        min_scans=2,
+        min_failures=1,
+    )
+
+
+@register(
+    "private_relay_forward",
+    """
+WITH h AS (
+  SELECT user_id, ts, event_id, sha256(props) AS got_hash,
+         first_value(sha256(props))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS expected_hash
+  FROM events
+)
+SELECT user_id, ts, event_id, expected_hash, got_hash
+FROM h WHERE got_hash <> expected_hash
+""",
+    doc="T7 customs/PrivateRelayForward.java:115-200 — first-seen forward "
+        "address per uid establishes the expected sha256; later mismatches "
+        "alert (state holds the hash, never the raw address)",
+)
+def q_private_relay(spark, sf_dir):
+    return private_relay_forward_mismatch(
+        _events(spark, sf_dir), key="user_id", forward_col="props"
+    )
+
+
+_WATCHLIST = [
+    ("ip", "10.3.0.1", "warn", "analyst1"),
+    ("ip", "10.7.0.1", "critical", "analyst2"),
+    ("ip", "10.11.0.1", "warn", "analyst1"),
+]
+
+
+@register(
+    "watchlist_match",
+    """
+WITH wl(wl_type, wl_object, wl_severity, wl_created_by) AS (
+  VALUES ('ip', '10.3.0.1', 'warn', 'analyst1'),
+         ('ip', '10.7.0.1', 'critical', 'analyst2'),
+         ('ip', '10.11.0.1', 'warn', 'analyst1')
+), ev AS (
+  SELECT event_id, user_id, '10.' || (user_id % 32) || '.0.1' AS ip
+  FROM events
+)
+SELECT event_id, user_id, ip, wl_severity, wl_created_by
+FROM ev JOIN wl ON ip = wl_object AND wl_type = 'ip'
+""",
+    doc="S16/T8 Watchlist.java:201-232 + PostProcessing.java:102-126 — "
+        "watchlist entries as a broadcast dimension joined to event "
+        "objects (replaces batched Datastore lookups)",
+)
+def q_watchlist(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id",
+        F.concat(
+            F.lit("10."), (F.col("user_id") % 32).cast("string"), F.lit(".0.1")
+        ).alias("ip"),
+    )
+    wl = ev.sparkSession.createDataFrame(
+        _WATCHLIST, "wl_type string, wl_object string, wl_severity string, wl_created_by string"
+    )
+    return watchlist_match(ev, wl, obj_col="ip").select(
+        "event_id", "user_id", "ip", "wl_severity", "wl_created_by"
+    )
+
+
+# GuardDuty-style finding matcher config: escalate error findings with
+# high value unless from the internal-test account range (ignore rule)
+_FINDING_MATCHER = {
+    "rules": [
+        {
+            "types": ["error"],
+            "matchers": [{"field": "value", "op": "ge", "value": 10.0}],
+            "except": [
+                {"matchers": [
+                    {"field": "user_id", "op": "range", "min": 90, "max": 99}
+                ]}
+            ],
+        }
+    ]
+}
+
+
+@register(
+    "guardduty_finding_matcher",
+    """
+SELECT event_id, user_id, event_type, value, 'critical' AS severity
+FROM events
+WHERE event_type = 'error' AND value >= 10.0
+  AND NOT (user_id >= 90 AND user_id <= 99)
+""",
+    doc="P10 gatekeeper/GuardDutyFindingMatcher.java + "
+        "GuardDutyTransforms.java:66-95 — declarative ignore/escalate "
+        "matcher config compiled to Column predicates (same JSON->Catalyst "
+        "compiler as the EventFilter DSL)",
+)
+def q_guardduty_matcher(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    pred = compile_event_filter(_FINDING_MATCHER, type_field="event_type")
+    return ev.where(pred).select(
+        "event_id", "user_id", "event_type", "value",
+        F.lit("critical").alias("severity"),
+    )
+
+
+@register(
+    "email_normalize",
+    """
+WITH e AS (
+  SELECT event_id,
+         'User.' || user_id || '+tag' || (event_id % 7) || '@Ex' || (user_id % 5)
+           || '.com' AS email
+  FROM events
+)
+SELECT event_id, email,
+       lower(regexp_replace(email, '\\+[^@]*@', '@')) AS norm_email
+FROM e
+""",
+    doc="amo/FxaAccountAbuseAlias.java:68-98 — +alias strip and lowercase "
+        "normalization (regexp projection, no UDF)",
+)
+def q_email_normalize(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.concat(
+            F.lit("User."), F.col("user_id").cast("string"),
+            F.lit("+tag"), (F.col("event_id") % 7).cast("string"),
+            F.lit("@Ex"), (F.col("user_id") % 5).cast("string"), F.lit(".com"),
+        ).alias("email"),
+    )
+    return ev.select("event_id", "email", normalize_email(F.col("email")).alias("norm_email"))

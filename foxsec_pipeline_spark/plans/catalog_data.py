@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.net import xff_select_client
 from ..operators import (
     cosine_topk,
+    cosine_topk_lsh,
     exact_dedup,
     fingerprint,
     language_id,
@@ -168,6 +169,63 @@ FROM ranked WHERE rank <= 5
 def q_ann_cosine(spark, sf_dir):
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return cosine_topk(emb.where(F.col("vec_id") < 10), emb, k=5)
+
+
+# deterministic ±1 hyperplanes (dim 64): plane_i[j] = +1 iff
+# (j * (2i + 3)) mod 7 < 3 — fixed literals, identical in the SQL twin
+_PLANES = [
+    [1.0 if (j * (2 * i + 3)) % 7 < 3 else -1.0 for j in range(64)]
+    for i in range(4)
+]
+
+
+def _plane_sql(plane: list[float]) -> str:
+    vals = ", ".join(str(v) for v in plane)
+    return (
+        f"list_reduce(list_transform(range(1, 65), "
+        f"i -> embedding[i]::DOUBLE * ([{vals}]::DOUBLE[])[i]), (x, y) -> x + y)"
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_plane_sql(p)} > 0 THEN {2**i} ELSE 0 END)"
+    for i, p in enumerate(_PLANES)
+)
+
+
+@register(
+    "ann_cosine_lsh",
+    f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bkt FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bkt FROM b WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, bkt FROM b
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round({_FOLD.format(a='qv', b='cv')}
+               / (sqrt({_FOLD.format(a='qv', b='qv')})
+                  * sqrt({_FOLD.format(a='cv', b='cv')})), 6) AS cosine
+  FROM c JOIN q USING (bkt)
+  WHERE query_id <> neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+    doc="LSH-bucketed approximate top-k (random-hyperplane signs -> "
+        "bucket equi-join): the 100TB scale path — candidate set shrinks "
+        "by ~2^planes vs the brute-force cross join",
+)
+def q_ann_cosine_lsh(spark, sf_dir):
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return cosine_topk_lsh(
+        emb.where(F.col("vec_id") < 10), emb, planes=_PLANES, k=5
+    )
 
 
 # ---------------------------------------------------------------------------

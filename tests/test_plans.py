@@ -1,0 +1,89 @@
+"""Physical-plan assertions — the load-bearing scale properties from
+SCALE.md, checked on the real optimized plans so a regression fails
+here instead of on a 1000-executor cluster.
+
+What is asserted:
+- broadcast joins where a dimension/side-input must broadcast,
+- parquet filter pushdown + column pruning on selective scans,
+- shuffle-free plans for pure projections,
+- no row-at-a-time Python UDF (BatchEvalPython) in any catalog query.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from foxsec_pipeline_spark.plans.catalog import registry
+
+from tests.conftest import SF_DIR
+
+SPECS = sorted(registry().values(), key=lambda s: s.name)
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return registry()
+
+
+def test_broadcast_dimension_joins(spark, reg):
+    """J1/J7: stats view, dim tables, and watchlists must broadcast —
+    a shuffled sort-merge join here re-shuffles the fact side."""
+    for name in ("threshold_analysis", "segment_revenue", "events_dim_join",
+                 "watchlist_match"):
+        plan = plan_of(reg[name].fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, f"{name}: expected broadcast join\n{plan}"
+
+
+def test_semijoin_stays_semi(spark, reg):
+    plan = plan_of(reg["priority_semijoin"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+
+
+def test_parquet_pushdown_and_pruning(spark, reg):
+    """The Q1-shaped scan must push the date filter into parquet and
+    read only the referenced columns."""
+    plan = plan_of(reg["pricing_summary"].fn(spark, SF_DIR))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0], plan
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_comment" not in read_schema, f"column pruning failed: {read_schema}"
+
+
+def test_parse_is_shuffle_free(spark, reg):
+    """S8 parse is a pure projection pipeline — any Exchange means a
+    regression added an accidental shuffle to the 100TB hot path."""
+    plan = plan_of(reg["parse_normalize"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+
+
+def _exchange_nodes(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+
+
+def test_single_shuffle_aggs(spark, reg):
+    """A1-family heuristics are one-shuffle plans (partial+final agg
+    around a single Exchange); exact countDistinct legitimately adds
+    one more (Spark's two-phase distinct expansion)."""
+    for name in ("hard_limit_analysis", "error_rate_analysis"):
+        plan = plan_of(reg[name].fn(spark, SF_DIR))
+        assert _exchange_nodes(plan) <= 1, f"{name}\n{plan}"
+    plan = plan_of(reg["detect_nat"].fn(spark, SF_DIR))
+    assert _exchange_nodes(plan) <= 2, plan
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
+def test_no_python_udf_in_batch_plans(spark, spec):
+    """UDFs are the slow path; every batch operator must stay JVM-side
+    (Arrow mapInPandas is allowed only in the multimodal decode stubs,
+    which are not catalog queries)."""
+    plan = plan_of(spec.fn(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, f"{spec.name} uses a row Python UDF"
