@@ -4,10 +4,13 @@ from .heuristics import (  # noqa: F401
     endpoint_sequence_abuse,
     error_rate_analysis,
     hard_limit_analysis,
+    per_endpoint_error_rate,
     per_key_stats,
     session_analysis,
+    session_limit_analysis,
     status_code_rate_analysis,
     threshold_analysis,
+    ua_blocklist_analysis,
 )
 from .windows import fixed_window, session_win, sliding_window, windowed_counts  # noqa: F401
 from .summary import (  # noqa: F401

@@ -311,3 +311,90 @@ def endpoint_abuse_analysis(
         )
         .where(F.col("top_count") >= F.lit(int(min_count)))
     )
+
+
+def session_limit_analysis(
+    events: DataFrame,
+    key: str,
+    ts: str = "ts",
+    gap: str = "45 minutes",
+    max_count: int = 100,
+) -> DataFrame:
+    """Alert when a key's single-session event volume exceeds a fixed
+    limit (`httprequest/heuristics/SessionLimitAnalysis.java:136-230`
+    — the session analog of HardLimit). One session-window shuffle."""
+    return (
+        events.groupBy(F.session_window(ts, gap).alias("session"), F.col(key))
+        .agg(
+            F.min(ts).alias("first_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .where(F.col("n_events") > F.lit(int(max_count)))
+        .select(key, "first_ts", "n_events")
+    )
+
+
+def per_endpoint_error_rate(
+    events: DataFrame,
+    key: str,
+    endpoint_col: str,
+    error_predicate: Column,
+    ts: str = "ts",
+    gap: str = "5 minutes",
+    max_errors: int = 30,
+) -> DataFrame:
+    """Per-session, per-endpoint client-error counting with a
+    threshold per endpoint
+    (`httprequest/heuristics/PerEndpointErrorRateAnalysis.java:153-220`
+    — error sessions use a 5-minute gap `HTTPRequest.java:96-165`).
+
+    The endpoint joins the grouping key (vs endpoint_abuse's pivoted
+    counters) because the configured endpoint list is per-deployment
+    unbounded; the shuffle key stays (key, endpoint) — no pivot
+    explosion.
+    """
+    return (
+        events.where(error_predicate)
+        .groupBy(
+            F.session_window(ts, gap).alias("session"),
+            F.col(key),
+            F.col(endpoint_col),
+        )
+        .agg(F.min(ts).alias("first_ts"), F.count(F.lit(1)).alias("error_count"))
+        .where(F.col("error_count") > F.lit(int(max_errors)))
+        .select(key, endpoint_col, "first_ts", "error_count")
+    )
+
+
+def ua_blocklist_analysis(
+    events: DataFrame,
+    key: str,
+    ua_col: str,
+    patterns: list[str],
+    ts: str = "ts",
+    duration: str = "1 minute",
+) -> DataFrame:
+    """Alert on keys whose user agent matches any blocklist regex in a
+    window (`httprequest/heuristics/UserAgentBlocklistAnalysis.java:95-110`
+    — the blocklist file becomes a constant-folded OR of rlike tests;
+    for huge lists, swap to one compiled alternation regex — still one
+    scan, no join)."""
+    from functools import reduce as _reduce
+
+    hit = _reduce(
+        lambda a, b: a | b, [F.col(ua_col).rlike(p) for p in patterns]
+    )
+    return (
+        events.where(hit)
+        .groupBy(F.window(ts, duration).alias("window"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.min(ua_col).alias("sample_user_agent"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col(key),
+            "n_matched",
+            "sample_user_agent",
+        )
+    )

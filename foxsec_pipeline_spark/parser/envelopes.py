@@ -1,48 +1,173 @@
-"""Envelope stripping: Stackdriver LogEntry, AWS CloudWatch, Mozlog.
+"""Envelope handling: Stackdriver LogEntry, AWS CloudWatch, Mozlog —
+one `from_json` pass over a wide union schema.
 
 Reference: `parser/Parser.java:310-372` (Stackdriver), `:407-421`
 (CloudWatch), `:374-405` (Mozlog). Up to three layers are peeled and
 envelope timestamps / project ids are hoisted onto the event.
 
-Columnar strategy: `get_json_object` slices the inner payload out as
-a JSON *string* without materializing a typed struct for every
-possible payload family — the per-family `from_json` happens later,
-only on rows the family matcher claimed. This keeps envelope handling
-one pass, JVM-side, and schema-free (the reference pays a Jackson
-parse per candidate matcher instead).
+Columnar strategy: the raw line is parsed ONCE into a wide struct
+covering every envelope + payload family the probe chain knows
+(`WIDE_SCHEMA`); absent fields are null, scalars are leniently
+coerced to string. All downstream matchers/extractors are struct
+field accesses — no repeated JSON parsing. (An earlier design used
+`get_json_object` per field; that re-parses the JSON string per call,
+which at ~25 probed fields made the parser ~25× more expensive than
+one Jackson pass. The reference pays one Jackson parse per *candidate
+matcher* — `parser/Parser.java:597-619` — so a single-parse design
+beats it on the same work.)
+
+Scalar leaf fields are StringType on purpose: Spark's JSON reader
+coerces numbers to string but nulls a number-typed field that arrives
+as a JSON string, so string + explicit cast accepts both shapes.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def stackdriver_fields(raw: Column) -> dict[str, Column]:
-    """Hoisted Stackdriver LogEntry fields (NULL when not Stackdriver)."""
-    return {
-        "sd_timestamp": F.get_json_object(raw, "$.timestamp"),
-        "sd_project": F.coalesce(
-            F.get_json_object(raw, "$.resource.labels.project_id"),
-            F.get_json_object(raw, "$.logName"),
+def _s(name: str) -> T.StructField:
+    return T.StructField(name, T.StringType())
+
+
+# Mozlog Fields{} — the FxaAuth family's payload body
+# (`parser/FxaAuth.java`; fixture family FIXTURES.md F3)
+_MOZ_FIELDS = T.StructType(
+    [
+        _s("email"),
+        _s("uid"),
+        _s("method"),
+        _s("path"),
+        _s("status"),
+        _s("errno"),
+        _s("agent"),
+        _s("service"),
+        _s("remoteAddress"),
+        # JSON-encoded array string in the mozlog shape
+        _s("remoteAddressChain"),
+    ]
+)
+
+WIDE_SCHEMA = T.StructType(
+    [
+        # --- Stackdriver LogEntry (Parser.java:310-372)
+        _s("timestamp"),
+        _s("receiveTimestamp"),
+        _s("logName"),
+        T.StructField(
+            "resource",
+            T.StructType(
+                [
+                    _s("type"),
+                    T.StructField(
+                        "labels", T.StructType([_s("project_id")])
+                    ),
+                ]
+            ),
         ),
-        "sd_json_payload": F.get_json_object(raw, "$.jsonPayload"),
-        "sd_text_payload": F.get_json_object(raw, "$.textPayload"),
-        "sd_proto_payload": F.get_json_object(raw, "$.protoPayload"),
-        "sd_labels": F.get_json_object(raw, "$.labels"),
-    }
+        T.StructField(
+            "httpRequest",
+            T.StructType(
+                [
+                    _s("remoteIp"),
+                    _s("requestMethod"),
+                    _s("requestUrl"),
+                    _s("status"),
+                    _s("userAgent"),
+                    _s("referer"),
+                    _s("requestSize"),
+                    _s("responseSize"),
+                ]
+            ),
+        ),
+        T.StructField(
+            "jsonPayload",
+            T.StructType(
+                [
+                    _s("@type"),
+                    # nginx stackdriver variant (parser/Nginx.java)
+                    _s("remote_ip"),
+                    _s("request"),
+                    _s("code"),
+                    _s("status"),
+                    _s("agent"),
+                    _s("user_agent"),
+                    _s("host"),
+                    _s("x_forwarded_for"),
+                    # mozlog nested inside stackdriver
+                    _s("Type"),
+                    _s("Logger"),
+                    _s("Timestamp"),
+                    T.StructField("Fields", _MOZ_FIELDS),
+                ]
+            ),
+        ),
+        _s("textPayload"),
+        T.StructField(
+            "protoPayload",
+            T.StructType(
+                [
+                    _s("methodName"),
+                    _s("resourceName"),
+                    T.StructField(
+                        "authenticationInfo", T.StructType([_s("principalEmail")])
+                    ),
+                    T.StructField(
+                        "requestMetadata", T.StructType([_s("callerIp")])
+                    ),
+                ]
+            ),
+        ),
+        # --- CloudTrail record at top level (parser/Cloudtrail.java)
+        _s("eventVersion"),
+        _s("eventName"),
+        _s("eventTime"),
+        _s("sourceIPAddress"),
+        _s("userAgent"),
+        T.StructField(
+            "userIdentity",
+            T.StructType(
+                [
+                    _s("type"),
+                    _s("userName"),
+                    _s("arn"),
+                    T.StructField(
+                        "sessionContext",
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    "sessionIssuer", T.StructType([_s("userName")])
+                                )
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        # --- re-ingested Alert JSON (parser/Alert.java payload)
+        _s("summary"),
+        _s("severity"),
+        _s("category"),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
 
 
-def mozlog_fields(raw: Column) -> dict[str, Column]:
-    """Mozlog envelope: {Timestamp(ns), Type, Logger, Fields{...}}
-    (`parser/Parser.java:374-405`)."""
-    return {
-        "moz_timestamp_ns": F.get_json_object(raw, "$.Timestamp").cast("long"),
-        "moz_type": F.get_json_object(raw, "$.Type"),
-        "moz_logger": F.get_json_object(raw, "$.Logger"),
-        "moz_fields": F.get_json_object(raw, "$.Fields"),
-    }
+# Mozlog at top level (Parser.java:374-405). Separate schema: its
+# `Timestamp` would collide case-insensitively with Stackdriver's
+# `timestamp` during struct-field resolution if both sat in one
+# struct. The second parse is gated on a substring test, so only
+# mozlog-shaped lines pay it.
+MOZLOG_SCHEMA = T.StructType(
+    [
+        _s("Timestamp"),
+        _s("Type"),
+        _s("Logger"),
+        T.StructField("Fields", _MOZ_FIELDS),
+    ]
+)
 
 
 _CLOUDWATCH_SCHEMA = T.StructType(
@@ -60,42 +185,67 @@ _CLOUDWATCH_SCHEMA = T.StructType(
 def explode_cloudwatch(df: DataFrame, value_col: str = "value") -> DataFrame:
     """Unwrap AWS CloudWatch subscription batches: one input line with
     N logEvents becomes N raw lines (`parser/Parser.java:407-421`).
-    Non-CloudWatch lines pass through unchanged. This multiplies rows,
-    so it runs before any shuffle — pure flatMap shape."""
+    Non-CloudWatch lines pass through unchanged. Single-pass flatMap
+    shape — each row explodes either its message batch or itself, so
+    the source is scanned once (a filter+union form would evaluate the
+    upstream projection twice)."""
     is_cw = F.col(value_col).contains('"logEvents"')
-    cw = (
-        df.where(is_cw)
-        .withColumn("__cw", F.from_json(F.col(value_col), _CLOUDWATCH_SCHEMA))
-        .where(F.col("__cw.logEvents").isNotNull())
-        .withColumn(value_col, F.explode("__cw.logEvents.message"))
-        .drop("__cw")
+    messages = F.from_json(F.col(value_col), _CLOUDWATCH_SCHEMA)["logEvents"][
+        "message"
+    ]
+    return df.withColumn(
+        value_col,
+        F.explode(
+            F.coalesce(
+                F.when(is_cw, messages), F.array(F.col(value_col))
+            )
+        ),
     )
-    return df.where(~is_cw).unionByName(cw)
 
 
 def strip_envelopes(df: DataFrame, value_col: str = "value") -> DataFrame:
-    """Attach envelope-derived columns; the inner candidate payload
-    string is `payload` (Stackdriver json/text > Mozlog Fields > the
-    raw line itself) and `envelope_ts` carries the hoisted event time.
+    """Attach the parsed wide struct (`j`) plus hoisted envelope
+    columns: `moz_fields` (top-level or stackdriver-nested mozlog),
+    `moz_logger`/`moz_type`, `sd_project`, `payload_text` (text body
+    for regex payloads; the raw line when not enveloped), and
+    `envelope_ts` (Stackdriver ts > mozlog ns ts).
     """
-    raw = F.col(value_col)
-    sd = stackdriver_fields(raw)
-    moz = mozlog_fields(raw)
-    out = df
-    for name, col in {**sd, **moz}.items():
-        out = out.withColumn(name, col)
-    # mozlog may itself be nested inside stackdriver jsonPayload
-    inner_moz = F.get_json_object(F.col("sd_json_payload"), "$.Fields")
-    payload = F.coalesce(
-        inner_moz,
-        F.col("sd_json_payload"),
-        F.col("sd_proto_payload"),
-        F.col("sd_text_payload"),
-        F.col("moz_fields"),
-        raw,
+    j = F.from_json(F.col(value_col), WIDE_SCHEMA)
+    moz_shaped = F.col(value_col).contains('"Timestamp"') | F.col(value_col).contains(
+        '"Fields"'
+    )
+    m = F.when(moz_shaped, F.from_json(F.col(value_col), MOZLOG_SCHEMA))
+    out = (
+        df.withColumn("j", j)
+        .withColumn("m", m)
+        .withColumn(
+            "moz_fields",
+            F.coalesce(F.col("j.jsonPayload.Fields"), F.col("m.Fields")),
+        )
+        .withColumn(
+            "moz_logger",
+            F.coalesce(F.col("m.Logger"), F.col("j.jsonPayload.Logger")),
+        )
+        .withColumn(
+            "moz_type", F.coalesce(F.col("m.Type"), F.col("j.jsonPayload.Type"))
+        )
+        .withColumn(
+            "moz_ts_ns",
+            F.coalesce(
+                F.col("m.Timestamp"), F.col("j.jsonPayload.Timestamp")
+            ).cast("long"),
+        )
+        .withColumn(
+            "sd_project",
+            F.coalesce(F.col("j.resource.labels.project_id"), F.col("j.logName")),
+        )
+        .withColumn(
+            "payload_text", F.coalesce(F.col("j.textPayload"), F.col(value_col))
+        )
     )
     envelope_ts = F.coalesce(
-        F.to_timestamp(F.col("sd_timestamp")),
-        F.timestamp_micros(F.expr("moz_timestamp_ns div 1000")),
+        F.to_timestamp(F.col("j.timestamp")),
+        # integer div: ns epoch values overflow double mantissa
+        F.timestamp_micros(F.expr("moz_ts_ns div 1000")),
     )
-    return out.withColumn("payload", payload).withColumn("envelope_ts", envelope_ts)
+    return out.withColumn("envelope_ts", envelope_ts)

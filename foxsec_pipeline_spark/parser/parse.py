@@ -69,10 +69,6 @@ def parse_events(
 
     df = explode_cloudwatch(df, value_col)
     df = strip_envelopes(df, value_col)
-    # GLB keeps httpRequest at the LogEntry top level, not in payload
-    df = df.withColumn(
-        "http_request_json", F.get_json_object(F.col(value_col), "$.httpRequest")
-    )
 
     # first-match-wins probe chain as a single when-cascade
     ptype = F.lit(None).cast("string")
@@ -118,7 +114,7 @@ def parse_events(
         (F.col("resource") if "resource" in df.columns else F.lit(None).cast("string")).alias(
             "resource"
         ),
-        F.col("payload"),
+        F.col("payload_text").alias("payload"),
         F.col(value_col).alias("raw"),
     )
 

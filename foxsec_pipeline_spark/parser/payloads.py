@@ -6,10 +6,11 @@ Nginx, FxaAuth, OpenSSH, Cloudtrail, Alert, Raw). This module covers
 the families the golden tests of the big four pipelines exercise;
 adding a family = one (matcher, extractor) pair appended to the chain.
 
-Each matcher is a boolean Column over the envelope-stripped columns;
-each extractor produces the normalized columns. The whole chain is a
-single `when` cascade — one projection, no UDFs, short-circuit
-evaluation like the reference's probe loop but vectorized.
+Each matcher is a boolean Column over the single parsed wide struct
+(`envelopes.WIDE_SCHEMA`, column `j`) — struct field accesses, no
+repeated JSON parsing. The whole chain is one `when` cascade: one
+projection, no UDFs, short-circuit evaluation like the reference's
+probe loop but vectorized.
 """
 
 from __future__ import annotations
@@ -23,11 +24,6 @@ from ..schema import (
     NORMALIZED_AUTH,
     NORMALIZED_HTTP_REQUEST,
 )
-
-
-def _j(col: Column | str, path: str) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.get_json_object(c, path)
 
 
 @dataclass
@@ -52,25 +48,25 @@ def _url_host(url: Column) -> Column:
 
 def glb_spec() -> PayloadSpec:
     """GCP HTTP(S) load balancer LogEntry (`parser/GLB.java`); fixture
-    family FIXTURES.md F1. Payload is the LogEntry's jsonPayload with
-    an httpRequest sibling — the reference reads both; we parse the
-    raw envelope fields hoisted by strip_envelopes plus httpRequest.*
-    via the raw line (the envelope keeps it at the top level)."""
-    hr = F.col("http_request_json")
+    family FIXTURES.md F1. The httpRequest block lives at the LogEntry
+    top level (sibling of jsonPayload)."""
+    hr = F.col("j.httpRequest")
     return PayloadSpec(
         name="glb",
         matcher=(
-            _j("payload", "$.@type").rlike("LoadBalancerLogEntry")
-            | (hr.isNotNull() & _j(hr, "$.requestUrl").isNotNull())
+            F.coalesce(F.col("j.jsonPayload.@type"), F.lit("")).rlike(
+                "LoadBalancerLogEntry"
+            )
+            | hr["requestUrl"].isNotNull()
         ),
         normalized_type=F.lit(NORMALIZED_HTTP_REQUEST),
         fields={
-            "source_address": _j(hr, "$.remoteIp"),
-            "request_method": _j(hr, "$.requestMethod"),
-            "request_path": _url_path(_j(hr, "$.requestUrl")),
-            "request_host": _url_host(_j(hr, "$.requestUrl")),
-            "request_status": _j(hr, "$.status").cast("int"),
-            "user_agent": _j(hr, "$.userAgent"),
+            "source_address": hr["remoteIp"],
+            "request_method": hr["requestMethod"],
+            "request_path": _url_path(hr["requestUrl"]),
+            "request_host": _url_host(hr["requestUrl"]),
+            "request_status": hr["status"].cast("int"),
+            "user_agent": hr["userAgent"],
         },
     )
 
@@ -79,19 +75,19 @@ def nginx_spec() -> PayloadSpec:
     """nginx access log via Stackdriver jsonPayload variant
     (`parser/Nginx.java`, models/nginxstackdriver variant2;
     FIXTURES.md F2): fields remote_ip, request, code, agent."""
-    p = F.col("payload")
-    req = _j(p, "$.request")
+    p = F.col("j.jsonPayload")
+    req = p["request"]
     return PayloadSpec(
         name="nginx",
-        matcher=_j(p, "$.remote_ip").isNotNull() & req.isNotNull(),
+        matcher=p["remote_ip"].isNotNull() & req.isNotNull(),
         normalized_type=F.lit(NORMALIZED_HTTP_REQUEST),
         fields={
-            "source_address": F.coalesce(_j(p, "$.x_forwarded_for"), _j(p, "$.remote_ip")),
+            "source_address": F.coalesce(p["x_forwarded_for"], p["remote_ip"]),
             "request_method": F.split(req, " ").getItem(0),
             "request_path": F.split(req, " ").getItem(1),
-            "request_host": _j(p, "$.host"),
-            "request_status": F.coalesce(_j(p, "$.code"), _j(p, "$.status")).cast("int"),
-            "user_agent": F.coalesce(_j(p, "$.agent"), _j(p, "$.user_agent")),
+            "request_host": p["host"],
+            "request_status": F.coalesce(p["code"], p["status"]).cast("int"),
+            "user_agent": F.coalesce(p["agent"], p["user_agent"]),
         },
     )
 
@@ -100,34 +96,36 @@ def fxaauth_spec() -> PayloadSpec:
     """Firefox Accounts auth server mozlog (`parser/FxaAuth.java`):
     mozlog Type fxa-auth-server / logger fxa-auth; Fields carry
     path/method/status/email/remoteAddressChain."""
-    p = F.col("payload")
-    chain = _j(p, "$.remoteAddressChain")
+    f = F.col("moz_fields")
+    # remoteAddressChain is a JSON-encoded array string; XFF-style
+    # selection: client is the first entry (configured selector —
+    # Parser.java:164-238). One from_json over a tiny string.
+    chain0 = F.from_json(f["remoteAddressChain"], "array<string>").getItem(0)
     return PayloadSpec(
         name="fxaauth",
         matcher=(
             F.coalesce(F.col("moz_logger"), F.lit("")).rlike("fxa-auth")
             | F.coalesce(F.col("moz_type"), F.lit("")).rlike("fxa-auth")
         )
-        & _j(p, "$.path").isNotNull(),
+        & f["path"].isNotNull(),
         normalized_type=F.lit(NORMALIZED_AUTH),
         fields={
-            # remoteAddressChain is a JSON array; XFF-style selection:
-            # last entry is the LB, client is the first (reference uses
-            # configured xff selector — Parser.java:164-238)
-            "source_address": F.coalesce(_j(chain, "$[0]"), _j(p, "$.remoteAddress")),
-            "subject_user": F.coalesce(_j(p, "$.email"), _j(p, "$.uid")),
-            "request_method": _j(p, "$.method"),
-            "request_path": _j(p, "$.path"),
-            "request_status": _j(p, "$.status").cast("int"),
-            "user_agent": _j(p, "$.agent"),
+            "source_address": F.coalesce(chain0, f["remoteAddress"]),
+            "subject_user": F.coalesce(f["email"], f["uid"]),
+            "request_method": f["method"],
+            "request_path": f["path"],
+            "request_status": f["status"].cast("int"),
+            "user_agent": f["agent"],
         },
     )
 
 
 def openssh_spec() -> PayloadSpec:
     """OpenSSH syslog auth line (`parser/OpenSSH.java`):
-    'sshd[pid]: Accepted publickey for user from 1.2.3.4 port ...'."""
-    p = F.col("payload")
+    'sshd[pid]: Accepted publickey for user from 1.2.3.4 port ...'.
+    Regex over the text body (Stackdriver textPayload or the raw
+    line)."""
+    p = F.col("payload_text")
     rx = r"sshd\[\d+\]: (Accepted|Failed) (\S+) for (?:invalid user )?(\S+) from (\S+) port"
     return PayloadSpec(
         name="openssh",
@@ -147,45 +145,45 @@ def openssh_spec() -> PayloadSpec:
 def cloudtrail_spec() -> PayloadSpec:
     """AWS CloudTrail record (`parser/Cloudtrail.java`): eventVersion +
     userIdentity; normalized AUTH for console logins / AssumeRole."""
-    p = F.col("payload")
+    j = F.col("j")
+    ui = F.col("j.userIdentity")
     return PayloadSpec(
         name="cloudtrail",
-        matcher=_j(p, "$.eventVersion").isNotNull()
-        & _j(p, "$.userIdentity").isNotNull(),
+        matcher=j["eventVersion"].isNotNull() & ui.isNotNull(),
         normalized_type=F.when(
-            _j(p, "$.eventName").isin("ConsoleLogin", "AssumeRole"),
+            j["eventName"].isin("ConsoleLogin", "AssumeRole"),
             F.lit(NORMALIZED_AUTH),
         ),
         fields={
-            "source_address": _j(p, "$.sourceIPAddress"),
+            "source_address": j["sourceIPAddress"],
             "subject_user": F.coalesce(
-                _j(p, "$.userIdentity.userName"),
-                _j(p, "$.userIdentity.sessionContext.sessionIssuer.userName"),
-                _j(p, "$.userIdentity.arn"),
+                ui["userName"],
+                ui["sessionContext"]["sessionIssuer"]["userName"],
+                ui["arn"],
             ),
-            "object": _j(p, "$.eventName"),
-            "user_agent": _j(p, "$.userAgent"),
+            "object": j["eventName"],
+            "user_agent": j["userAgent"],
         },
-        event_ts=F.to_timestamp(_j(p, "$.eventTime")),
+        event_ts=F.to_timestamp(j["eventTime"]),
     )
 
 
 def alert_spec() -> PayloadSpec:
     """Re-ingested Alert JSON (`parser/Alert.java` payload) — alerts
     are themselves events for PostProcessing."""
-    p = F.col("payload")
+    j = F.col("j")
     return PayloadSpec(
         name="alert",
-        matcher=_j(p, "$.summary").isNotNull()
-        & _j(p, "$.severity").isNotNull()
-        & _j(p, "$.category").isNotNull(),
+        matcher=j["summary"].isNotNull()
+        & j["severity"].isNotNull()
+        & j["category"].isNotNull(),
         normalized_type=F.lit(None).cast("string"),
         fields={
-            "object": _j(p, "$.category"),
-            "subject_user": _j(p, "$.metadata.username"),
-            "source_address": _j(p, "$.metadata.sourceaddress"),
+            "object": j["category"],
+            "subject_user": j["metadata"].getItem("username"),
+            "source_address": j["metadata"].getItem("sourceaddress"),
         },
-        event_ts=F.to_timestamp(_j(p, "$.timestamp")),
+        event_ts=F.to_timestamp(j["timestamp"]),
     )
 
 

@@ -36,8 +36,10 @@ from ..operators import (
     language_id,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    per_endpoint_error_rate,
     quality_score,
     session_analysis,
+    session_limit_analysis,
     simhash,
     sliding_counts,
     source_correlation,
@@ -45,6 +47,7 @@ from ..operators import (
     summary_delta,
     text_stats,
     threshold_analysis,
+    ua_blocklist_analysis,
 )
 from ..session import load_tables
 
@@ -489,6 +492,99 @@ def q_levenshtein(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Suppression (T1-T3) batch analog
 # ---------------------------------------------------------------------------
+
+@register(
+    "session_limit_analysis",
+    """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 2 HOURS THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, min(ts) AS first_ts, count(*) AS n_events
+FROM s GROUP BY user_id, sid HAVING count(*) > 25
+""",
+    doc="SessionLimitAnalysis.java:136-230 — fixed per-session volume limit",
+)
+def q_session_limit(spark, sf_dir):
+    return session_limit_analysis(
+        _events(spark, sf_dir), key="user_id", ts="ts", gap="2 hours", max_count=25
+    )
+
+
+@register(
+    "per_endpoint_error_rate",
+    """
+WITH e AS (
+  SELECT user_id, ts, event_type FROM events WHERE event_type IN ('error', 'purchase')
+), d AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts)
+                   >= INTERVAL 4 HOURS THEN 1 ELSE 0 END AS brk
+  FROM e
+), s AS (
+  SELECT user_id, ts, event_type,
+         sum(brk) OVER (PARTITION BY user_id, event_type ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, event_type, min(ts) AS first_ts, count(*) AS error_count
+FROM s GROUP BY user_id, event_type, sid HAVING count(*) > 3
+""",
+    doc="PerEndpointErrorRateAnalysis.java:153-220 — per-session "
+        "per-endpoint error counting (error-session gap family)",
+)
+def q_per_endpoint_error_rate(spark, sf_dir):
+    return per_endpoint_error_rate(
+        _events(spark, sf_dir),
+        key="user_id",
+        endpoint_col="event_type",
+        error_predicate=F.col("event_type").isin("error", "purchase"),
+        ts="ts",
+        gap="4 hours",
+        max_errors=3,
+    )
+
+
+@register(
+    "ua_blocklist",
+    """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN user_id % 4 = 0 THEN 'curl/7.88'
+              WHEN user_id % 4 = 1 THEN 'Mozilla/5.0 (X11; Linux)'
+              WHEN user_id % 4 = 2 THEN 'sqlmap/1.7-dev'
+              ELSE 'python-requests/2.31' END AS user_agent
+  FROM events
+)
+SELECT date_trunc('day', ts) AS window_start, user_id,
+       count(*) AS n_matched, min(user_agent) AS sample_user_agent
+FROM e
+WHERE regexp_matches(user_agent, '^curl/') OR regexp_matches(user_agent, 'sqlmap')
+GROUP BY 1, 2
+""",
+    doc="UserAgentBlocklistAnalysis.java:95-110 — blocklist regex file as a "
+        "constant-folded OR of rlike tests before the shuffle",
+)
+def q_ua_blocklist(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "user_agent",
+        F.when(F.col("user_id") % 4 == 0, "curl/7.88")
+        .when(F.col("user_id") % 4 == 1, "Mozilla/5.0 (X11; Linux)")
+        .when(F.col("user_id") % 4 == 2, "sqlmap/1.7-dev")
+        .otherwise("python-requests/2.31"),
+    )
+    return ua_blocklist_analysis(
+        ev, key="user_id", ua_col="user_agent",
+        patterns=["^curl/", "sqlmap"], ts="ts", duration="1 day",
+    )
+
 
 @register(
     "alert_suppression",

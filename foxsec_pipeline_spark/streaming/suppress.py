@@ -95,3 +95,59 @@ def suppress_count_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def _suppress_session_fn(ts_col: str, ttl_ms: int):
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        alive = state.exists
+        out = []
+        last_ts_ms = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for _, row in pdf.iterrows():
+                last_ts_ms = max(last_ts_ms, int(row[ts_col].value // 1_000_000))
+                if not alive:
+                    out.append(row)
+                    alive = True
+        state.update((last_ts_ms,))
+        # session semantics: EVERY arrival extends the TTL, so a key
+        # that keeps alerting stays suppressed until it goes quiet for
+        # a full `ttl` (AlertSuppressorSession.java:41-112)
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_ts_ms + ttl_ms, wm_ms + 1))
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def suppress_session_stream(
+    alerts: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "timestamp",
+    expiry: str = "15 minutes",
+) -> DataFrame:
+    """T3 AlertSuppressorSession: emit the first alert per key, then
+    suppress while the key stays active — each arrival pushes the
+    expiry out by `expiry` (sliding TTL), unlike T1's fixed horizon
+    (`alert/AlertSuppressorSession.java:41-112`). Event-time timeout
+    per SURVEY §7 hard part 3."""
+    num, unit = expiry.split()
+    ttl_ms = int(num) * {"seconds": 1000, "minutes": 60_000, "hours": 3_600_000}[unit]
+    state_schema = T.StructType([T.StructField("last_seen_ms", T.LongType())])
+    return (
+        alerts.withWatermark(ts_col, expiry)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            _suppress_session_fn(ts_col, ttl_ms),
+            outputStructType=alerts.schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

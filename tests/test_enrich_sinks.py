@@ -1,0 +1,87 @@
+"""GeoIP enrichment plumbing, prefilter splitting, and the output
+plane (composite sink fan-out + iprepd violation mapping)."""
+
+import os
+import tempfile
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from foxsec_pipeline_spark.alert.model import to_alerts
+from foxsec_pipeline_spark.functions.geoip import enrich_geoip
+from foxsec_pipeline_spark.sinks.output import CompositeOutput, violations_from_alerts
+
+
+def test_enrich_geoip_deterministic_fake(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, source_address="10.0.0.1"),
+         Row(id=2, source_address="203.0.113.9"),
+         Row(id=3, source_address="not-an-ip")],
+    )
+    out = {r.id: r for r in enrich_geoip(df).collect()}
+    assert out[1].geo_city is not None and out[1].geo_isp is not None
+    assert -90 <= out[1].geo_lat <= 90 and -180 <= out[1].geo_lon <= 180
+    # deterministic: same input -> same value
+    again = {r.id: r for r in enrich_geoip(df).collect()}
+    assert out[1].geo_lat == again[1].geo_lat
+    # unparseable address -> nulls, no crash (GeoIP.java returns null)
+    assert out[3].geo_lat is None and out[3].geo_city is None
+
+
+def test_geoip_after_filter_is_deferred(spark):
+    """Deferred-resolution parity (ParserCfg.deferGeoIpResolution):
+    enrichment placed after the filter never evaluates for dropped
+    rows — the plan's mapInPandas input is the filtered relation."""
+    df = spark.createDataFrame(
+        [Row(id=i, source_address=f"10.0.0.{i}") for i in range(10)]
+    )
+    out = enrich_geoip(df.where(F.col("id") < 2))
+    assert out.count() == 2
+
+
+def test_prefilter_split_reuses_one_scan(spark):
+    """P9 CustomsPreFilter: three filtered legs off one parsed
+    DataFrame (`customs/CustomsPreFilter.java`, `Customs.java:618-631`)
+    — Spark reuses the cached scan instead of a TupleTag demux."""
+    df = spark.createDataFrame(
+        [Row(t="fxaauth", v=1), Row(t="relay", v=2), Row(t="content", v=3),
+         Row(t="fxaauth", v=4)]
+    ).cache()
+    legs = {
+        name: df.where(F.col("t") == name)
+        for name in ("fxaauth", "relay", "content")
+    }
+    assert legs["fxaauth"].count() == 2
+    assert legs["relay"].count() == 1
+    assert legs["content"].count() == 1
+    df.unpersist()
+
+
+def test_composite_output_fanout_and_violations(spark):
+    hits = spark.createDataFrame(
+        [Row(window_start="2024-01-01 00:00:00", source_address="1.2.3.4", n=9)]
+    ).withColumn("window_start", F.col("window_start").cast("timestamp"))
+    alerts = to_alerts(
+        hits, category="httprequest", severity="warn",
+        summary=F.concat(F.lit("limit exceeded from "), F.col("source_address")),
+        metadata_cols=["source_address", "n"],
+    )
+    got: dict[str, list] = {}
+    with tempfile.TemporaryDirectory() as d:
+        sink = CompositeOutput(
+            file_path=os.path.join(d, "alerts"),
+            emitters={"collector": lambda lines: got.setdefault("x", []).extend(lines)},
+        )
+        sink.write_batch(alerts)
+        files = [
+            os.path.join(d, "alerts", f)
+            for f in os.listdir(os.path.join(d, "alerts"))
+            if f.endswith(".txt") or f.startswith("part-")
+        ]
+        assert files, "file sink wrote no part files"
+    assert len(got["x"]) == 1 and "httprequest" in got["x"][0]
+
+    v = violations_from_alerts(alerts).collect()
+    assert len(v) == 1
+    assert v[0].object == "1.2.3.4" and v[0].type == "ip"
+    assert "httprequest" in v[0].violation

@@ -148,3 +148,20 @@ def test_streaming_windowed_heuristic_matches_batch(spark, tmpdir):
         .collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_suppress_session_sliding_ttl(spark, tmpdir):
+    from foxsec_pipeline_spark.streaming.suppress import suppress_session_stream
+
+    rows = [
+        # key 'a': continuous activity every 10 min — only the first emits
+        Row(timestamp=datetime.fromisoformat("2024-01-01 00:00:00"), key="a", n=1),
+        Row(timestamp=datetime.fromisoformat("2024-01-01 00:10:00"), key="a", n=2),
+        Row(timestamp=datetime.fromisoformat("2024-01-01 00:20:00"), key="a", n=3),
+        Row(timestamp=datetime.fromisoformat("2024-01-01 00:25:00"), key="b", n=4),
+    ]
+    src = _stream_from_rows(spark, rows, "timestamp timestamp, key string, n int", tmpdir)
+    name = f"sups_{uuid.uuid4().hex[:8]}"
+    _run_stream(suppress_session_stream(src, ["key"], expiry="15 minutes"), name)
+    got = {r.key: r.n for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == {"a": 1, "b": 4}
