@@ -39,6 +39,25 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
+    # parser throughput guard (BASELINE.md: ParserBenchmark analog) —
+    # parse materialized GLB-shaped lines, report rows/sec
+    import tempfile
+
+    from foxsec_pipeline_spark.parser.parse import ParserCfg, parse_events
+    from foxsec_pipeline_spark.plans.catalog_pipeline import _synth_glb_lines
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/glb_lines"
+        _synth_glb_lines(spark, sf_dir).repartition(32).write.parquet(path)
+        raw = spark.read.parquet(path)
+        parse_events(raw, ParserCfg()).count()  # warm
+        t0 = time.monotonic()
+        n_parsed = parse_events(raw, ParserCfg()).count()
+        parse_dt = time.monotonic() - t0
+    parser_rps = round(n_parsed / parse_dt) if parse_dt > 0 else None
+    print(f"# parser: {n_parsed} rows in {parse_dt:.3f}s = {parser_rps} rows/s",
+          file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -46,6 +65,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": results,
+                "parser_rows_per_sec": parser_rps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -86,3 +86,22 @@ def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
         return F.array_min(F.transform(shingles, h))
 
     return F.array(*[_perm_min(i) for i in range(num_hashes)])
+
+
+def parse_syslog_ts(col: Column, year: Column | int | None = None) -> Column:
+    """Syslog 'MMM dd HH:mm:ss' timestamp parse with year correction
+    (`parser/Parser.java:106-153`): syslog lines carry no year, so the
+    reference stamps the current year, then rolls back one year if
+    that lands the event in the future (Dec 31 logs read on Jan 1).
+    """
+    yr = F.lit(year) if isinstance(year, int) else (year if year is not None else F.year(F.current_timestamp()))
+    # syslog pads single-digit days with a double space ('Jan  1')
+    body = F.regexp_replace(F.trim(col), r"\s+", " ")
+    candidate = F.try_to_timestamp(
+        F.concat(yr.cast("string"), F.lit(" "), body), F.lit("yyyy MMM d HH:mm:ss")
+    )
+    rolled = F.try_to_timestamp(
+        F.concat((yr - 1).cast("string"), F.lit(" "), body),
+        F.lit("yyyy MMM d HH:mm:ss"),
+    )
+    return F.when(candidate > F.current_timestamp(), rolled).otherwise(candidate)

@@ -314,6 +314,23 @@ def q_guardduty_matcher(spark, sf_dir):
 
 
 @register(
+    "customs_summary",
+    """
+SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+""",
+    doc="A9 customs/Customs.java:109-187 — per-type windowed event counts "
+        "feeding info-level summary alerts (single hash-agg)",
+)
+def q_customs_summary(spark, sf_dir):
+    from ..operators import windowed_type_counts
+
+    return windowed_type_counts(
+        _events(spark, sf_dir), classifier="event_type", ts="ts", duration="1 hour"
+    ).withColumnRenamed("event_type", "event_type")
+
+
+@register(
     "email_normalize",
     """
 WITH e AS (

@@ -86,8 +86,11 @@ def cfgtick_stream(
     payload = json.dumps({"cfgtick": True, **config})
     return (
         spark.readStream.format("rate")
-        .option("rowsPerSecond", max(1.0 / interval_seconds, 0.001))
+        .option("rowsPerSecond", 1)
         .load()
+        # rate emits integer rows/sec; keep every Nth tick for the
+        # configured interval
+        .where(F.col("value") % F.lit(int(max(interval_seconds, 1))) == 0)
         .select(
             F.lit(payload).alias("value"), F.lit("cfgtick").alias("resource")
         )
