@@ -468,7 +468,11 @@ WHERE a.p_name <> b.p_name
         "in-group Levenshtein-ratio similarity pairs",
 )
 def q_levenshtein(spark, sf_dir):
-    part = load_tables(spark, sf_dir, "part")["part"]
+    # repartition the 1-row-group local scan so the post-broadcast-join
+    # Levenshtein evaluation parallelizes (see SCALE.md self-join notes)
+    part = load_tables(spark, sf_dir, "part")["part"].repartition(
+        spark.sparkContext.defaultParallelism
+    )
     a = part.select(
         F.col("p_partkey").alias("part_a"), F.col("p_brand").alias("brand_a"),
         F.col("p_name").alias("name_a"),

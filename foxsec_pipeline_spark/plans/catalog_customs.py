@@ -95,7 +95,11 @@ FROM pairs GROUP BY 1, 2
         "requirement; group key bounds the self-join",
 )
 def q_account_creation_dist(spark, sf_dir):
-    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    # single-row-group local parquet: repartition so the broadcast-join
+    # probe (where all the Levenshtein work happens) uses every core
+    cust = load_tables(spark, sf_dir, "customer")["customer"].repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return account_creation_dist(
         cust,
         group_col="c_nationkey",
@@ -310,6 +314,44 @@ def q_guardduty_matcher(spark, sf_dir):
     return ev.where(pred).select(
         "event_id", "user_id", "event_type", "value",
         F.lit("critical").alias("severity"),
+    )
+
+
+@register(
+    "pioneer_exfil_sessions",
+    """
+WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 2 HOURS THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, min(ts) AS first_ts, count(*) AS n_events,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 6) AS total_volume
+FROM s GROUP BY user_id, sid
+HAVING sum(CAST(round(value * 100) AS BIGINT)) / 100.0 > 400.0
+""",
+    doc="pioneer/Pioneer.java:242-260 — per-identity session-windowed "
+        "volume analysis (data-exfiltration signal: session volume over "
+        "threshold); exact integer-cents sum for the oracle hash",
+)
+def q_pioneer_exfil(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.groupBy(F.session_window("ts", "2 hours").alias("session"), F.col("user_id"))
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(cents) / 100.0, 6).alias("total_volume"),
+        )
+        .where(F.col("total_volume") > 400.0)
+        .select("user_id", "first_ts", "n_events", "total_volume")
     )
 
 

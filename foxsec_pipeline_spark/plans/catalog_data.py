@@ -34,7 +34,15 @@ from .catalog import register
 
 
 def _docs(spark, sf_dir):
-    return load_tables(spark, sf_dir, "documents")["documents"]
+    # the local testdata parquet is a single row-group => a 1-partition
+    # scan; without a repartition every downstream md5/shingle pass and
+    # broadcast-join probe runs on ONE core. At 100 TB inputs arrive
+    # multi-partition and this becomes a cheap no-op-ish shuffle of
+    # (id, text) pairs.
+    return (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 # ---------------------------------------------------------------------------

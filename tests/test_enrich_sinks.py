@@ -85,3 +85,43 @@ def test_composite_output_fanout_and_violations(spark):
     assert len(v) == 1
     assert v[0].object == "1.2.3.4" and v[0].type == "ip"
     assert "httprequest" in v[0].violation
+
+
+def test_multiplex_read_parsed(spark, tmp_path):
+    """S6/S7 multiplex: two named elements, per-element parser cfg,
+    one unioned events DataFrame with resource tags
+    (`input/Input.java:343-460`)."""
+    import json
+
+    from foxsec_pipeline_spark.sources.input import InputElement, InputSpec
+    from foxsec_pipeline_spark.parser.parse import ParserCfg
+
+    glb = json.dumps(
+        {
+            "timestamp": "1970-01-01T00:00:30.000Z",
+            "resource": {"labels": {"project_id": "p1"}},
+            "httpRequest": {
+                "remoteIp": "1.1.1.1", "requestMethod": "GET",
+                "requestUrl": "https://a.example.com/x", "status": 200,
+                "userAgent": "ua",
+            },
+        }
+    )
+    ssh = ("Jan  1 00:02:00 host sshd[7]: Failed password for invalid user x "
+           "from 9.9.9.9 port 22 ssh2")
+    d1 = tmp_path / "glb"; d1.mkdir(); (d1 / "a.txt").write_text(glb + "\n")
+    d2 = tmp_path / "ssh"; d2.mkdir(); (d2 / "b.txt").write_text(ssh + "\n")
+    spec = InputSpec(
+        elements=[
+            InputElement(name="web", path=str(d1),
+                         parser_cfg=ParserCfg(fast_matcher="httpRequest")),
+            InputElement(name="bastion", path=str(d2)),
+        ]
+    )
+    rows = {r.resource: r for r in spec.read_parsed(spark).collect()}
+    assert set(rows) == {"web", "bastion"}
+    assert rows["web"].payload_type == "glb"
+    assert rows["web"].source_address == "1.1.1.1"
+    assert rows["bastion"].payload_type == "openssh"
+    assert rows["bastion"].subject_user == "x"
+    assert rows["bastion"].request_status == 1
