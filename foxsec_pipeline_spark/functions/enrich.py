@@ -60,3 +60,36 @@ def enrich_reputation(
             | (F.col("reputation") >= F.lit(int(min_reputation)))
         )
     return out
+
+
+def stub_hostname_provider(spark: SparkSession, objects: DataFrame) -> DataFrame:
+    """Deterministic reverse-DNS stand-in: hostname derived from the
+    address (production provider resolves + caches per micro-batch —
+    `CidrUtil.java:71` resolvedCanonicalHostMatches isolates the
+    network call the same way)."""
+    return objects.select(
+        F.col("object"),
+        F.concat(
+            F.lit("host-"), F.substring(F.md5(F.col("object")), 1, 8),
+            F.lit(".example.net"),
+        ).alias("hostname"),
+    )
+
+
+def enrich_hostname(
+    df: DataFrame,
+    obj_col: str,
+    provider: Callable[[SparkSession, DataFrame], DataFrame] = stub_hostname_provider,
+    match_regex: str | None = None,
+) -> DataFrame:
+    """Reverse-DNS enrichment as a broadcast dimension join; optional
+    regex gate reproduces the GCP-hostname check semantics."""
+    spark = df.sparkSession
+    objects = df.select(F.col(obj_col).alias("object")).distinct()
+    dim = provider(spark, objects)
+    out = df.join(F.broadcast(dim), df[obj_col] == dim["object"], "left").drop(
+        "object"
+    )
+    if match_regex is not None:
+        out = out.where(F.col("hostname").rlike(match_regex))
+    return out

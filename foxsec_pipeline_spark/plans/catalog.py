@@ -72,7 +72,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 def registry() -> dict[str, QuerySpec]:
-    from . import catalog_customs, catalog_data, catalog_pipeline  # noqa: F401  (register tranches)
+    from . import (  # noqa: F401  (register tranches)
+        catalog_composed,
+        catalog_customs,
+        catalog_data,
+        catalog_pipeline,
+    )
 
     return dict(_REGISTRY)
 

@@ -1,0 +1,153 @@
+"""Catalog tranche 5: composed pipeline legs — side-view exclusion
+joins, parse-filter chains, global stats, identity resolution. These
+exercise the reference's cross-operator wiring (the per-pipeline DAG
+glue), not just single operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.identity import IdentityManager
+from ..functions.net import cidr_in_any
+from ..operators import detect_nat, per_key_stats, windowed_counts
+from ..session import load_tables
+from .catalog import register
+
+
+def _events(spark, sf_dir):
+    return load_tables(spark, sf_dir, "events")["events"]
+
+
+@register(
+    "threshold_with_nat_exclusion",
+    """
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS window_start, user_id, count(*) AS n
+  FROM events GROUP BY 1, 2
+), nat AS (
+  SELECT date_trunc('hour', ts) AS window_start, user_id
+  FROM events GROUP BY 1, 2 HAVING count(DISTINCT event_type) >= 4
+)
+SELECT c.window_start, c.user_id, c.n AS count
+FROM counts c
+LEFT JOIN nat ON c.window_start = nat.window_start AND c.user_id = nat.user_id
+WHERE nat.user_id IS NULL AND c.n > 15
+""",
+    doc="J2 DetectNat.java:64-69 + ThresholdAnalysis.java:136-153 — the "
+        "NAT side-view becomes a window-aligned LEFT ANTI join: keys the "
+        "NAT detector flagged are excluded from rate alerting",
+)
+def q_threshold_nat_exclusion(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    counts = windowed_counts(ev, key="user_id", ts="ts", duration="1 hour")
+    nat = detect_nat(
+        ev, key="user_id", diversity_col="event_type",
+        ts="ts", duration="1 hour", min_distinct=4,
+    ).select("window_start", "user_id")
+    return (
+        counts.join(F.broadcast(nat), ["window_start", "user_id"], "left_anti")
+        .where(F.col("n") > 15)
+        .select("window_start", "user_id", F.col("n").alias("count"))
+    )
+
+
+@register(
+    "authprofile_parse_filters",
+    """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         'u' || user_id AS subject_user,
+         '10.' || (user_id % 32) || '.0.1' AS ip
+  FROM events WHERE event_type IN ('signup', 'click')
+)
+SELECT event_id, user_id, subject_user, ip FROM e
+WHERE NOT regexp_matches(subject_user, '^u9')
+  AND NOT (
+    (CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+     + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+     + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+     + CAST(string_split(ip, '.')[4] AS BIGINT))
+    BETWEEN 167772160 AND 167837695)
+""",
+    doc="P8 AuthProfile.java:137-240 — the Parse filter chain: keep "
+        "AUTH-family events, drop ignored-user regex matches and "
+        "internal-CIDR sources (10.0.0.0/16 here), all one scan",
+)
+def q_authprofile_filters(spark, sf_dir):
+    ev = _events(spark, sf_dir).where(F.col("event_type").isin("signup", "click"))
+    e = ev.select(
+        "event_id", "user_id",
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("subject_user"),
+        F.concat(
+            F.lit("10."), (F.col("user_id") % 32).cast("string"), F.lit(".0.1")
+        ).alias("ip"),
+    )
+    return e.where(
+        ~F.col("subject_user").rlike("^u9")
+        & ~cidr_in_any(F.col("ip"), ["10.0.0.0/16"])
+    )
+
+
+@register(
+    "global_stats",
+    """
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS window_start, user_id, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, count(*) AS stats_count, sum(n) AS stats_sum,
+       round(avg(n), 6) AS stats_mean
+FROM counts GROUP BY 1
+""",
+    doc="A2 Stats.java:119-225 — the global CombineFn (count/sum/mean over "
+        "per-client counts) exposed as the window-aligned stats view that "
+        "ThresholdAnalysis broadcasts",
+)
+def q_global_stats(spark, sf_dir):
+    counts = windowed_counts(
+        _events(spark, sf_dir), key="user_id", ts="ts", duration="1 hour"
+    )
+    return per_key_stats(counts).withColumn(
+        "stats_mean", F.round("stats_mean", 6)
+    )
+
+
+_IDENTITY_CFG = """
+{
+  "identities": {
+    "alice":  {"aliases": ["u1", "u11", "u21"]},
+    "bob":    {"aliases": ["u2", "u12"]},
+    "mallory":{"aliases": ["u3"]}
+  },
+  "named_subnets": {"office": ["10.0.0.0/16"]}
+}
+"""
+
+
+@register(
+    "identity_resolution",
+    """
+WITH dim(alias, identity) AS (
+  VALUES ('u1','alice'), ('u11','alice'), ('u21','alice'), ('alice','alice'),
+         ('u2','bob'), ('u12','bob'), ('bob','bob'),
+         ('u3','mallory'), ('mallory','mallory')
+), e AS (
+  SELECT event_id, 'u' || user_id AS subject_user FROM events
+)
+SELECT e.event_id, e.subject_user, dim.identity
+FROM e JOIN dim ON e.subject_user = dim.alias
+""",
+    doc="J7/T9 identity/IdentityManager.java + AuthProfile.java:254-307 — "
+        "ExtractIdentity: alias->canonical identity via broadcast dim; "
+        "per-batch rebuild replaces the reference's locked 5-min reload",
+)
+def q_identity_resolution(spark, sf_dir):
+    im = IdentityManager.from_json(_IDENTITY_CFG)
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("subject_user"),
+    )
+    return im.resolve_identity(e, "subject_user", keep_unmatched=False).select(
+        "event_id", "subject_user", "identity"
+    )

@@ -125,3 +125,38 @@ def test_multiplex_read_parsed(spark, tmp_path):
     assert rows["bastion"].payload_type == "openssh"
     assert rows["bastion"].subject_user == "x"
     assert rows["bastion"].request_status == 1
+
+
+def test_notify_merge_windowed(spark):
+    """S14 AlertIO notify-merge: alerts sharing a merge key within a
+    window collapse to one notification (`alert/AlertIO.java:116-143`)."""
+    from datetime import datetime
+
+    from foxsec_pipeline_spark.alert.model import merge_for_notification
+
+    alerts = spark.createDataFrame(
+        [
+            Row(alert_id="a1", timestamp=datetime(2024, 1, 1, 0, 0, 10),
+                summary="s1", notify_merge="ip-1.2.3.4"),
+            Row(alert_id="a2", timestamp=datetime(2024, 1, 1, 0, 1, 0),
+                summary="s2", notify_merge="ip-1.2.3.4"),
+            Row(alert_id="a3", timestamp=datetime(2024, 1, 1, 0, 0, 30),
+                summary="s3", notify_merge=None),
+        ]
+    )
+    out = merge_for_notification(alerts, window="5 minutes").collect()
+    merged = [r for r in out if r.notify_merge == "ip-1.2.3.4"]
+    passthrough = [r for r in out if r.notify_merge is None]
+    assert len(merged) == 1 and merged[0].n_alerts == 2
+    assert merged[0].summary == "s1 | s2"
+    assert len(passthrough) == 1 and passthrough[0].n_alerts == 1
+
+
+def test_enrich_hostname_stub(spark):
+    from foxsec_pipeline_spark.functions.enrich import enrich_hostname
+
+    df = spark.createDataFrame([Row(id=1, ip="8.8.8.8"), Row(id=2, ip="9.9.9.9")])
+    out = {r.id: r.hostname for r in enrich_hostname(df, "ip").collect()}
+    assert out[1].endswith(".example.net") and out[1] != out[2]
+    gated = enrich_hostname(df, "ip", match_regex="^host-").count()
+    assert gated == 2
