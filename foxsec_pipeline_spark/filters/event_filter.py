@@ -44,7 +44,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _nn(c: Column) -> Column:
+    """Two-valued matcher semantics: a comparison against a NULL
+    property is FALSE, not NULL (the reference's matchers return false
+    on a missing property — `EventFilterPayload.java:81-156`). Without
+    this, SQL three-valued logic leaks through `except` negation:
+    NOT(NULL) is NULL, which silently DROPS rows the reference keeps.
+    Found by tests/test_filter_properties.py."""
+    return F.coalesce(c, F.lit(False))
+
+
 def _compile_matcher(m: dict) -> Column:
+    raw = _compile_matcher_raw(m)
+    if m.get("op") in ("is_null", "not_null"):
+        return raw  # never null already
+    return _nn(raw)
+
+
+def _compile_matcher_raw(m: dict) -> Column:
     col = F.col(m["field"])
     op = m.get("op", "eq")
     if op == "eq":
@@ -86,7 +103,7 @@ def _compile_rule(rule: dict, type_field: str | None) -> Column:
     if types:
         if type_field is None:
             raise ValueError("rule has 'types' but no type_field configured")
-        parts.append(F.col(type_field).isin(list(types)))
+        parts.append(_nn(F.col(type_field).isin(list(types))))
     for m in rule.get("matchers", []):
         parts.append(_compile_matcher(m))
     m_or = [_compile_matcher(m) for m in rule.get("matchers_or", [])]

@@ -105,3 +105,33 @@ def parse_syslog_ts(col: Column, year: Column | int | None = None) -> Column:
         F.lit("yyyy MMM d HH:mm:ss"),
     )
     return F.when(candidate > F.current_timestamp(), rolled).otherwise(candidate)
+
+
+# universal-hash MinHash parameters: permutation i over GF(P) with
+# P = 2^31 - 1. Products stay under 2^62, so the identical integer
+# arithmetic runs in Spark SQL and the DuckDB oracle.
+MINHASH_P = 2_147_483_647
+MINHASH_A = [(2 * i + 1) * 1_000_003 % MINHASH_P for i in range(64)]
+MINHASH_B = [(i * i + 7) * 999_983 % MINHASH_P for i in range(64)]
+
+
+def minhash_signature_universal(shingle_hashes: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature as array<long> over pre-hashed shingles
+    (int64 in [0, P)): element i = min over shingles of
+    (A_i * h + B_i) mod P.
+
+    One md5 per shingle total (the caller computes `md5_bucket(s) % P`
+    once into a column), then num_hashes multiply-mods per shingle —
+    ~8× fewer digest computations than per-permutation md5 minima,
+    same min-wise-permutation guarantee.
+    """
+
+    def _perm_min(i: int):
+        a, b = MINHASH_A[i], MINHASH_B[i]
+
+        def h(x):
+            return (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
+
+        return F.array_min(F.transform(shingle_hashes, h))
+
+    return F.array(*[_perm_min(i) for i in range(num_hashes)])

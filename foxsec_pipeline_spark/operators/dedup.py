@@ -27,9 +27,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    MINHASH_P,
     doc_fingerprint,
     md5_bucket,
-    minhash_signature,
+    minhash_signature_universal,
     tokens,
     word_shingles,
 )
@@ -126,8 +127,20 @@ def minhash_lsh_pairs(
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
     ).where(F.size("shingles") > 0)
-    sig = sh.select(
-        F.col(id_col), minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    # hash each shingle ONCE (md5 -> 60-bit -> mod P) in its own
+    # projection; the universal-hash permutations then run num_hashes
+    # multiply-mods per shingle instead of num_hashes md5 digests.
+    # (Two selects on purpose: CollapseProject keeps the expensive
+    # alias un-inlined, so the digest isn't recomputed per permutation.)
+    hashed = sh.select(
+        F.col(id_col),
+        F.transform(
+            F.col("shingles"), lambda s: md5_bucket(s) % F.lit(MINHASH_P)
+        ).alias("hps"),
+    )
+    sig = hashed.select(
+        F.col(id_col),
+        minhash_signature_universal(F.col("hps"), num_hashes).alias("sig"),
     )
     n_bands = num_hashes // band_size
     bands = sig.select(
@@ -137,11 +150,14 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(band).alias("band"),
-                        F.concat(
+                        F.concat_ws(
+                            "_",
                             *[
-                                F.col("sig").getItem(band * band_size + j)
+                                F.col("sig").getItem(band * band_size + j).cast(
+                                    "string"
+                                )
                                 for j in range(band_size)
-                            ]
+                            ],
                         ).alias("band_sig"),
                     )
                     for band in range(n_bands)

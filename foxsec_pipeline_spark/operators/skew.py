@@ -1,0 +1,57 @@
+"""Skew-resistant aggregation — two-phase salted combines.
+
+The reference's per-IP counters hit the same wall every log pipeline
+does: one hot source (a scanner, a megaproxy) concentrates a window's
+rows on one reducer. Beam leaned on Dataflow's dynamic work rebalancing
+plus `Reshuffle`; the Spark-first answer is (1) AQE skew handling where
+a join is involved, and (2) explicit salting for pure aggregations:
+shard each key into `salt` sub-keys, partially aggregate, then combine
+the shards. Two shuffles, but the first spreads the hot key across
+`salt` reducers — worst-reducer load drops by ~salt×.
+
+Results are bit-identical to the unsalted aggregate for any
+commutative-associative agg (count/sum/min/max), which the
+`salted_hard_limit` catalog query proves against the same DuckDB
+oracle as the unsalted plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_windowed_counts(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    duration: str = "1 minute",
+    salt: int = 16,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Per-(window, key) counts via salted two-phase aggregation.
+
+    `salt_source` defaults to a deterministic row attribute spread
+    (crc32 of the row's monotonically varying columns is NOT available
+    generically, so callers pass one — e.g. an event id); determinism
+    keeps tests/oracles exact. spark_partition_id() is the
+    non-deterministic production alternative.
+    """
+    s = (
+        (salt_source % salt)
+        if salt_source is not None
+        else (F.spark_partition_id() % salt)
+    )
+    partial = (
+        df.groupBy(
+            F.window(ts, duration).alias("window"),
+            F.col(key),
+            s.alias("__salt"),
+        )
+        .agg(F.count(F.lit(1)).alias("__pn"))
+    )
+    return (
+        partial.groupBy("window", key)
+        .agg(F.sum("__pn").alias("n"))
+        .select(F.col("window.start").alias("window_start"), F.col(key), F.col("n"))
+    )

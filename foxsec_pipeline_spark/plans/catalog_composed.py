@@ -113,6 +113,30 @@ def q_global_stats(spark, sf_dir):
     )
 
 
+@register(
+    "salted_hard_limit",
+    """
+SELECT date_trunc('hour', ts) AS window_start, user_id, count(*) AS count
+FROM events GROUP BY 1, 2 HAVING count(*) > 15
+""",
+    doc="skew fallback (SCALE.md): two-phase salted count — bit-identical "
+        "to the unsalted hard-limit aggregate (same oracle), worst-reducer "
+        "load / salt; the knob for hot-key windows at 100 TB",
+)
+def q_salted_hard_limit(spark, sf_dir):
+    from ..operators.skew import salted_windowed_counts
+
+    ev = _events(spark, sf_dir)
+    return (
+        salted_windowed_counts(
+            ev, key="user_id", ts="ts", duration="1 hour",
+            salt=16, salt_source=F.col("event_id"),
+        )
+        .where(F.col("n") > 15)
+        .select("window_start", "user_id", F.col("n").alias("count"))
+    )
+
+
 _IDENTITY_CFG = """
 {
   "identities": {

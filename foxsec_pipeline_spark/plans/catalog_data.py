@@ -96,23 +96,40 @@ def q_dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
-@register(
-    "dedup_minhash_lsh",
-    _SHINGLE_CTE
-    + """
+def _minhash_oracle() -> str:
+    from ..functions.text import MINHASH_A, MINHASH_B, MINHASH_P
+
+    a = ", ".join(str(v) for v in MINHASH_A[:8])
+    b = ", ".join(str(v) for v in MINHASH_B[:8])
+    return (
+        _SHINGLE_CTE
+        + f"""
 , mh AS (
-  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS h
+  SELECT doc_id, i,
+         min(( ([{a}])[i + 1]
+               * (CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                  % {MINHASH_P})
+               + ([{b}])[i + 1]) % {MINHASH_P}) AS h
   FROM ex CROSS JOIN range(0, 8) r(i)
   GROUP BY doc_id, i
 ), bands AS (
-  SELECT doc_id, i // 2 AS band, string_agg(h, '' ORDER BY i) AS band_sig
+  SELECT doc_id, i // 2 AS band,
+         string_agg(h::VARCHAR, '_' ORDER BY i) AS band_sig
   FROM mh GROUP BY doc_id, i // 2
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-""",
-    doc="MinHash(8 perms, md5-permuted) + LSH banding (4 bands x 2) candidates",
+"""
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    doc="MinHash(8 universal-hash perms over md5-60bit shingle hashes) + "
+        "LSH banding (4 bands x 2) candidates — one digest per shingle, "
+        "permutations are multiply-mods (portable int64 math)",
 )
 def q_dedup_minhash(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_hashes=8, band_size=2)

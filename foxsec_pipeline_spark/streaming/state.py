@@ -77,6 +77,8 @@ def _auth_state_fn(max_kmh: float, prune_age_days: float):
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
+            # identity idle past the prune horizon: every entry would
+            # be age-pruned on the next event anyway — drop the state
             state.remove()
             return
         ips, lats, lons, seen = (
@@ -128,6 +130,15 @@ def _auth_state_fn(max_kmh: float, prune_age_days: float):
                     }
                 )
         state.update((ips, lats, lons, seen))
+        # event-time TTL at the prune horizon keeps idle-identity state
+        # bounded (the reference relies on the external store's pruning;
+        # checkpointed state must GC itself). Timestamp must lead the
+        # current watermark or Spark rejects it.
+        if seen:
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(max(seen) // 1000 + prune_us // 1000, wm_ms + 1)
+            )
         if out_rows:
             yield pd.DataFrame(out_rows)
 
@@ -138,16 +149,23 @@ def auth_state_analyze(
     logins: DataFrame,
     max_kmh: float = 800.0,
     prune_age_days: float = 10.0,
+    watermark_delay: str = "1 hour",
 ) -> DataFrame:
     """StateAnalyze (T4/T5): per-identity known-IP + geo-velocity
     evaluation over a (streaming or batch-derived) login DataFrame
     with LOGIN_SCHEMA columns. Works under readStream (checkpointed
-    keyed state) and in batch tests via the same grouping.
+    keyed state) and in batch tests via the same grouping. Idle
+    identities GC at the entry-age prune horizon (event-time timeout
+    driven by the watermark).
     """
-    return logins.groupBy("identity").applyInPandasWithState(
-        _auth_state_fn(max_kmh, prune_age_days),
-        outputStructType=AUTH_EVAL_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return (
+        logins.withWatermark("timestamp", watermark_delay)
+        .groupBy("identity")
+        .applyInPandasWithState(
+            _auth_state_fn(max_kmh, prune_age_days),
+            outputStructType=AUTH_EVAL_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
