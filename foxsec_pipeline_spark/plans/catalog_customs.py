@@ -318,6 +318,90 @@ def q_guardduty_matcher(spark, sf_dir):
 
 
 @register(
+    "addon_multi_match",
+    """
+WITH up AS (
+  SELECT DISTINCT md5(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g')))
+           AS file_hash,
+         e.user_id
+  FROM documents d JOIN events e ON d.doc_id = e.event_id % 500
+  WHERE e.event_type = 'signup'
+)
+SELECT file_hash, count(*) AS n_users
+FROM up GROUP BY 1 HAVING count(*) >= 8
+""",
+    doc="amo/AddonMultiMatch.java:105 — same file hash uploaded by many "
+        "distinct accounts: Distinct (hash, user) pairs then per-hash "
+        "count threshold; hash = canonical content fingerprint",
+)
+def q_addon_multi_match(spark, sf_dir):
+    from ..functions.text import doc_fingerprint
+
+    t = load_tables(spark, sf_dir, "documents", "events")
+    up = (
+        t["events"].where(F.col("event_type") == "signup")
+        .join(t["documents"], t["documents"]["doc_id"] == t["events"]["event_id"] % 500)
+        .select(
+            doc_fingerprint(F.col("text")).alias("file_hash"), F.col("user_id")
+        )
+        .distinct()
+    )
+    return (
+        up.groupBy("file_hash")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .where(F.col("n_users") >= 8)
+    )
+
+
+@register(
+    "fxa_alias_abuse",
+    """
+WITH e AS (
+  SELECT user_id, ts,
+         lower(regexp_replace(
+           'User.' || user_id || '+tag' || (event_id % 7) || '@Ex'
+             || (user_id % 5) || '.com',
+           '\\+[^@]*@', '@')) AS norm_email
+  FROM events WHERE event_type = 'signup'
+), d AS (
+  SELECT norm_email, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY norm_email ORDER BY ts)
+                   >= INTERVAL 4 HOURS THEN 1 ELSE 0 END AS brk
+  FROM e
+), s AS (
+  SELECT norm_email, ts,
+         sum(brk) OVER (PARTITION BY norm_email ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT norm_email, min(ts) AS first_ts, count(*) AS n_signups
+FROM s GROUP BY norm_email, sid HAVING count(*) >= 3
+""",
+    doc="amo/FxaAccountAbuseAlias.java:68-110 — +alias-normalized email "
+        "collapses aliases onto one account; session windows (120-min gap "
+        "family) count alias signups per normalized address",
+)
+def q_fxa_alias_abuse(spark, sf_dir):
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "signup")
+    e = ev.select(
+        normalize_email(
+            F.concat(
+                F.lit("User."), F.col("user_id").cast("string"),
+                F.lit("+tag"), (F.col("event_id") % 7).cast("string"),
+                F.lit("@Ex"), (F.col("user_id") % 5).cast("string"), F.lit(".com"),
+            )
+        ).alias("norm_email"),
+        F.col("ts"),
+    )
+    return (
+        e.groupBy(F.session_window("ts", "4 hours").alias("session"), F.col("norm_email"))
+        .agg(F.min("ts").alias("first_ts"), F.count(F.lit(1)).alias("n_signups"))
+        .where(F.col("n_signups") >= 3)
+        .select("norm_email", "first_ts", "n_signups")
+    )
+
+
+@register(
     "pioneer_exfil_sessions",
     """
 WITH d AS (
