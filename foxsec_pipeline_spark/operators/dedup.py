@@ -83,20 +83,45 @@ def ngram_jaccard_pairs(
     One explode, one shuffle join on the shingle, one pair-group agg.
     """
     ex = _shingled(df, id_col, text_col, n)
-    a = ex.alias("a")
-    b = ex.alias("b")
+    # group docs per shingle and generate ordered pairs inside the
+    # array (combinations via an indexed transform) rather than
+    # self-joining: the self-join would recompute the whole
+    # shingle+digest pipeline for both sides (no exchange reuse for
+    # aliased subplans), and the pair stream shuffles once on the
+    # shingle instead of twice. Frequent-shingle skew shows up as a
+    # large per-shingle array — the knob at scale is document-frequency
+    # pruning before pair generation.
+    grouped = (
+        ex.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct(id_col, "n_sh"))).alias("docs"))
+        .where(F.size("docs") >= 2)
+    )
+    # AQE sizes the post-agg stage by its (tiny) byte count and
+    # coalesces it to a few partitions — but the next stage EXPLODES
+    # pair arrays, multiplying work AQE can't see. An explicit-width
+    # repartition of the (small) grouped rows spreads the explode.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pair_arrays = grouped.repartition(par).select(
+        F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("docs"), i + 2, F.size(F.col("docs")) - (i + 1)
+                    ),
+                    lambda y: F.struct(
+                        x[id_col].alias("doc_a"),
+                        y[id_col].alias("doc_b"),
+                        x["n_sh"].alias("na"),
+                        y["n_sh"].alias("nb"),
+                    ),
+                ),
+            )
+        ).alias("pairs")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col(f"a.shingle") == F.col(f"b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
+        pair_arrays.select(F.explode("pairs").alias("p"))
+        .groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))

@@ -87,3 +87,38 @@ def test_no_python_udf_in_batch_plans(spark, spec):
     which are not catalog queries)."""
     plan = plan_of(spec.fn(spark, SF_DIR))
     assert "BatchEvalPython" not in plan, f"{spec.name} uses a row Python UDF"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    """Co-located join via bucketing (SCALE.md): both sides bucketed by
+    the join key => SortMergeJoin with ZERO Exchange nodes."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from foxsec_pipeline_spark.sources.bucketed import read_table, write_bucketed
+
+    suffix = _uuid.uuid4().hex[:8]
+    ta, tb = f"bt_events_{suffix}", f"bt_alerts_{suffix}"
+    ev = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    al = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("sev")
+    )
+    try:
+        write_bucketed(ev, ta, ["k"], num_buckets=8, sort_cols=["k"])
+        write_bucketed(al, tb, ["k"], num_buckets=8, sort_cols=["k"])
+        # disable broadcast so the join exercises the bucketed SMJ path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = read_table(spark, ta).join(read_table(spark, tb), "k")
+            plan = plan_of(joined)
+            assert "SortMergeJoin" in plan, plan
+            assert _exchange_nodes(plan) == 0, plan
+            assert joined.count() == 1000
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
