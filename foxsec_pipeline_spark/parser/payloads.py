@@ -168,6 +168,59 @@ def cloudtrail_spec() -> PayloadSpec:
     )
 
 
+def gcpaudit_spec() -> PayloadSpec:
+    """GCP audit log (Stackdriver protoPayload AuditLog —
+    `parser/GcpAudit.java`): principal + method + resource, callerIp;
+    the Pioneer pipeline's input."""
+    pp = F.col("j.protoPayload")
+    return PayloadSpec(
+        name="gcpaudit",
+        matcher=pp["methodName"].isNotNull()
+        & pp["authenticationInfo"]["principalEmail"].isNotNull(),
+        normalized_type=F.lit(NORMALIZED_AUTH),
+        fields={
+            "source_address": pp["requestMetadata"]["callerIp"],
+            "subject_user": pp["authenticationInfo"]["principalEmail"],
+            "object": F.coalesce(pp["resourceName"], pp["methodName"]),
+        },
+    )
+
+
+_APACHE_RX = (
+    r'^(\S+) \S+ (\S+) \[([^\]]+)\] "(\S+) (\S+)[^"]*" (\d{3}) \S+'
+    r'(?: "([^"]*)" "([^"]*)")?'
+)
+
+
+def apache_combined_spec() -> PayloadSpec:
+    """Apache/nginx combined access log as plain text
+    (`parser/ApacheCombined.java`): classic
+    'ip - user [ts] "GET /path HTTP/1.1" status size "ref" "ua"'."""
+    p = F.col("payload_text")
+    return PayloadSpec(
+        name="apache_combined",
+        matcher=p.rlike(_APACHE_RX),
+        normalized_type=F.lit(NORMALIZED_HTTP_REQUEST),
+        fields={
+            "source_address": F.regexp_extract(p, _APACHE_RX, 1),
+            "subject_user": F.when(
+                F.regexp_extract(p, _APACHE_RX, 2) != "-",
+                F.regexp_extract(p, _APACHE_RX, 2),
+            ),
+            "request_method": F.regexp_extract(p, _APACHE_RX, 4),
+            "request_path": F.regexp_extract(p, _APACHE_RX, 5),
+            "request_status": F.regexp_extract(p, _APACHE_RX, 6).cast("int"),
+            "user_agent": F.when(
+                F.regexp_extract(p, _APACHE_RX, 8) != "",
+                F.regexp_extract(p, _APACHE_RX, 8),
+            ),
+        },
+        event_ts=F.to_timestamp(
+            F.regexp_extract(p, _APACHE_RX, 3), "dd/MMM/yyyy:HH:mm:ss Z"
+        ),
+    )
+
+
 def alert_spec() -> PayloadSpec:
     """Re-ingested Alert JSON (`parser/Alert.java` payload) — alerts
     are themselves events for PostProcessing."""
@@ -195,6 +248,8 @@ def default_chain() -> list[PayloadSpec]:
         nginx_spec(),
         fxaauth_spec(),
         cloudtrail_spec(),
+        gcpaudit_spec(),
         openssh_spec(),
+        apache_combined_spec(),
         alert_spec(),
     ]

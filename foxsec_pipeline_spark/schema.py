@@ -23,6 +23,8 @@ PAYLOAD_TYPES = [
     "fxaauth",
     "openssh",
     "cloudtrail",
+    "gcpaudit",
+    "apache_combined",
     "alert",
     "raw",
 ]

@@ -182,3 +182,45 @@ def test_probe_order_first_match_wins(spark):
     r = _parse(spark, [json.dumps(line)]).collect()[0]
     assert r.payload_type == "glb"
     assert r.source_address == "192.168.1.1"
+
+
+GCPAUDIT_LINE = json.dumps(
+    {
+        "timestamp": "1970-01-01T00:06:00.000Z",
+        "resource": {"labels": {"project_id": "audit-proj"}},
+        "protoPayload": {
+            "methodName": "storage.objects.get",
+            "resourceName": "projects/_/buckets/b/objects/o",
+            "authenticationInfo": {"principalEmail": "riker@example.com"},
+            "requestMetadata": {"callerIp": "198.51.100.7"},
+        },
+    }
+)
+
+APACHE_LINE = (
+    '203.0.113.9 - frank [01/Jan/1970:00:07:00 +0000] '
+    '"GET /apache_pb.gif HTTP/1.0" 200 2326 '
+    '"http://ref.example.com/" "Mozilla/4.08 [en]"'
+)
+
+
+def test_gcpaudit(spark):
+    r = _parse(spark, [GCPAUDIT_LINE]).collect()[0]
+    assert r.payload_type == "gcpaudit"
+    assert r.normalized_type == "auth"
+    assert r.subject_user == "riker@example.com"
+    assert r.source_address == "198.51.100.7"
+    assert r.object == "projects/_/buckets/b/objects/o"
+    assert r.project_id == "audit-proj"
+
+
+def test_apache_combined(spark):
+    r = _parse(spark, [APACHE_LINE]).collect()[0]
+    assert r.payload_type == "apache_combined"
+    assert r.normalized_type == "http_request"
+    assert r.source_address == "203.0.113.9"
+    assert r.subject_user == "frank"
+    assert (r.request_method, r.request_path) == ("GET", "/apache_pb.gif")
+    assert r.request_status == 200
+    assert r.user_agent == "Mozilla/4.08 [en]"
+    assert str(r.timestamp) == "1970-01-01 00:07:00"

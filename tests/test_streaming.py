@@ -165,3 +165,38 @@ def test_suppress_session_sliding_ttl(spark, tmpdir):
     _run_stream(suppress_session_stream(src, ["key"], expiry="15 minutes"), name)
     got = {r.key: r.n for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert got == {"a": 1, "b": 4}
+
+
+def test_streaming_session_window_matches_batch(spark, tmpdir):
+    """W5-W8: session_window under readStream produces the same final
+    sessions as batch (gap merging happens in the streaming state
+    operator; complete output = final windows)."""
+    rows = [
+        Row(ts=datetime.fromisoformat(t), k=k)
+        for t, k in [
+            ("2024-01-01 00:00:00", "a"),
+            ("2024-01-01 00:10:00", "a"),   # same session (gap 30m)
+            ("2024-01-01 01:00:00", "a"),   # new session
+            ("2024-01-01 00:05:00", "b"),
+        ]
+    ]
+    src = _stream_from_rows(spark, rows, "ts timestamp, k string", tmpdir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("s"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("k", F.col("s.start").alias("start"), "n")
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.k, str(r.start)): r.n for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == {
+        ("a", "2024-01-01 00:00:00"): 2,
+        ("a", "2024-01-01 01:00:00"): 1,
+        ("b", "2024-01-01 00:05:00"): 1,
+    }
