@@ -160,3 +160,43 @@ def test_enrich_hostname_stub(spark):
     assert out[1].endswith(".example.net") and out[1] != out[2]
     gated = enrich_hostname(df, "ip", match_regex="^host-").count()
     assert gated == 2
+
+
+def test_composite_output_stream_writer(spark, tmp_path):
+    """S9/S11 streaming: alerts stream -> foreachBatch composite sink
+    (file + collector emitter), exactly-once per checkpoint."""
+    import json as _json
+    from datetime import datetime
+
+    from foxsec_pipeline_spark.alert.model import to_alerts
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "a.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"ws": "2024-01-01 00:00:00", "ip": f"10.0.0.{i}", "n": i})
+            for i in range(3)
+        )
+    )
+    raw = (
+        spark.readStream.schema("ws string, ip string, n long")
+        .json(str(src_dir))
+        .withColumn("ws", F.col("ws").cast("timestamp"))
+    )
+    alerts = to_alerts(
+        raw, category="httprequest", severity="warn",
+        summary=F.col("ip"), timestamp_col="ws", metadata_cols=["ip", "n"],
+    )
+    got: list[str] = []
+    sink = CompositeOutput(
+        file_path=str(tmp_path / "out"),
+        emitters={"mem": got.extend},
+    )
+    q = sink.stream_writer(alerts, checkpoint=str(tmp_path / "ckpt")).trigger(
+        availableNow=True
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    assert len(got) == 3
+    texts = spark.read.text(str(tmp_path / "out")).count()
+    assert texts == 3
