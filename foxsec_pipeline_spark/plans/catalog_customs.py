@@ -318,6 +318,78 @@ def q_guardduty_matcher(spark, sf_dir):
 
 
 @register(
+    "source_login_failure",
+    """
+SELECT date_trunc('hour', ts) AS window_start, user_id, count(*) AS n_failures
+FROM events WHERE event_type = 'error'
+GROUP BY 1, 2 HAVING count(*) > 3
+""",
+    doc="customs/SourceLoginFailure (Customs.java:531-560): per-source "
+        "windowed login-failure count threshold over the features stream",
+)
+def q_source_login_failure(spark, sf_dir):
+    from ..operators import error_rate_analysis
+
+    return error_rate_analysis(
+        _events(spark, sf_dir), key="user_id",
+        error_predicate=F.col("event_type") == "error",
+        ts="ts", duration="1 hour", max_errors=3,
+    ).withColumnRenamed("error_count", "n_failures")
+
+
+@register(
+    "password_reset_abuse",
+    """
+SELECT date_trunc('hour', ts) AS window_start, user_id, count(*) AS n_resets
+FROM events WHERE event_type = 'view'
+GROUP BY 1, 2 HAVING count(*) > 4
+""",
+    doc="customs/PasswordResetAbuse (Customs.java:531-560): per-account "
+        "windowed password-forgot-send count threshold",
+)
+def q_password_reset_abuse(spark, sf_dir):
+    from ..operators import error_rate_analysis
+
+    return error_rate_analysis(
+        _events(spark, sf_dir), key="user_id",
+        error_predicate=F.col("event_type") == "view",
+        ts="ts", duration="1 hour", max_errors=4,
+    ).withColumnRenamed("error_count", "n_resets")
+
+
+@register(
+    "account_enumeration",
+    """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS window_start, user_id,
+         count(DISTINCT props) AS n_accounts,
+         count(DISTINCT event_type) AS n_types
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, user_id, n_accounts
+FROM agg WHERE n_accounts >= 8 AND n_types > 1
+""",
+    doc="customs/CustomsAccountEnumeration (+ content-server variance "
+        "gate ContentServerVarianceDetector.java:51-95): many distinct "
+        "accounts probed from one source within a window, suppressed "
+        "unless the source shows cross-type variance",
+)
+def q_account_enumeration(spark, sf_dir):
+    agg = (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.countDistinct("props").alias("n_accounts"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .where((F.col("n_accounts") >= 8) & (F.col("n_types") > 1))
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"), "user_id", "n_accounts"
+    )
+
+
+@register(
     "addon_multi_match",
     """
 WITH up AS (
