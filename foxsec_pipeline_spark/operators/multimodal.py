@@ -92,3 +92,43 @@ def extract_media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(op, MEDIA_META_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_offset_bytes", T.LongType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame-sampling stage shape for video payloads: one input row ->
+    up to max_frames output rows. The decoder is a deterministic fake
+    (fixed-stride byte windows hashed as 'frames'); a real deployment
+    swaps in ffmpeg keyframe extraction with the same batch contract.
+    The row-expansion (flatMap) shape is what matters for partition
+    sizing: output rows ≈ input rows × max_frames."""
+    import hashlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_index": [], "frame_offset_bytes": [],
+                   "frame_sha256": []}
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                n = min(max_frames, max(len(payload) // every_n_bytes, 1))
+                for i in range(n):
+                    off = i * every_n_bytes
+                    chunk = payload[off:off + every_n_bytes]
+                    out["doc_id"].append(int(did))
+                    out["frame_index"].append(i)
+                    out["frame_offset_bytes"].append(off)
+                    out["frame_sha256"].append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(op, FRAME_SCHEMA)

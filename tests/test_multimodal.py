@@ -38,3 +38,32 @@ def test_extract_media_metadata_mapinpandas(spark):
 def test_decode_stub_gates_real_codecs():
     with pytest.raises(NotImplementedError):
         _decode_payload(b"\x89PNG", "image/png")
+
+
+def test_sample_frames_flatmap_shape(spark):
+    from foxsec_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+    from foxsec_pipeline_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", "documents")["documents"]
+    frames = sample_frames(
+        attach_binary_payload(docs.limit(20)), every_n_bytes=64, max_frames=4
+    )
+    rows = frames.collect()
+    assert 20 <= len(rows) <= 80  # 1..4 frames per doc
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for did, fr in by_doc.items():
+        idx = sorted(f.frame_index for f in fr)
+        assert idx == list(range(len(fr)))  # dense frame indices
+        assert all(f.frame_sha256 and len(f.frame_sha256) == 64 for f in fr)
+    # determinism
+    again = sample_frames(
+        attach_binary_payload(docs.limit(20)), every_n_bytes=64, max_frames=4
+    ).collect()
+    assert {(r.doc_id, r.frame_index, r.frame_sha256) for r in rows} == {
+        (r.doc_id, r.frame_index, r.frame_sha256) for r in again
+    }

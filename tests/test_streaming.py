@@ -200,3 +200,63 @@ def test_streaming_session_window_matches_batch(spark, tmpdir):
         ("a", "2024-01-01 01:00:00"): 1,
         ("b", "2024-01-01 00:05:00"): 1,
     }
+
+
+def test_streaming_heuristic_with_suppression_composed(spark, tmpdir):
+    """SURVEY §7.5: heuristic -> alert -> keyed suppression composed in
+    one streaming query. Two windows fire for the same key; the
+    suppressor emits only the first within the expiry horizon."""
+    from foxsec_pipeline_spark.streaming.suppress import suppress_stream
+
+    rows = [
+        # window 00:00: 3 errors for key a -> alert
+        Row(ts=datetime.fromisoformat("2024-01-01 00:00:10"), k="a"),
+        Row(ts=datetime.fromisoformat("2024-01-01 00:00:20"), k="a"),
+        Row(ts=datetime.fromisoformat("2024-01-01 00:00:30"), k="a"),
+        # window 00:01: 3 more errors for key a -> alert, suppressed
+        Row(ts=datetime.fromisoformat("2024-01-01 00:01:10"), k="a"),
+        Row(ts=datetime.fromisoformat("2024-01-01 00:01:20"), k="a"),
+        Row(ts=datetime.fromisoformat("2024-01-01 00:01:30"), k="a"),
+        # advance the watermark far enough to close both windows
+        Row(ts=datetime.fromisoformat("2024-01-01 01:00:00"), k="z"),
+    ]
+    src = _stream_from_rows(spark, rows, "ts timestamp, k string", tmpdir)
+    hits = (
+        src.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+        .select(F.col("w.start").alias("timestamp"), "k", "n")
+    )
+    # Stage 1: heuristic -> alert rows -> durable sink. The suppressor
+    # CANNOT chain into the same query: an append-mode agg emits a
+    # window only once the watermark passed it, so its output rows are
+    # definitionally behind the watermark — a downstream
+    # dropDuplicatesWithinWatermark would drop them all as late. The
+    # reference stages alert production and suppression as separate
+    # pipeline steps for the same reason; here stage 2 streams the
+    # alert sink.
+    alert_dir = os.path.join(tmpdir, "alerts")
+    ck1 = os.path.join(tmpdir, "ck1")
+    q = (
+        hits.writeStream.format("parquet")
+        .option("path", alert_dir).option("checkpointLocation", ck1)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    alerts = spark.readStream.schema("timestamp timestamp, k string, n long").parquet(
+        alert_dir
+    )
+    suppressed = suppress_stream(alerts, ["k"], expiry="2 hours", ts_col="timestamp")
+    name = f"comp_{uuid.uuid4().hex[:8]}"
+    q = (
+        suppressed.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = [(r.k, str(r.timestamp)) for r in spark.sql(f"SELECT * FROM {name}").collect()]
+    # both 1-min windows alerted for 'a'; the suppressor emits exactly one
+    assert len(got) == 1 and got[0][0] == "a"
