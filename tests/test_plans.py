@@ -122,3 +122,29 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_customs_features_single_shuffle(spark, reg):
+    """A3 is one hash-aggregate: the typed counters, distinct paths and
+    retained lists must not add extra shuffles beyond the two-phase
+    distinct expansion."""
+    plan = plan_of(reg["customs_features"].fn(spark, SF_DIR))
+    assert _exchange_nodes(plan) <= 2, plan
+
+
+def test_assume_role_is_joinless(spark, reg):
+    """J6 resolves provider subjects with a running window function —
+    one shuffle on the key, and crucially no join node."""
+    plan = plan_of(reg["assume_role_correlate"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert _exchange_nodes(plan) <= 1, plan
+
+
+def test_ann_broadcasts_queries(spark, reg):
+    """The corpus never shuffles for top-k scoring: the (small) query
+    side broadcasts into the corpus scan."""
+    for name in ("ann_cosine_topk", "ann_cosine_lsh"):
+        plan = plan_of(reg[name].fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+            f"{name}\n{plan}"
+        )
