@@ -58,15 +58,35 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     string: the self-join shuffles (id, n_sh, int64) rows and compares
     longs instead of ~40-byte strings (collision odds at 1e6 distinct
     shingles ≈ 4e-7 — below any bench's noise floor)."""
-    sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-    ).where(F.size("shingles") > 0)
+    # Shingling is RELATIONAL, not a higher-order-function pipeline:
+    # posexplode the tokens, form each n-gram with window `lead`s, hash,
+    # distinct. The `word_shingles` HOF costs ~1.3 ms/doc interpreted
+    # (per-element lambda eval), and Generate re-evaluates the array
+    # expression per OUTPUT row — ~25 ms/doc at 52 shingles. The lead
+    # form is whole-stage-codegen end to end: measured 25x faster on
+    # the sf0.1 documents table.
+    from pyspark.sql import Window
+
+    tok = df.where(F.size(tokens(F.col(text_col))) >= n).select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "__t")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("__t")] + [F.lead("__t", i).over(w) for i in range(1, n)]
+    sh = (
+        tok.select(
+            F.col(id_col),
+            F.concat_ws(" ", *parts).alias("__s"),
+            parts[-1].alias("__last"),
+        )
+        .where(F.col("__last").isNotNull())  # complete n-grams only
+        .select(F.col(id_col), md5_bucket(F.col("__s")).alias("shingle"))
+        .distinct()
+    )
+    wc = Window.partitionBy(id_col)
     return sh.select(
         F.col(id_col),
-        F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("__shingle_str"),
-    ).select(
-        id_col, "n_sh", md5_bucket(F.col("__shingle_str")).alias("shingle")
+        F.count(F.lit(1)).over(wc).alias("n_sh"),
+        F.col("shingle"),
     )
 
 
@@ -98,30 +118,23 @@ def ngram_jaccard_pairs(
     )
     # AQE sizes the post-agg stage by its (tiny) byte count and
     # coalesces it to a few partitions — but the next stage EXPLODES
-    # pair arrays, multiplying work AQE can't see. An explicit-width
-    # repartition of the (small) grouped rows spreads the explode.
+    # the doc arrays quadratically, multiplying work AQE can't see. An
+    # explicit-width repartition of the (small) grouped rows spreads
+    # the explode. Pair generation is two NATIVE Generate nodes with an
+    # ordered post-filter (codegen) — an indexed-transform combinations
+    # lambda produces fewer rows but evaluates interpreted, ~3× slower.
     par = df.sparkSession.sparkContext.defaultParallelism
-    pair_arrays = grouped.repartition(par).select(
-        F.flatten(
-            F.transform(
-                F.col("docs"),
-                lambda x, i: F.transform(
-                    F.slice(
-                        F.col("docs"), i + 2, F.size(F.col("docs")) - (i + 1)
-                    ),
-                    lambda y: F.struct(
-                        x[id_col].alias("doc_a"),
-                        y[id_col].alias("doc_b"),
-                        x["n_sh"].alias("na"),
-                        y["n_sh"].alias("nb"),
-                    ),
-                ),
-            )
-        ).alias("pairs")
-    )
     pairs = (
-        pair_arrays.select(F.explode("pairs").alias("p"))
-        .groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        grouped.repartition(par)
+        .select("docs", F.explode("docs").alias("a"))
+        .select("a", F.explode("docs").alias("b"))
+        .where(F.col("a")[id_col] < F.col("b")[id_col])
+        .groupBy(
+            F.col("a")[id_col].alias("doc_a"),
+            F.col("b")[id_col].alias("doc_b"),
+            F.col("a")["n_sh"].alias("na"),
+            F.col("b")["n_sh"].alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("common"))
     )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
@@ -149,23 +162,29 @@ def minhash_lsh_pairs(
     downstream if exact Jaccard is needed.
     """
     assert num_hashes % band_size == 0
-    sh = df.select(
+    # signature stays ARRAY-shaped (word_shingles + per-element hash +
+    # min-fold): it never explodes the shingles, so the whole signature
+    # is map-side — measured faster than routing through the exploded
+    # relational _shingled (which pays window+distinct shuffles that
+    # only the pairwise-join path needs).
+    sh = df.where(F.size(tokens(F.col(text_col))) >= n).select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-    ).where(F.size("shingles") > 0)
-    # hash each shingle ONCE (md5 -> 60-bit -> mod P) in its own
-    # projection; the universal-hash permutations then run num_hashes
-    # multiply-mods per shingle instead of num_hashes md5 digests.
-    # (Two selects on purpose: CollapseProject keeps the expensive
-    # alias un-inlined, so the digest isn't recomputed per permutation.)
+    )
+    # separate select: CollapseProject keeps the expensive alias
+    # un-inlined, so the digest isn't recomputed per permutation
     hashed = sh.select(
         F.col(id_col),
         F.transform(
             F.col("shingles"), lambda s: md5_bucket(s) % F.lit(MINHASH_P)
         ).alias("hps"),
     )
-    sig = hashed.select(
+    sig_arr = hashed.select(
         F.col(id_col),
         minhash_signature_universal(F.col("hps"), num_hashes).alias("sig"),
+    )
+    sig = sig_arr.select(
+        F.col(id_col),
+        *[F.col("sig").getItem(i).alias(f"__h{i}") for i in range(num_hashes)],
     )
     n_bands = num_hashes // band_size
     bands = sig.select(
@@ -178,9 +197,7 @@ def minhash_lsh_pairs(
                         F.concat_ws(
                             "_",
                             *[
-                                F.col("sig").getItem(band * band_size + j).cast(
-                                    "string"
-                                )
+                                F.col(f"__h{band * band_size + j}").cast("string")
                                 for j in range(band_size)
                             ],
                         ).alias("band_sig"),
