@@ -39,24 +39,75 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
-    # parser throughput guard (BASELINE.md: ParserBenchmark analog) —
-    # parse materialized GLB-shaped lines, report rows/sec
+    # parser throughput guard (BASELINE.md) mirroring the reference's
+    # ParserBenchmark input shapes: GLB / nginx / FxaAuth mozlog
+    # (ParserBenchmark.java:15-150)
     import tempfile
+
+    from pyspark.sql import functions as F
 
     from foxsec_pipeline_spark.parser.parse import ParserCfg, parse_events
     from foxsec_pipeline_spark.plans.catalog_pipeline import _synth_glb_lines
+    from foxsec_pipeline_spark.session import load_tables
 
+    def _synth_nginx(ev):
+        p = F.struct(
+            F.concat(F.lit("10."), (F.col("user_id") % 32).cast("string"),
+                     F.lit(".0.1")).alias("remote_ip"),
+            F.concat(F.lit("GET /api/"), F.col("event_type"),
+                     F.lit(" HTTP/1.1")).alias("request"),
+            F.lit("200").alias("code"),
+            F.lit("bench-agent").alias("agent"),
+            F.lit("example.org").alias("host"),
+        )
+        entry = F.struct(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("timestamp"),
+            F.struct(F.struct(F.lit("np").alias("project_id")).alias("labels")).alias("resource"),
+            p.alias("jsonPayload"),
+        )
+        return ev.select(F.to_json(entry).alias("value"))
+
+    def _synth_fxa(ev):
+        fields = F.struct(
+            F.concat(F.lit("u"), F.col("user_id").cast("string"),
+                     F.lit("@example.com")).alias("email"),
+            F.lit("POST").alias("method"),
+            F.lit("/v1/account/login").alias("path"),
+            F.lit("200").alias("status"),
+            F.lit('["203.0.113.5","10.0.0.1"]').alias("remoteAddressChain"),
+            F.lit("bench").alias("agent"),
+        )
+        entry = F.struct(
+            (F.unix_micros(F.col("ts")) * 1000).cast("string").alias("Timestamp"),
+            F.lit("request.summary").alias("Type"),
+            F.lit("fxa-auth-server").alias("Logger"),
+            fields.alias("Fields"),
+        )
+        return ev.select(F.to_json(entry).alias("value"))
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    shapes = {
+        "glb": _synth_glb_lines(spark, sf_dir),
+        "nginx": _synth_nginx(ev),
+        "fxaauth": _synth_fxa(ev),
+    }
+    parser_by_shape = {}
     with tempfile.TemporaryDirectory() as d:
-        path = f"{d}/glb_lines"
-        _synth_glb_lines(spark, sf_dir).repartition(32).write.parquet(path)
-        raw = spark.read.parquet(path)
-        parse_events(raw, ParserCfg()).count()  # warm
-        t0 = time.monotonic()
-        n_parsed = parse_events(raw, ParserCfg()).count()
-        parse_dt = time.monotonic() - t0
-    parser_rps = round(n_parsed / parse_dt) if parse_dt > 0 else None
-    print(f"# parser: {n_parsed} rows in {parse_dt:.3f}s = {parser_rps} rows/s",
-          file=sys.stderr)
+        for shape, lines in shapes.items():
+            path = f"{d}/{shape}"
+            lines.repartition(32).write.parquet(path)
+            raw = spark.read.parquet(path)
+            parse_events(raw, ParserCfg()).count()  # warm
+            t0 = time.monotonic()
+            n_parsed = parse_events(raw, ParserCfg()).count()
+            parse_dt = time.monotonic() - t0
+            parser_by_shape[shape] = round(n_parsed / parse_dt) if parse_dt > 0 else None
+            print(
+                f"# parser[{shape}]: {n_parsed} rows in {parse_dt:.3f}s = "
+                f"{parser_by_shape[shape]} rows/s",
+                file=sys.stderr,
+            )
+    parser_rps = parser_by_shape.get("glb")
 
     print(
         json.dumps(
@@ -66,6 +117,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "parser_rows_per_sec": parser_rps,
+                "parser_rows_per_sec_by_shape": parser_by_shape,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -253,6 +253,50 @@ def q_ann_cosine_lsh(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_embedding_cosine",
+    f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bkt FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         round({_FOLD.format(a='a.embedding', b='b2.embedding')}
+               / (sqrt({_FOLD.format(a='a.embedding', b='a.embedding')})
+                  * sqrt({_FOLD.format(a='b2.embedding', b='b2.embedding')})),
+               6) AS cosine
+  FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.85
+""",
+    doc="embedding-cosine near-dup: LSH-bucketed candidate pairs with an "
+        "exact-cosine threshold — the vector member of the dedup family "
+        "(candidate join is bucket-local, like MinHash banding for text)",
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    from ..operators.similarity import cosine, lsh_bucket
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    b = emb.select(
+        "vec_id", "embedding",
+        lsh_bucket(F.col("embedding"), _PLANES).alias("bkt"),
+    )
+    a = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("__ea"),
+        F.col("bkt"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("__eb"),
+        F.col("bkt"),
+    )
+    return (
+        a.join(c, ["bkt"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine(F.col("__ea"), F.col("__eb")), 6))
+        .where(F.col("cosine") >= 0.85)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis family
 # ---------------------------------------------------------------------------
