@@ -114,6 +114,53 @@ def q_global_stats(spark, sf_dir):
 
 
 @register(
+    "crit_object_analyze",
+    """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         '/admin/' || CASE WHEN user_id % 7 = 0 THEN 'keys' ELSE 'dash' END
+           AS object
+  FROM events WHERE event_type = 'click'
+), hits AS (
+  SELECT event_id, user_id, ts, object,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM e WHERE regexp_matches(object, '^/admin/keys')
+)
+SELECT event_id, user_id, ts, object, 'critical' AS severity
+FROM hits WHERE rn = 1
+""",
+    doc="authprofile/CritObjectAnalyze.java:185-239 — regex match on the "
+        "accessed object escalates to critical, with first-per-identity "
+        "session suppression (AlertSuppressorSession batch analog)",
+)
+def q_crit_object(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            "event_id", "user_id", "ts",
+            F.concat(
+                F.lit("/admin/"),
+                F.when(F.col("user_id") % 7 == 0, "keys").otherwise("dash"),
+            ).alias("object"),
+        )
+    )
+    hits = e.where(F.col("object").rlike("^/admin/keys"))
+    w = Window.partitionBy("user_id", F.date_trunc("day", F.col("ts"))).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "object",
+                F.lit("critical").alias("severity"))
+    )
+
+
+@register(
     "salted_hard_limit",
     """
 SELECT date_trunc('hour', ts) AS window_start, user_id, count(*) AS count
