@@ -126,6 +126,7 @@ def account_creation_dist(
     name_col: str,
     addr_col: str,
     max_ratio: float = 0.35,
+    max_distance: int | None = None,
 ) -> DataFrame:
     """A10 CustomsAccountCreationDist: for each account, count other
     accounts in the same group whose name is within `max_ratio`
@@ -149,13 +150,25 @@ def account_creation_dist(
         F.col(name_col).alias("name_b"),
         F.col(addr_col).alias("addr_b"),
     )
-    ratio = levenshtein_ratio(F.col("name_a"), F.col("name_b"))
+    if max_distance is not None:
+        # bounded edit distance: banded DP + early exit, returns -1
+        # past the threshold. Sound when max_distance >=
+        # ceil(max_ratio * longest name) — the caller asserts that.
+        d = F.levenshtein(F.col("name_a"), F.col("name_b"), max_distance)
+        sim = (d >= 0) & (
+            d <= F.lit(float(max_ratio))
+            * F.greatest(F.length("name_a"), F.length("name_b"))
+        )
+    else:
+        sim = levenshtein_ratio(F.col("name_a"), F.col("name_b")) <= F.lit(
+            float(max_ratio)
+        )
     pairs = (
         a.join(b, "g")
         .where(
             (F.col("id_a") != F.col("id_b"))
             & (F.col("addr_a") != F.col("addr_b"))
-            & (ratio <= F.lit(float(max_ratio)))
+            & sim
         )
     )
     return (

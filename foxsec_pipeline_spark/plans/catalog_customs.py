@@ -107,6 +107,9 @@ def q_account_creation_dist(spark, sf_dir):
         name_col="c_name",
         addr_col="c_acctbal",
         max_ratio=0.35,
+        # c_name is 'Customer#NNNNNNNNN' (18 chars): 0.35*18 = 6.3, so a
+        # distance band of 7 is exact while the DP early-exits
+        max_distance=7,
     )
 
 
