@@ -146,6 +146,20 @@ WIDE_SCHEMA = T.StructType(
                 ]
             ),
         ),
+        # --- auth0 LogEvent (parser/Auth0.java, models/auth0/LogEvent.java)
+        _s("_id"),
+        _s("date"),
+        _s("type"),
+        _s("client_name"),
+        _s("ip"),
+        _s("user_id"),
+        # --- duopull event (parser/Duopull.java, models/duopull/Duopull.java)
+        _s("msg"),
+        _s("event_action"),
+        _s("event_username"),
+        _s("event_description_ip_address"),
+        _s("event_timestamp"),
+        _s("event_object"),
         # --- re-ingested Alert JSON (parser/Alert.java payload)
         _s("summary"),
         _s("severity"),

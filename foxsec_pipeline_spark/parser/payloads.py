@@ -221,6 +221,53 @@ def apache_combined_spec() -> PayloadSpec:
     )
 
 
+# auth0 type codes that are auth events (`parser/Auth0.java` AuthTypes)
+_AUTH0_AUTH_TYPES = ["s", "ssa", "seacft", "seoobft", "seotpft", "sepft", "scoa"]
+
+
+def auth0_spec() -> PayloadSpec:
+    """auth0 log event (`parser/Auth0.java`,
+    `models/auth0/LogEvent.java`): _id/date/type/ip/user_id; AUTH
+    normalized for the success-auth type codes. (The reference digs a
+    username out of details.prompt; user_id is the stable subject.)"""
+    j = F.col("j")
+    return PayloadSpec(
+        name="auth0",
+        matcher=j["_id"].isNotNull()
+        & j["date"].isNotNull()
+        & j["type"].isNotNull(),
+        normalized_type=F.when(
+            j["type"].isin(_AUTH0_AUTH_TYPES), F.lit(NORMALIZED_AUTH)
+        ),
+        fields={
+            "source_address": j["ip"],
+            "subject_user": j["user_id"],
+            "object": j["client_name"],
+        },
+        event_ts=F.to_timestamp(j["date"]),
+    )
+
+
+def duopull_spec() -> PayloadSpec:
+    """Duo Security audit pull (`parser/Duopull.java`,
+    `models/duopull/Duopull.java`): flat mozlog-ish record with
+    msg='duopull event'; admin_login actions normalize to AUTH."""
+    j = F.col("j")
+    return PayloadSpec(
+        name="duopull",
+        matcher=j["msg"] == "duopull event",
+        normalized_type=F.when(
+            j["event_action"] == "admin_login", F.lit(NORMALIZED_AUTH)
+        ),
+        fields={
+            "source_address": j["event_description_ip_address"],
+            "subject_user": j["event_username"],
+            "object": F.coalesce(j["event_object"], j["event_action"]),
+        },
+        event_ts=F.timestamp_seconds(j["event_timestamp"].cast("long")),
+    )
+
+
 def alert_spec() -> PayloadSpec:
     """Re-ingested Alert JSON (`parser/Alert.java` payload) — alerts
     are themselves events for PostProcessing."""
@@ -249,6 +296,8 @@ def default_chain() -> list[PayloadSpec]:
         fxaauth_spec(),
         cloudtrail_spec(),
         gcpaudit_spec(),
+        duopull_spec(),
+        auth0_spec(),
         openssh_spec(),
         apache_combined_spec(),
         alert_spec(),

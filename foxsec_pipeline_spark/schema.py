@@ -24,6 +24,8 @@ PAYLOAD_TYPES = [
     "openssh",
     "cloudtrail",
     "gcpaudit",
+    "duopull",
+    "auth0",
     "apache_combined",
     "alert",
     "raw",

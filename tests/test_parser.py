@@ -224,3 +224,52 @@ def test_apache_combined(spark):
     assert r.request_status == 200
     assert r.user_agent == "Mozilla/4.08 [en]"
     assert str(r.timestamp) == "1970-01-01 00:07:00"
+
+
+AUTH0_LINE = json.dumps(
+    {
+        "_id": "evt123",
+        "date": "1970-01-01T00:08:00.000Z",
+        "type": "s",
+        "client_id": "c1",
+        "client_name": "webapp",
+        "ip": "203.0.113.44",
+        "user_id": "auth0|u99",
+    }
+)
+
+DUOPULL_LINE = json.dumps(
+    {
+        "msg": "duopull event",
+        "event_action": "admin_login",
+        "event_username": "admin1",
+        "event_description_ip_address": "198.51.100.3",
+        "event_timestamp": 540,
+        "event_object": None,
+        "path": "/admin/v1/logs/administrator",
+    }
+)
+
+
+def test_auth0(spark):
+    r = _parse(spark, [AUTH0_LINE]).collect()[0]
+    assert r.payload_type == "auth0"
+    assert r.normalized_type == "auth"  # type 's' = success login
+    assert r.source_address == "203.0.113.44"
+    assert r.subject_user == "auth0|u99"
+    assert r.object == "webapp"
+    assert str(r.timestamp) == "1970-01-01 00:08:00"
+    # non-auth type code -> no normalized type
+    line2 = json.loads(AUTH0_LINE); line2["type"] = "sapi"
+    r2 = _parse(spark, [json.dumps(line2)]).collect()[0]
+    assert r2.payload_type == "auth0" and r2.normalized_type is None
+
+
+def test_duopull(spark):
+    r = _parse(spark, [DUOPULL_LINE]).collect()[0]
+    assert r.payload_type == "duopull"
+    assert r.normalized_type == "auth"
+    assert r.subject_user == "admin1"
+    assert r.source_address == "198.51.100.3"
+    assert r.object == "admin_login"
+    assert str(r.timestamp) == "1970-01-01 00:09:00"  # epoch-seconds ts
