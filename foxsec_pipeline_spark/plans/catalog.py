@@ -517,13 +517,14 @@ WITH d AS (
   FROM d
 )
 SELECT user_id, min(ts) AS first_ts, count(*) AS n_events
-FROM s GROUP BY user_id, sid HAVING count(*) > 25
+FROM s GROUP BY user_id, sid HAVING count(*) > 3
 """,
-    doc="SessionLimitAnalysis.java:136-230 — fixed per-session volume limit",
+    doc="SessionLimitAnalysis.java:136-230 — fixed per-session volume limit "
+        "(threshold tuned so sf0.01 produces non-vacuous output)",
 )
 def q_session_limit(spark, sf_dir):
     return session_limit_analysis(
-        _events(spark, sf_dir), key="user_id", ts="ts", gap="2 hours", max_count=25
+        _events(spark, sf_dir), key="user_id", ts="ts", gap="2 hours", max_count=3
     )
 
 
@@ -544,10 +545,11 @@ WITH e AS (
   FROM d
 )
 SELECT user_id, event_type, min(ts) AS first_ts, count(*) AS error_count
-FROM s GROUP BY user_id, event_type, sid HAVING count(*) > 3
+FROM s GROUP BY user_id, event_type, sid HAVING count(*) > 2
 """,
     doc="PerEndpointErrorRateAnalysis.java:153-220 — per-session "
-        "per-endpoint error counting (error-session gap family)",
+        "per-endpoint error counting (error-session gap family; threshold "
+        "tuned so sf0.01 produces non-vacuous output)",
 )
 def q_per_endpoint_error_rate(spark, sf_dir):
     return per_endpoint_error_rate(
@@ -557,7 +559,7 @@ def q_per_endpoint_error_rate(spark, sf_dir):
         error_predicate=F.col("event_type").isin("error", "purchase"),
         ts="ts",
         gap="4 hours",
-        max_errors=3,
+        max_errors=2,
     )
 
 

@@ -23,16 +23,16 @@ def _events(spark, sf_dir):
     "threshold_with_nat_exclusion",
     """
 WITH counts AS (
-  SELECT date_trunc('hour', ts) AS window_start, user_id, count(*) AS n
+  SELECT date_trunc('day', ts) AS window_start, user_id, count(*) AS n
   FROM events GROUP BY 1, 2
 ), nat AS (
-  SELECT date_trunc('hour', ts) AS window_start, user_id
-  FROM events GROUP BY 1, 2 HAVING count(DISTINCT event_type) >= 4
+  SELECT date_trunc('day', ts) AS window_start, user_id
+  FROM events GROUP BY 1, 2 HAVING count(DISTINCT event_type) >= 5
 )
 SELECT c.window_start, c.user_id, c.n AS count
 FROM counts c
 LEFT JOIN nat ON c.window_start = nat.window_start AND c.user_id = nat.user_id
-WHERE nat.user_id IS NULL AND c.n > 15
+WHERE nat.user_id IS NULL AND c.n > 6
 """,
     doc="J2 DetectNat.java:64-69 + ThresholdAnalysis.java:136-153 — the "
         "NAT side-view becomes a window-aligned LEFT ANTI join: keys the "
@@ -40,14 +40,14 @@ WHERE nat.user_id IS NULL AND c.n > 15
 )
 def q_threshold_nat_exclusion(spark, sf_dir):
     ev = _events(spark, sf_dir)
-    counts = windowed_counts(ev, key="user_id", ts="ts", duration="1 hour")
+    counts = windowed_counts(ev, key="user_id", ts="ts", duration="1 day")
     nat = detect_nat(
         ev, key="user_id", diversity_col="event_type",
-        ts="ts", duration="1 hour", min_distinct=4,
+        ts="ts", duration="1 day", min_distinct=5,
     ).select("window_start", "user_id")
     return (
         counts.join(F.broadcast(nat), ["window_start", "user_id"], "left_anti")
-        .where(F.col("n") > 15)
+        .where(F.col("n") > 6)
         .select("window_start", "user_id", F.col("n").alias("count"))
     )
 
@@ -96,20 +96,29 @@ WITH counts AS (
   SELECT date_trunc('hour', ts) AS window_start, user_id, count(*) AS n
   FROM events GROUP BY 1, 2
 )
-SELECT window_start, count(*) AS stats_count, sum(n) AS stats_sum,
-       round(avg(n), 6) AS stats_mean
+SELECT window_start, count(*) AS stats_count,
+       CAST(sum(n) AS BIGINT) AS stats_sum,
+       CAST((sum(n) * 1000000) // count(*) AS BIGINT) AS stats_mean_micros
 FROM counts GROUP BY 1
 """,
     doc="A2 Stats.java:119-225 — the global CombineFn (count/sum/mean over "
         "per-client counts) exposed as the window-aligned stats view that "
-        "ThresholdAnalysis broadcasts",
+        "ThresholdAnalysis broadcasts. The mean is emitted in exact integer "
+        "micros ((sum*1e6) DIV count) so the cross-engine hash is "
+        "deterministic — Spark round() and DuckDB round() disagree on "
+        "half-ulp doubles (the r01 hash mismatch)",
 )
 def q_global_stats(spark, sf_dir):
     counts = windowed_counts(
         _events(spark, sf_dir), key="user_id", ts="ts", duration="1 hour"
     )
-    return per_key_stats(counts).withColumn(
-        "stats_mean", F.round("stats_mean", 6)
+    return per_key_stats(counts).select(
+        "window_start",
+        "stats_count",
+        "stats_sum",
+        F.expr(
+            "CAST((stats_sum * CAST(1000000 AS BIGINT)) DIV stats_count AS BIGINT)"
+        ).alias("stats_mean_micros"),
     )
 
 
@@ -163,8 +172,8 @@ def q_crit_object(spark, sf_dir):
 @register(
     "salted_hard_limit",
     """
-SELECT date_trunc('hour', ts) AS window_start, user_id, count(*) AS count
-FROM events GROUP BY 1, 2 HAVING count(*) > 15
+SELECT date_trunc('day', ts) AS window_start, user_id, count(*) AS count
+FROM events GROUP BY 1, 2 HAVING count(*) > 6
 """,
     doc="skew fallback (SCALE.md): two-phase salted count — bit-identical "
         "to the unsalted hard-limit aggregate (same oracle), worst-reducer "
@@ -176,10 +185,10 @@ def q_salted_hard_limit(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return (
         salted_windowed_counts(
-            ev, key="user_id", ts="ts", duration="1 hour",
+            ev, key="user_id", ts="ts", duration="1 day",
             salt=16, salt_source=F.col("event_id"),
         )
-        .where(F.col("n") > 15)
+        .where(F.col("n") > 6)
         .select("window_start", "user_id", F.col("n").alias("count"))
     )
 

@@ -194,7 +194,7 @@ def q_assume_role(spark, sf_dir):
 @register(
     "status_comparator",
     """
-SELECT date_trunc('hour', ts) AS window_start, user_id,
+SELECT date_trunc('day', ts) AS window_start, user_id,
        count(*) FILTER (WHERE event_type = 'view') AS n_scans,
        count(*) FILTER (WHERE event_type = 'error') AS n_failures
 FROM events GROUP BY 1, 2
@@ -212,7 +212,7 @@ def q_status_comparator(spark, sf_dir):
         scan_predicate=F.col("event_type") == "view",
         failure_predicate=F.col("event_type") == "error",
         ts="ts",
-        duration="1 hour",
+        duration="1 day",
         min_scans=2,
         min_failures=1,
     )
@@ -323,7 +323,7 @@ def q_guardduty_matcher(spark, sf_dir):
 @register(
     "source_login_failure",
     """
-SELECT date_trunc('hour', ts) AS window_start, user_id, count(*) AS n_failures
+SELECT date_trunc('day', ts) AS window_start, user_id, count(*) AS n_failures
 FROM events WHERE event_type = 'error'
 GROUP BY 1, 2 HAVING count(*) > 3
 """,
@@ -336,16 +336,16 @@ def q_source_login_failure(spark, sf_dir):
     return error_rate_analysis(
         _events(spark, sf_dir), key="user_id",
         error_predicate=F.col("event_type") == "error",
-        ts="ts", duration="1 hour", max_errors=3,
+        ts="ts", duration="1 day", max_errors=3,
     ).withColumnRenamed("error_count", "n_failures")
 
 
 @register(
     "password_reset_abuse",
     """
-SELECT date_trunc('hour', ts) AS window_start, user_id, count(*) AS n_resets
+SELECT date_trunc('day', ts) AS window_start, user_id, count(*) AS n_resets
 FROM events WHERE event_type = 'view'
-GROUP BY 1, 2 HAVING count(*) > 4
+GROUP BY 1, 2 HAVING count(*) > 2
 """,
     doc="customs/PasswordResetAbuse (Customs.java:531-560): per-account "
         "windowed password-forgot-send count threshold",
@@ -356,7 +356,7 @@ def q_password_reset_abuse(spark, sf_dir):
     return error_rate_analysis(
         _events(spark, sf_dir), key="user_id",
         error_predicate=F.col("event_type") == "view",
-        ts="ts", duration="1 hour", max_errors=4,
+        ts="ts", duration="1 day", max_errors=2,
     ).withColumnRenamed("error_count", "n_resets")
 
 
@@ -364,13 +364,13 @@ def q_password_reset_abuse(spark, sf_dir):
     "account_enumeration",
     """
 WITH agg AS (
-  SELECT date_trunc('hour', ts) AS window_start, user_id,
+  SELECT date_trunc('day', ts) AS window_start, user_id,
          count(DISTINCT props) AS n_accounts,
          count(DISTINCT event_type) AS n_types
   FROM events GROUP BY 1, 2
 )
 SELECT window_start, user_id, n_accounts
-FROM agg WHERE n_accounts >= 8 AND n_types > 1
+FROM agg WHERE n_accounts >= 6 AND n_types > 1
 """,
     doc="customs/CustomsAccountEnumeration (+ content-server variance "
         "gate ContentServerVarianceDetector.java:51-95): many distinct "
@@ -380,12 +380,12 @@ FROM agg WHERE n_accounts >= 8 AND n_types > 1
 def q_account_enumeration(spark, sf_dir):
     agg = (
         _events(spark, sf_dir)
-        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
         .agg(
             F.countDistinct("props").alias("n_accounts"),
             F.countDistinct("event_type").alias("n_types"),
         )
-        .where((F.col("n_accounts") >= 8) & (F.col("n_types") > 1))
+        .where((F.col("n_accounts") >= 6) & (F.col("n_types") > 1))
     )
     return agg.select(
         F.col("w.start").alias("window_start"), "user_id", "n_accounts"

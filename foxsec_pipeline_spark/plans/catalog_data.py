@@ -266,7 +266,7 @@ WITH b AS (
                6) AS cosine
   FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
 )
-SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.85
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4
 """,
     doc="embedding-cosine near-dup: LSH-bucketed candidate pairs with an "
         "exact-cosine threshold — the vector member of the dedup family "
@@ -292,7 +292,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
         a.join(c, ["bkt"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", F.round(cosine(F.col("__ea"), F.col("__eb")), 6))
-        .where(F.col("cosine") >= 0.85)
+        .where(F.col("cosine") >= 0.4)
         .select("vec_a", "vec_b", "cosine")
     )
 
