@@ -1,16 +1,21 @@
-"""Network functions — IPv4 math, CIDR membership, XFF selection.
+"""Network functions — IPv4/IPv6 math, CIDR membership, XFF selection.
 
 Reference: `CidrUtil.java:126-244` + radix tree `InetRadix.java:7-136`
 (CIDR exclusion lists: file lists, cloud-provider ranges, RFC1918);
-`parser/Parser.java:164-293` (X-Forwarded-For client selection given
-trusted-proxy CIDRs).
+`parser/Parser.java:164-238` (X-Forwarded-For client selection given
+trusted-proxy CIDRs; default = last entry, trusted-proxy walk is
+right-to-left).
 
 The reference walks a radix tree per event in Java. Here IPv4 CIDR
-membership is pure integer SQL (aton + mask compare) evaluated inside
-whole-stage codegen — no UDF, no broadcast needed for small prefix
-lists because the OR-chain constant-folds. For large prefix sets, use
-`cidr_join` which joins on a /16 bucket so the probe stays an
-equi-join (scales to millions of prefixes).
+membership is pure integer SQL (validated aton + mask compare) and
+IPv6 membership is a fixed-width hex-string range compare — both
+evaluated inside whole-stage codegen, no UDF. Malformed addresses
+yield NULL (the reference validates via InetAddresses.isInetAddress
+before any lookup); exclusion predicates are null-safe so a non-IPv4
+source is never silently dropped by an IPv4 exclusion list.
+
+For large prefix sets, use `cidr_join` which joins on a /16 bucket so
+the probe stays an equi-join (scales to millions of prefixes).
 """
 
 from __future__ import annotations
@@ -23,36 +28,110 @@ from pyspark.sql import functions as F
 
 RFC1918 = ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"]
 
+# dotted quad with per-octet <= 255 (no leading-garbage aliasing:
+# '1.2.3.400' must NOT alias into 1.2.4.x — CidrUtil validates via
+# InetAddresses.isInetAddress before lookup)
+_IPV4_RX = (
+    r"^(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+    r"(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}$"
+)
+
 
 def ipv4_aton(ip: Column) -> Column:
-    """Dotted-quad string -> int64 (CidrUtil's addressToLong analog)."""
+    """Dotted-quad string -> int64 (CidrUtil's addressToLong analog).
+
+    NULL for anything that is not a valid IPv4 address (octet > 255,
+    hostnames, IPv6, multi-IP strings), matching the reference's
+    validate-before-lookup behavior.
+    """
     p = F.split(ip, r"\.")
-    return (
+    raw = (
         p.getItem(0).cast("long") * F.lit(16777216)
         + p.getItem(1).cast("long") * F.lit(65536)
         + p.getItem(2).cast("long") * F.lit(256)
         + p.getItem(3).cast("long")
     )
+    return F.when(ip.rlike(_IPV4_RX), raw)
+
+
+def ipv6_atohex(ip: Column) -> Column:
+    """IPv6 string -> fixed-width 32-char lowercase hex, NULL if not
+    IPv6-shaped. Lexicographic order on the expanded form equals
+    numeric order, so CIDR membership is a string range compare
+    (`CidrUtil.java:190-244` handles IPv6 via InetRadix; this is the
+    codegen-friendly equivalent).
+
+    Handles `::` zero-compression by padding the middle to 8 groups.
+    Mixed IPv4-in-IPv6 tails (::ffff:1.2.3.4) are not expanded (NULL)
+    — rare in XFF/source fields and representable by their mapped
+    range if needed.
+    """
+    lower = F.lower(F.trim(ip))
+    shaped = lower.rlike(r"^[0-9a-f:]+$") & lower.contains(":") & ~lower.rlike(
+        r":::|^:[^:]|[^:]:$|.*::.*::"
+    )
+    halves = F.split(lower, "::", -1)
+    left = F.filter(F.split(F.element_at(halves, 1), ":"), lambda s: s != "")
+    right = F.when(
+        F.size(halves) == 2,
+        F.filter(F.split(F.element_at(halves, 2), ":"), lambda s: s != ""),
+    ).otherwise(F.array().cast("array<string>"))
+    n_pad = F.when(F.size(halves) == 2, F.lit(8) - F.size(left) - F.size(right)).otherwise(
+        F.lit(0)
+    )
+    groups = F.concat(
+        left,
+        F.array_repeat(F.lit("0"), n_pad.cast("int")),
+        right,
+    )
+    ok = shaped & (F.size(groups) == 8) & F.forall(
+        groups, lambda g: g.rlike(r"^[0-9a-f]{1,4}$")
+    )
+    hexstr = F.array_join(F.transform(groups, lambda g: F.lpad(g, 4, "0")), "")
+    return F.when(ok, hexstr)
 
 
 def cidr_contains(ip: Column, cidr: str) -> Column:
-    """ip ∈ cidr as a constant-folded integer compare."""
+    """ip ∈ cidr. IPv4 nets use the validated integer compare; IPv6
+    nets use the fixed-width hex range compare. NULL when the address
+    is not parseable in the net's family (caller decides drop/keep)."""
     net = ipaddress.ip_network(cidr, strict=False)
-    lo = int(net.network_address)
-    hi = int(net.broadcast_address)
-    a = ipv4_aton(ip)
-    return (a >= F.lit(lo)) & (a <= F.lit(hi))
+    if net.version == 4:
+        a = ipv4_aton(ip)
+        return (a >= F.lit(int(net.network_address))) & (
+            a <= F.lit(int(net.broadcast_address))
+        )
+    lo = format(int(net.network_address), "032x")
+    hi = format(int(net.broadcast_address), "032x")
+    h = ipv6_atohex(ip)
+    return (h >= F.lit(lo)) & (h <= F.lit(hi))
 
 
 def cidr_in_any(ip: Column, cidrs: list[str]) -> Column:
-    """ip ∈ any of cidrs (CidrUtil.java:126-185 exclusion semantics)."""
+    """ip ∈ any of cidrs (CidrUtil.java:126-185 exclusion semantics).
+
+    NULL-valued per-net tests (address not in that family / malformed)
+    do not poison the OR: a TRUE from any net wins; all-NULL stays
+    NULL so callers can choose exclusion polarity explicitly.
+    """
     return reduce(lambda a, b: a | b, [cidr_contains(ip, c) for c in cidrs])
+
+
+def cidr_in_any_strict(ip: Column, cidrs: list[str]) -> Column:
+    """Null-safe membership: False (not NULL) when the address matches
+    no listed net or is unparseable — the form exclusion filters need."""
+    return F.coalesce(cidr_in_any(ip, cidrs), F.lit(False))
 
 
 def exclude_cidrs(df: DataFrame, ip_col: str, cidrs: list[str] | None = None) -> DataFrame:
     """Drop rows whose source address is inside any listed CIDR —
-    the HTTPRequest element filter (`HTTPRequestElementFilter.java:33-51`)."""
-    return df.where(~cidr_in_any(F.col(ip_col), cidrs or RFC1918))
+    the HTTPRequest element filter (`HTTPRequestElementFilter.java:33-51`).
+
+    Null-safe: an IPv6 or malformed source tested against IPv4 nets
+    yields NULL membership, which must mean KEEP (only genuine matches
+    drop) — `where(~NULL)` would silently discard the row.
+    """
+    return df.where(~cidr_in_any_strict(F.col(ip_col), cidrs or RFC1918))
 
 
 def cidr_join(df: DataFrame, ip_col: str, prefixes: DataFrame) -> DataFrame:
@@ -79,23 +158,31 @@ def cidr_join(df: DataFrame, ip_col: str, prefixes: DataFrame) -> DataFrame:
     return hit.drop("__ipa", "__b16")
 
 
+def xff_select_from_array(
+    arr: Column, trusted_cidrs: list[str] | None = None
+) -> Column:
+    """Client-IP selection over an address-chain array
+    (`Parser.applyXffAddressSelector`, Parser.java:164-238).
+
+    Reference semantics: single entry -> itself; multiple entries with
+    no trusted config -> LAST entry (rightmost = nearest proxy, but
+    with no proxy knowledge the last hop is the only non-forgeable
+    position); with trusted CIDRs -> walk right-to-left skipping
+    trusted proxies, first untrusted wins; every entry trusted ->
+    last entry. Unparseable entries count as untrusted (NULL-safe).
+    """
+    if not trusted_cidrs:
+        return F.element_at(arr, -1)
+    untrusted = F.filter(
+        arr, lambda s: ~F.coalesce(cidr_in_any(s, trusted_cidrs), F.lit(False))
+    )
+    return F.coalesce(F.try_element_at(untrusted, F.lit(-1)), F.element_at(arr, -1))
+
+
 def xff_select_client(
     xff: Column, trusted_cidrs: list[str] | None = None
 ) -> Column:
-    """Pick the client IP from an X-Forwarded-For chain
-    (`parser/Parser.java:164-238`).
-
-    Semantics: entries are comma-separated, rightmost is nearest
-    proxy. Walking right-to-left, skip entries inside trusted-proxy
-    CIDRs; the first non-trusted entry is the client. With no trusted
-    list, take the last entry (reference default: second-from-right
-    when behind one LB, expressed by passing the LB range).
-    """
-    arr = F.transform(F.split(xff, r"\s*,\s*"), lambda s: F.trim(s))
-    if not trusted_cidrs:
-        return F.element_at(arr, -1)
-    trusted = lambda c: cidr_in_any(c, trusted_cidrs)  # noqa: E731
-    untrusted = F.filter(arr, lambda s: ~trusted(s))
-    # last untrusted entry, else leftmost overall (try_: empty array
-    # must yield NULL for the coalesce, not an index error)
-    return F.coalesce(F.try_element_at(untrusted, F.lit(-1)), F.element_at(arr, 1))
+    """Pick the client IP from a comma-separated X-Forwarded-For
+    string (`parser/Parser.java:164-238`); see xff_select_from_array."""
+    arr = F.transform(F.split(xff, ","), lambda s: F.trim(s))
+    return xff_select_from_array(arr, trusted_cidrs)

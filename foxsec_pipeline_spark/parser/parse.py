@@ -61,7 +61,7 @@ def parse_events(
     literal; production uses current_timestamp per micro-batch).
     """
     cfg = cfg or ParserCfg()
-    chain = cfg.chain or default_chain()
+    chain = cfg.chain or default_chain(cfg.xff_trusted_cidrs)
 
     if cfg.fast_matcher:
         # manual pushdown in the reference; free row-group pruning here

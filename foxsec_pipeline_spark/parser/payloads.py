@@ -20,6 +20,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..functions.net import xff_select_client, xff_select_from_array
 from ..schema import (
     NORMALIZED_AUTH,
     NORMALIZED_HTTP_REQUEST,
@@ -71,10 +72,15 @@ def glb_spec() -> PayloadSpec:
     )
 
 
-def nginx_spec() -> PayloadSpec:
+def nginx_spec(xff_trusted_cidrs: list[str] | None = None) -> PayloadSpec:
     """nginx access log via Stackdriver jsonPayload variant
     (`parser/Nginx.java`, models/nginxstackdriver variant2;
-    FIXTURES.md F2): fields remote_ip, request, code, agent."""
+    FIXTURES.md F2): fields remote_ip, request, code, agent.
+
+    The XFF header goes through the client selector
+    (`Parser.applyXffAddressSelector`, Parser.java:164-238) — a raw
+    multi-hop chain ('ip1, ip2') is never used verbatim as
+    source_address (it would null ipv4 math downstream)."""
     p = F.col("j.jsonPayload")
     req = p["request"]
     return PayloadSpec(
@@ -82,7 +88,10 @@ def nginx_spec() -> PayloadSpec:
         matcher=p["remote_ip"].isNotNull() & req.isNotNull(),
         normalized_type=F.lit(NORMALIZED_HTTP_REQUEST),
         fields={
-            "source_address": F.coalesce(p["x_forwarded_for"], p["remote_ip"]),
+            "source_address": F.coalesce(
+                xff_select_client(p["x_forwarded_for"], xff_trusted_cidrs),
+                p["remote_ip"],
+            ),
             "request_method": F.split(req, " ").getItem(0),
             "request_path": F.split(req, " ").getItem(1),
             "request_host": p["host"],
@@ -92,15 +101,17 @@ def nginx_spec() -> PayloadSpec:
     )
 
 
-def fxaauth_spec() -> PayloadSpec:
+def fxaauth_spec(xff_trusted_cidrs: list[str] | None = None) -> PayloadSpec:
     """Firefox Accounts auth server mozlog (`parser/FxaAuth.java`):
     mozlog Type fxa-auth-server / logger fxa-auth; Fields carry
     path/method/status/email/remoteAddressChain."""
     f = F.col("moz_fields")
-    # remoteAddressChain is a JSON-encoded array string; XFF-style
-    # selection: client is the first entry (configured selector —
-    # Parser.java:164-238). One from_json over a tiny string.
-    chain0 = F.from_json(f["remoteAddressChain"], "array<string>").getItem(0)
+    # remoteAddressChain is a JSON-encoded array string run through the
+    # XFF client selector (FxaAuth.java:441-452 joins the array and
+    # calls applyXffAddressSelector: right-to-left skipping trusted
+    # proxies, LAST entry by default). One from_json over a tiny string.
+    chain = F.from_json(f["remoteAddressChain"], "array<string>")
+    selected = xff_select_from_array(chain, xff_trusted_cidrs)
     return PayloadSpec(
         name="fxaauth",
         matcher=(
@@ -110,7 +121,7 @@ def fxaauth_spec() -> PayloadSpec:
         & f["path"].isNotNull(),
         normalized_type=F.lit(NORMALIZED_AUTH),
         fields={
-            "source_address": F.coalesce(chain0, f["remoteAddress"]),
+            "source_address": F.coalesce(selected, f["remoteAddress"]),
             "subject_user": F.coalesce(f["email"], f["uid"]),
             "request_method": f["method"],
             "request_path": f["path"],
@@ -287,13 +298,13 @@ def alert_spec() -> PayloadSpec:
     )
 
 
-def default_chain() -> list[PayloadSpec]:
+def default_chain(xff_trusted_cidrs: list[str] | None = None) -> list[PayloadSpec]:
     """Fixed probe order, mirroring Parser.java:597-619 (most-specific
     first, raw fallback implicit)."""
     return [
         glb_spec(),
-        nginx_spec(),
-        fxaauth_spec(),
+        nginx_spec(xff_trusted_cidrs),
+        fxaauth_spec(xff_trusted_cidrs),
         cloudtrail_spec(),
         gcpaudit_spec(),
         duopull_spec(),

@@ -40,6 +40,52 @@ def test_cidr_membership(spark):
     assert [r.ip for r in hit] == ["8.8.8.8"]
 
 
+def test_ipv4_aton_validates_octets(spark):
+    # '1.2.3.400' must NOT alias into 1.2.4.x (CidrUtil validates via
+    # InetAddresses.isInetAddress); malformed -> NULL
+    df = spark.createDataFrame(
+        [Row(ip="1.2.3.400"), Row(ip="evil.example.com"), Row(ip="1.2.3"),
+         Row(ip="01.2.3.4"), Row(ip="1.2.3.4")]
+    )
+    got = [r[0] for r in df.select(ipv4_aton(F.col("ip"))).collect()]
+    assert got == [None, None, None, None, 16909060]
+
+
+def test_exclude_cidrs_null_safe(spark):
+    # IPv6 / hostname / multi-hop sources must be KEPT by an IPv4
+    # exclusion list (membership NULL != match), not silently dropped
+    df = spark.createDataFrame(
+        [Row(ip="10.0.0.1"), Row(ip="2001:db8::1"),
+         Row(ip="host.example"), Row(ip="1.2.3.4, 5.6.7.8")]
+    )
+    kept = [r.ip for r in exclude_cidrs(df, "ip", ["10.0.0.0/8"]).collect()]
+    assert kept == ["2001:db8::1", "host.example", "1.2.3.4, 5.6.7.8"]
+
+
+def test_ipv6_cidr_membership(spark):
+    from foxsec_pipeline_spark.functions.net import cidr_in_any_strict
+
+    df = spark.createDataFrame(
+        [Row(ip="2001:db8::1"), Row(ip="2001:db8:0:0:0:0:0:1"),
+         Row(ip="2001:db9::1"), Row(ip="fe80::2"), Row(ip="10.0.0.1")]
+    )
+    hit = [
+        r.ip
+        for r in df.where(
+            cidr_in_any_strict(F.col("ip"), ["2001:db8::/32"])
+        ).collect()
+    ]
+    assert hit == ["2001:db8::1", "2001:db8:0:0:0:0:0:1"]
+    # mixed v4+v6 exclusion list: each family matched by its own nets
+    both = [
+        r.ip
+        for r in df.where(
+            cidr_in_any_strict(F.col("ip"), ["2001:db8::/32", "10.0.0.0/8"])
+        ).collect()
+    ]
+    assert both == ["2001:db8::1", "2001:db8:0:0:0:0:0:1", "10.0.0.1"]
+
+
 def test_xff_selection(spark):
     # client, untrusted proxy, trusted LB: trusted entries skipped
     # right-to-left (Parser.java:164-238 semantics)
@@ -50,12 +96,13 @@ def test_xff_selection(spark):
         xff_select_client(F.col("xff"), ["10.0.0.0/8"]).alias("c")
     ).collect()[0].c
     assert got == "198.51.100.9"
-    # all trusted -> fall back to leftmost
+    # all trusted -> fall back to LAST entry (Parser.java:191:
+    # 'return parts[parts.length - 1]')
     df2 = spark.createDataFrame([Row(xff="10.0.0.2, 10.0.0.1")])
     got2 = df2.select(
         xff_select_client(F.col("xff"), ["10.0.0.0/8"]).alias("c")
     ).collect()[0].c
-    assert got2 == "10.0.0.2"
+    assert got2 == "10.0.0.1"
     # no trusted list -> last entry
     got3 = df.select(xff_select_client(F.col("xff")).alias("c")).collect()[0].c
     assert got3 == "10.0.0.1"

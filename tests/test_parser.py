@@ -123,12 +123,19 @@ def test_nginx(spark):
 
 
 def test_fxaauth_mozlog(spark):
-    r = _parse(spark, [FXA_LINE]).collect()[0]
+    # with trusted-proxy CIDRs the selector walks right-to-left and
+    # returns the first untrusted entry (FxaAuth.java:441-452 +
+    # Parser.applyXffAddressSelector)
+    r = _parse(spark, [FXA_LINE], xff_trusted_cidrs=["10.0.0.0/8"]).collect()[0]
     assert r.payload_type == "fxaauth"
     assert r.normalized_type == "auth"
     assert r.subject_user == "user@example.com"
     assert r.source_address == "203.0.113.5"
     assert str(r.timestamp) == "1970-01-01 00:01:00"  # mozlog ns ts
+    # no trusted config + multiple entries -> LAST entry (reference
+    # default, Parser.java:181-184)
+    r2 = _parse(spark, [FXA_LINE]).collect()[0]
+    assert r2.source_address == "10.0.0.1"
 
 
 def test_openssh(spark):
