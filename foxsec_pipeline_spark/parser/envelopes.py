@@ -32,8 +32,10 @@ def _s(name: str) -> T.StructField:
     return T.StructField(name, T.StringType())
 
 
-# Mozlog Fields{} — the FxaAuth family's payload body
-# (`parser/FxaAuth.java`; fixture family FIXTURES.md F3)
+# Mozlog Fields{} — shared payload body for every mozlog-hinted family
+# (`parser/FxaAuth.java`, `FxaContent.java`, `PrivateRelay.java`,
+# `AmoDocker.java`, `BmoAudit.java`, `IPrepdLog.java`,
+# `Taskcluster.java`; fixture family FIXTURES.md F3)
 _MOZ_FIELDS = T.StructType(
     [
         _s("email"),
@@ -47,6 +49,40 @@ _MOZ_FIELDS = T.StructType(
         _s("remoteAddress"),
         # JSON-encoded array string in the mozlog shape
         _s("remoteAddressChain"),
+        # FxaContent (models/fxacontent/FxaContent.java)
+        _s("clientAddress"),
+        _s("userAgent"),
+        # PrivateRelay (parser/PrivateRelay.java fields)
+        _s("msg"),
+        _s("fxa_uid"),
+        _s("real_address"),
+        _s("relay_address"),
+        _s("relay_address_id"),
+        _s("event_key"),
+        # AmoDocker (models/amo/Amo.java)
+        _s("guid"),
+        _s("from_api"),
+        _s("user_id"),
+        _s("upload"),
+        _s("upload_hash"),
+        # BmoAudit (parser/BmoAudit.java)
+        _s("remote_ip"),
+        _s("request_id"),
+        # Taskcluster (models/taskcluster/Taskcluster.java)
+        _s("apiVersion"),
+        _s("clientId"),
+        _s("sourceIp"),
+        _s("statusCode"),
+        _s("name"),
+        _s("resource"),
+        # IPrepdLog (parser/IPrepdLog.java)
+        _s("violation"),
+        _s("decay_after"),
+        _s("original_reputation"),
+        _s("reputation"),
+        _s("type"),
+        _s("exception"),
+        _s("object"),
     ]
 )
 
@@ -101,6 +137,43 @@ WIDE_SCHEMA = T.StructType(
                     _s("Logger"),
                     _s("Timestamp"),
                     T.StructField("Fields", _MOZ_FIELDS),
+                    # ETD finding body (parser/ETDBeta.java,
+                    # models/etd/EventThreatDetectionFinding.java)
+                    _s("detectionPriority"),
+                    _s("eventTime"),
+                    T.StructField(
+                        "detectionCategory",
+                        T.StructType(
+                            [_s("indicator"), _s("ruleName"), _s("subRuleName"),
+                             _s("technique")]
+                        ),
+                    ),
+                    T.StructField(
+                        "properties",
+                        T.StructType(
+                            [_s("ip"), _s("location"), _s("project_id"),
+                             _s("principalEmail"), _s("domain")]
+                        ),
+                    ),
+                    T.StructField(
+                        "sourceId",
+                        T.StructType(
+                            [_s("projectNumber"), _s("customerOrganizationNumber")]
+                        ),
+                    ),
+                    # GCP VPC flow (parser/GcpVpcFlow.java,
+                    # models/gcpvpcflow/GcpVpcFlow.java)
+                    T.StructField(
+                        "connection",
+                        T.StructType(
+                            [_s("src_ip"), _s("src_port"), _s("dest_ip"),
+                             _s("dest_port"), _s("protocol")]
+                        ),
+                    ),
+                    _s("bytes_sent"),
+                    T.StructField(
+                        "src_instance", T.StructType([_s("vm_name")])
+                    ),
                 ]
             ),
         ),
@@ -165,6 +238,83 @@ WIDE_SCHEMA = T.StructType(
         _s("severity"),
         _s("category"),
         T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+        # --- GuardDuty finding via CloudWatch *Event* wrapper
+        # (parser/GuardDuty.java: source == "aws.guardduty", finding in
+        # `detail` — distinct from the logEvents subscription batch)
+        _s("source"),
+        _s("detail-type"),
+        _s("time"),
+        _s("account"),
+        _s("region"),
+        T.StructField(
+            "detail",
+            T.StructType(
+                [
+                    _s("schemaVersion"),
+                    _s("accountId"),
+                    _s("region"),
+                    _s("id"),
+                    _s("arn"),
+                    _s("type"),
+                    _s("title"),
+                    _s("description"),
+                    _s("severity"),
+                    _s("createdAt"),
+                    _s("updatedAt"),
+                    T.StructField(
+                        "resource",
+                        T.StructType(
+                            [
+                                _s("resourceType"),
+                                T.StructField(
+                                    "accessKeyDetails",
+                                    T.StructType(
+                                        [_s("accessKeyId"), _s("principalId"),
+                                         _s("userType"), _s("userName")]
+                                    ),
+                                ),
+                                T.StructField(
+                                    "instanceDetails",
+                                    T.StructType([_s("instanceId")]),
+                                ),
+                            ]
+                        ),
+                    ),
+                    T.StructField(
+                        "service",
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    "action",
+                                    T.StructType(
+                                        [
+                                            _s("actionType"),
+                                            T.StructField(
+                                                "awsApiCallAction",
+                                                T.StructType(
+                                                    [
+                                                        _s("api"),
+                                                        T.StructField(
+                                                            "remoteIpDetails",
+                                                            T.StructType(
+                                                                [_s("ipAddressV4")]
+                                                            ),
+                                                        ),
+                                                    ]
+                                                ),
+                                            ),
+                                        ]
+                                    ),
+                                ),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        # --- CfgTick heartbeat (parser/CfgTick.java: any JSON carrying
+        # a configuration_tick field)
+        _s("configuration_tick"),
     ]
 )
 

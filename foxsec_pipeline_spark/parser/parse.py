@@ -88,6 +88,7 @@ def parse_events(
 
     norm_type = F.lit(None).cast("string")
     payload_ts = F.lit(None).cast("timestamp")
+    extras_col = F.lit(None).cast("map<string,string>")
     for spec in reversed(chain):
         norm_type = F.when(
             F.col("payload_type") == spec.name, spec.normalized_type
@@ -96,6 +97,20 @@ def parse_events(
             payload_ts = F.when(
                 F.col("payload_type") == spec.name, spec.event_ts
             ).otherwise(payload_ts)
+        if spec.extras:
+            m = F.map_filter(
+                F.create_map(
+                    *[
+                        c
+                        for k, v in sorted(spec.extras.items())
+                        for c in (F.lit(k), v.cast("string"))
+                    ]
+                ),
+                lambda _, v: v.isNotNull(),
+            )
+            extras_col = F.when(F.col("payload_type") == spec.name, m).otherwise(
+                extras_col
+            )
 
     ref_now = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
     event_ts = (
@@ -114,6 +129,7 @@ def parse_events(
         (F.col("resource") if "resource" in df.columns else F.lit(None).cast("string")).alias(
             "resource"
         ),
+        extras_col.alias("fields"),
         F.col("payload_text").alias("payload"),
         F.col(value_col).alias("raw"),
     )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..functions.net import xff_select_client, xff_select_from_array
 from ..schema import (
     NORMALIZED_AUTH,
+    NORMALIZED_AUTH_SESSION,
     NORMALIZED_HTTP_REQUEST,
 )
 
@@ -34,6 +35,10 @@ class PayloadSpec:
     normalized_type: Column
     fields: dict[str, Column]  # normalized column -> expression
     event_ts: Column | None = None  # payload-level event time, if any
+    # payload-specific detail -> `fields` map column on the event
+    # (the columnar analog of the reference's typed Payload getters;
+    # values are stringified — detectors cast as needed)
+    extras: dict[str, Column] | None = None
 
 
 def _url_path(url: Column) -> Column:
@@ -298,6 +303,379 @@ def alert_spec() -> PayloadSpec:
     )
 
 
+def fxacontent_spec(xff_trusted_cidrs: list[str] | None = None) -> PayloadSpec:
+    """FxA content server mozlog (`parser/FxaContent.java`): logger
+    fxa-content-server; clientAddress preferred, else the XFF-selected
+    remoteAddressChain (FxaContent.java:115-140); request-type
+    discernment over the path (FxaContent.java:30-46)."""
+    f = F.col("moz_fields")
+    chain = F.from_json(f["remoteAddressChain"], "array<string>")
+    path = f["path"]
+    return PayloadSpec(
+        name="fxacontent",
+        matcher=F.coalesce(F.col("moz_logger"), F.lit("")) == "fxa-content-server",
+        normalized_type=F.lit(None).cast("string"),
+        fields={
+            "source_address": F.coalesce(
+                f["clientAddress"], xff_select_from_array(chain, xff_trusted_cidrs)
+            ),
+            "request_method": f["method"],
+            "request_path": path,
+            "request_status": f["status"].cast("int"),
+            "user_agent": f["userAgent"],
+        },
+        extras={
+            "request_type": F.when(path.startswith("/metrics"), "metrics")
+            .when(path.startswith("/validate-email-domain"), "validate_email_domain")
+            .otherwise("other"),
+        },
+    )
+
+
+def privaterelay_spec() -> PayloadSpec:
+    """Private Relay mozlog (`parser/PrivateRelay.java`): logger
+    fx-private-relay; msg discriminates EMAIL_RELAY / FXA_RP_EVENT;
+    carries fxa_uid + real/relay address pair."""
+    f = F.col("moz_fields")
+    return PayloadSpec(
+        name="private_relay",
+        matcher=F.coalesce(F.col("moz_logger"), F.lit("")) == "fx-private-relay",
+        normalized_type=F.lit(None).cast("string"),
+        fields={"subject_user": f["fxa_uid"]},
+        extras={
+            "relay_event_type": F.when(f["msg"] == "email_relay", "email_relay")
+            .when(f["msg"] == "fxa_rp_event", "fxa_rp_event"),
+            "fxa_uid": f["fxa_uid"],
+            "real_address": f["real_address"],
+            "relay_address": f["relay_address"],
+            "relay_address_id": f["relay_address_id"],
+            "event_key": f["event_key"],
+        },
+    )
+
+
+def guardduty_spec() -> PayloadSpec:
+    """AWS GuardDuty finding via CloudWatch Event wrapper
+    (`parser/GuardDuty.java`: source == aws.guardduty; finding model
+    fields type/arn/accountId/title/description are the identity)."""
+    d = F.col("j.detail")
+    return PayloadSpec(
+        name="guardduty",
+        matcher=(F.col("j.source") == "aws.guardduty")
+        & d["type"].isNotNull()
+        & d["arn"].isNotNull(),
+        normalized_type=F.lit(None).cast("string"),
+        fields={
+            "source_address": d["service"]["action"]["awsApiCallAction"][
+                "remoteIpDetails"
+            ]["ipAddressV4"],
+            "subject_user": d["resource"]["accessKeyDetails"]["userName"],
+            "object": d["arn"],
+        },
+        extras={
+            "finding_type": d["type"],
+            "finding_id": d["id"],
+            "account_id": d["accountId"],
+            "region": F.coalesce(d["region"], F.col("j.region")),
+            "severity": d["severity"],
+            "title": d["title"],
+            "description": d["description"],
+            "resource_type": d["resource"]["resourceType"],
+            "instance_id": d["resource"]["instanceDetails"]["instanceId"],
+        },
+        event_ts=F.to_timestamp(F.col("j.time")),
+    )
+
+
+def etdbeta_spec() -> PayloadSpec:
+    """GCP Event Threat Detection finding (`parser/ETDBeta.java`):
+    Stackdriver LogEntry with resource.type == threat_detector;
+    finding body in jsonPayload (models/etd/*)."""
+    p = F.col("j.jsonPayload")
+    dc = p["detectionCategory"]
+    return PayloadSpec(
+        name="etd",
+        matcher=F.col("j.resource.type") == "threat_detector",
+        normalized_type=F.lit(None).cast("string"),
+        fields={
+            "source_address": p["properties"]["ip"],
+            "subject_user": p["properties"]["principalEmail"],
+            "object": dc["ruleName"],
+        },
+        extras={
+            "rule_name": dc["ruleName"],
+            "sub_rule_name": dc["subRuleName"],
+            "technique": dc["technique"],
+            "indicator": dc["indicator"],
+            "detection_priority": p["detectionPriority"],
+            "severity": F.col("j.severity"),
+            "project_id": p["properties"]["project_id"],
+            "location": p["properties"]["location"],
+            "project_number": p["sourceId"]["projectNumber"],
+        },
+        event_ts=F.to_timestamp(p["eventTime"]),
+    )
+
+
+def gcpvpcflow_spec() -> PayloadSpec:
+    """GCP VPC flow log (`parser/GcpVpcFlow.java`): LogEntry with
+    logName ending vpc_flows; connection 5-tuple + byte counts."""
+    p = F.col("j.jsonPayload")
+    c = p["connection"]
+    return PayloadSpec(
+        name="gcpvpcflow",
+        matcher=F.coalesce(F.col("j.logName"), F.lit("")).rlike("vpc_flows$"),
+        normalized_type=F.lit(None).cast("string"),
+        fields={"source_address": c["src_ip"]},
+        extras={
+            "src_ip": c["src_ip"],
+            "src_port": c["src_port"],
+            "dest_ip": c["dest_ip"],
+            "dest_port": c["dest_port"],
+            "protocol": c["protocol"],
+            "bytes_sent": p["bytes_sent"],
+            "vm_name": p["src_instance"]["vm_name"],
+        },
+    )
+
+
+def taskcluster_spec() -> PayloadSpec:
+    """Taskcluster API mozlog (`parser/Taskcluster.java`): logger
+    taskcluster.*; subject resolved from the clientId namespace
+    (Taskcluster.java:64-125: email/<addr>,
+    mozilla-auth0/ad|Mozilla-LDAP|<user>/..., mozilla-ldap/<email>)."""
+    f = F.col("moz_fields")
+    cid = f["clientId"]
+    parts = F.split(cid, "/")
+    p0 = parts.getItem(0)
+    p1 = parts.getItem(1)
+    email_rx = r"^[^@]+@[^@]+$"
+    auth0 = F.split(p1, r"\|")
+    subject = (
+        F.when((p0 == "email") & p1.rlike(email_rx), p1)
+        .when(
+            (p0 == "mozilla-auth0")
+            & (F.size(auth0) == 3)
+            & (auth0.getItem(0) == "ad")
+            & (auth0.getItem(1) == "Mozilla-LDAP"),
+            auth0.getItem(2),
+        )
+        .when((p0 == "mozilla-ldap") & p1.rlike(email_rx), p1)
+    )
+    return PayloadSpec(
+        name="taskcluster",
+        matcher=F.coalesce(F.col("moz_logger"), F.lit("")).startswith("taskcluster.")
+        & f["clientId"].isNotNull(),
+        normalized_type=F.lit(NORMALIZED_AUTH_SESSION),
+        fields={
+            "source_address": f["sourceIp"],
+            "subject_user": subject,
+            "request_method": f["method"],
+            "request_path": f["resource"],
+            "request_status": f["statusCode"].cast("int"),
+        },
+        extras={"client_id": cid, "api_name": f["name"]},
+    )
+
+
+_AMO_LOGIN_RX = r"^User \((\d+): ([^)]+)\) logged in successfully"
+_AMO_NEWVER_RX = r"^New version: <Version: ([^>]+)> \((\d+)\) from <FileUpload: [^>]+>"
+_AMO_FXALOGIN_RX = r"^Logging in FxA user ((.+)@(.+))$"
+_AMO_FILEUP_RX = r"^FileUpload created: \S+$"
+_AMO_RESTRICT_RX = r"^Restricting request from (email|ip) (\S+) \(reputation=.*"
+_AMO_UPMNT_RX = r"^UPLOAD: '([^']+)' \((\d+) bytes\).*"
+
+
+def amodocker_spec() -> PayloadSpec:
+    """AMO docker mozlog (`parser/AmoDocker.java`): logger
+    http_app_addons*; the msg line discriminates LOGIN / NEWVERSION /
+    FXALOGIN / FILEUPLOAD / RESTRICTED / FILEUPLOADMNT
+    (AmoDocker.java:238-292); remoteAddressChain is a single address
+    here, used directly as the source."""
+    f = F.col("moz_fields")
+    msg = f["msg"]
+    # sequential pattern checks, first match wins (AmoDocker.java:238-292);
+    # RESTRICTED's regex already limits the subject kind to email|ip
+    amo_type = (
+        F.when(msg.rlike(_AMO_LOGIN_RX), "login")
+        .when(msg.rlike(_AMO_NEWVER_RX), "newversion")
+        .when(msg.rlike(_AMO_FXALOGIN_RX), "fxalogin")
+        .when(msg.rlike(_AMO_FILEUP_RX), "fileupload")
+        .when(msg.rlike(_AMO_RESTRICT_RX), "restricted")
+        .when(msg.rlike(_AMO_UPMNT_RX), "fileuploadmnt")
+    )
+    restrict_kind = F.regexp_extract(msg, _AMO_RESTRICT_RX, 1)
+    restricted_value = F.when(
+        restrict_kind == "email", F.regexp_extract(msg, _AMO_RESTRICT_RX, 2)
+    ).when(restrict_kind == "ip", f["remoteAddressChain"])
+    return PayloadSpec(
+        name="amodocker",
+        matcher=F.coalesce(F.col("moz_logger"), F.lit("")).startswith("http_app_addons")
+        & msg.isNotNull()
+        & f["remoteAddressChain"].isNotNull()
+        & (f["remoteAddressChain"] != "")
+        & f["uid"].isNotNull(),
+        normalized_type=F.lit(None).cast("string"),
+        fields={
+            "source_address": f["remoteAddressChain"],
+            # LOGIN overrides uid from the msg (AmoDocker.java:242)
+            "subject_user": F.coalesce(
+                F.when(msg.rlike(_AMO_LOGIN_RX),
+                       F.regexp_extract(msg, _AMO_LOGIN_RX, 2)),
+                F.when(f["uid"] != "anonymous", f["uid"]),
+            ),
+        },
+        extras={
+            "amo_event_type": amo_type,
+            "uid": F.when(
+                msg.rlike(_AMO_LOGIN_RX), F.regexp_extract(msg, _AMO_LOGIN_RX, 2)
+            ).otherwise(f["uid"]),
+            "email": F.coalesce(
+                f["email"],
+                F.when(msg.rlike(_AMO_FXALOGIN_RX),
+                       F.regexp_extract(msg, _AMO_FXALOGIN_RX, 1)),
+            ),
+            "guid": f["guid"],
+            "addon_version": F.when(
+                msg.rlike(_AMO_NEWVER_RX), F.regexp_extract(msg, _AMO_NEWVER_RX, 1)
+            ),
+            "addon_id": F.when(
+                msg.rlike(_AMO_NEWVER_RX), F.regexp_extract(msg, _AMO_NEWVER_RX, 2)
+            ),
+            "file_name": F.when(
+                msg.rlike(_AMO_UPMNT_RX), F.regexp_extract(msg, _AMO_UPMNT_RX, 1)
+            ),
+            "bytes": F.when(
+                msg.rlike(_AMO_UPMNT_RX), F.regexp_extract(msg, _AMO_UPMNT_RX, 2)
+            ),
+            "restricted_value": restricted_value,
+            "upload_hash": f["upload_hash"],
+            "from_api": f["from_api"],
+        },
+    )
+
+
+_BMO_LOGIN_RX = r'^successful login of (\S+) from (\S+) using "([^"]+)",.*'
+_BMO_BUG_RX = r"^(\S+) <\S+> created bug (\d+)$"
+
+
+def bmoaudit_spec() -> PayloadSpec:
+    """Bugzilla audit mozlog (`parser/BmoAudit.java`): Type == audit
+    with msg/remote_ip/request_id; LOGIN lines normalize to AUTH,
+    bug-creation lines to AUTH_SESSION."""
+    f = F.col("moz_fields")
+    msg = f["msg"]
+    is_login = msg.rlike(_BMO_LOGIN_RX)
+    is_bug = msg.rlike(_BMO_BUG_RX)
+    return PayloadSpec(
+        name="bmoaudit",
+        matcher=(F.coalesce(F.col("moz_type"), F.lit("")) == "audit")
+        & msg.isNotNull()
+        & f["remote_ip"].isNotNull()
+        & f["request_id"].isNotNull(),
+        normalized_type=F.when(is_login, F.lit(NORMALIZED_AUTH)).when(
+            is_bug, F.lit(NORMALIZED_AUTH_SESSION)
+        ),
+        fields={
+            "source_address": f["remote_ip"],
+            "subject_user": F.when(is_login, F.regexp_extract(msg, _BMO_LOGIN_RX, 1))
+            .when(is_bug, F.regexp_extract(msg, _BMO_BUG_RX, 1)),
+            "user_agent": F.when(is_login, F.regexp_extract(msg, _BMO_LOGIN_RX, 3)),
+            "object": F.when(is_bug, F.regexp_extract(msg, _BMO_BUG_RX, 2)),
+        },
+        extras={
+            "request_id": f["request_id"],
+            "audit_type": F.when(is_login, "login").when(is_bug, "createbug").otherwise(
+                "other"
+            ),
+        },
+    )
+
+
+def iprepdlog_spec() -> PayloadSpec:
+    """iprepd violation-application mozlog (`parser/IPrepdLog.java`):
+    logger iprepd carrying violation/reputation fields."""
+    f = F.col("moz_fields")
+    return PayloadSpec(
+        name="iprepdlog",
+        matcher=(F.coalesce(F.col("moz_logger"), F.lit("")) == "iprepd")
+        & f["msg"].isNotNull()
+        & f["violation"].isNotNull()
+        & f["decay_after"].isNotNull()
+        & f["original_reputation"].isNotNull()
+        & f["reputation"].isNotNull()
+        & f["type"].isNotNull()
+        & f["exception"].isNotNull(),
+        normalized_type=F.lit(None).cast("string"),
+        fields={"object": f["object"]},
+        extras={
+            "violation": f["violation"],
+            "object_type": f["type"],
+            "reputation": f["reputation"],
+            "original_reputation": f["original_reputation"],
+            "decay_after": f["decay_after"],
+            "exception": f["exception"],
+        },
+    )
+
+
+_PHAB_RX = (
+    r"^\[([^\]]+)\]\t(\d+)\t(\S+)\t(\S+)\t(\S+)\t(\S+)\t(\S+)\t(\S+)\t(\S+)"
+    r"\t(\d+)\t(\d+)$"
+)
+
+
+def _phab_val(g: Column) -> Column:
+    """'-' means unset in the phabricator audit line."""
+    return F.when(g != "-", g)
+
+
+def phabricator_spec() -> PayloadSpec:
+    """Phabricator audit text line (`parser/Phabricator.java`):
+    tab-separated [ts] pid host ip user controller function path
+    referer status duration; normalized AUTH_SESSION with constant
+    object 'phabricator'."""
+    p = F.col("payload_text")
+    g = lambda i: F.regexp_extract(p, _PHAB_RX, i)  # noqa: E731
+    return PayloadSpec(
+        name="phabricator_audit",
+        matcher=p.rlike(_PHAB_RX),
+        normalized_type=F.lit(NORMALIZED_AUTH_SESSION),
+        fields={
+            "source_address": g(4),
+            "subject_user": _phab_val(g(5)),
+            "object": F.lit("phabricator"),
+            "request_path": _phab_val(g(8)),
+            "request_status": g(10).cast("int"),
+        },
+        extras={
+            "controller": _phab_val(g(6)),
+            "function": _phab_val(g(7)),
+            "referer": _phab_val(g(9)),
+            "duration": g(11),
+            "hostname": g(3),
+        },
+        # Spark >= 3 refuses day-of-week ('EEE') in parse patterns;
+        # the day name is redundant, so strip it before to_timestamp
+        event_ts=F.to_timestamp(
+            F.regexp_replace(g(1), r"^\w+, ", ""), "dd MMM yyyy HH:mm:ss Z"
+        ),
+    )
+
+
+def cfgtick_spec() -> PayloadSpec:
+    """Configuration-tick heartbeat (`parser/CfgTick.java`,
+    `metrics/CfgTickGenerator.java`): any JSON object carrying a
+    configuration_tick field; the full config map stays in `raw`."""
+    return PayloadSpec(
+        name="cfgtick",
+        matcher=F.col("j.configuration_tick").isNotNull(),
+        normalized_type=F.lit(None).cast("string"),
+        fields={},
+        extras={"configuration_tick": F.col("j.configuration_tick")},
+    )
+
+
 def default_chain(xff_trusted_cidrs: list[str] | None = None) -> list[PayloadSpec]:
     """Fixed probe order, mirroring Parser.java:597-619 (most-specific
     first, raw fallback implicit)."""
@@ -305,11 +683,22 @@ def default_chain(xff_trusted_cidrs: list[str] | None = None) -> list[PayloadSpe
         glb_spec(),
         nginx_spec(xff_trusted_cidrs),
         fxaauth_spec(xff_trusted_cidrs),
+        fxacontent_spec(xff_trusted_cidrs),
         cloudtrail_spec(),
         gcpaudit_spec(),
-        duopull_spec(),
-        auth0_spec(),
-        openssh_spec(),
+        gcpvpcflow_spec(),
         apache_combined_spec(),
+        bmoaudit_spec(),
+        iprepdlog_spec(),
+        taskcluster_spec(),
+        amodocker_spec(),
+        openssh_spec(),
+        duopull_spec(),
         alert_spec(),
+        guardduty_spec(),
+        etdbeta_spec(),
+        cfgtick_spec(),
+        privaterelay_spec(),
+        auth0_spec(),
+        phabricator_spec(),
     ]

@@ -80,6 +80,104 @@ def q_parse_normalize(spark, sf_dir):
     )
 
 
+def _synth_customs_lines(spark, sf_dir):
+    """Synthesize the Customs pipeline's mixed raw stream from the
+    events table: FxaAuth mozlog for click/error, FxaContent for view,
+    PrivateRelay for signup, and a non-matching raw line for purchase
+    (which the prefilter must drop)."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    bucket = (F.col("user_id") % 10).cast("string")
+    addr = F.concat(F.lit("10.0."), bucket, F.lit(".1"))
+    fxaauth = ev.where(F.col("event_type").isin("click", "error")).select(
+        F.to_json(
+            F.struct(
+                F.lit(0).alias("Timestamp"),
+                F.lit("fxa-auth-server").alias("Logger"),
+                F.lit("request.summary").alias("Type"),
+                F.struct(
+                    F.lit("/v1/account/login").alias("path"),
+                    F.lit("POST").alias("method"),
+                    F.when(F.col("event_type") == "error", "401")
+                    .otherwise("200").alias("status"),
+                    F.concat(F.lit('["'), addr, F.lit('"]')).alias(
+                        "remoteAddressChain"
+                    ),
+                ).alias("Fields"),
+            )
+        ).alias("value")
+    )
+    fxacontent = ev.where(F.col("event_type") == "view").select(
+        F.to_json(
+            F.struct(
+                F.lit(0).alias("Timestamp"),
+                F.lit("fxa-content-server").alias("Logger"),
+                F.lit("server.requests.route").alias("Type"),
+                F.struct(
+                    addr.alias("clientAddress"),
+                    F.lit("/metrics/flow").alias("path"),
+                    F.lit("GET").alias("method"),
+                    F.lit("200").alias("status"),
+                ).alias("Fields"),
+            )
+        ).alias("value")
+    )
+    relay = ev.where(F.col("event_type") == "signup").select(
+        F.to_json(
+            F.struct(
+                F.lit(0).alias("Timestamp"),
+                F.lit("fx-private-relay").alias("Logger"),
+                F.lit("events").alias("Type"),
+                F.struct(
+                    F.lit("email_relay").alias("msg"),
+                    F.concat(F.lit("uid-"), bucket).alias("fxa_uid"),
+                ).alias("Fields"),
+            )
+        ).alias("value")
+    )
+    other = ev.where(F.col("event_type") == "purchase").select(
+        F.concat(F.lit("noise line "), F.col("event_id").cast("string")).alias("value")
+    )
+    return fxaauth.unionByName(fxacontent).unionByName(relay).unionByName(other)
+
+
+@register(
+    "customs_prefilter_split",
+    """
+WITH legs AS (
+  SELECT CASE WHEN event_type IN ('click', 'error') THEN 'fxa_auth'
+              WHEN event_type = 'view' THEN 'fxa_content'
+              WHEN event_type = 'signup' THEN 'private_relay' END AS leg,
+         user_id % 10 AS bucket
+  FROM events WHERE event_type <> 'purchase'
+)
+SELECT leg, bucket, count(*) AS n FROM legs GROUP BY 1, 2
+""",
+    doc="P9 customs/CustomsPreFilter.java + Customs.java:618-631 — the "
+        "3-way FXA_AUTH / FXA_CONTENT / PRIVATE_RELAY tag-split of one "
+        "parsed stream. Spark-first: the split is a derived `leg` column "
+        "over ONE parse pass (no TupleTags, no re-scan); non-matching "
+        "lines (raw) fall out of the filter",
+)
+def q_customs_prefilter_split(spark, sf_dir):
+    raw = _synth_customs_lines(spark, sf_dir)
+    parsed = parse_events(raw, ParserCfg())
+    leg = (
+        F.when(F.col("payload_type") == "fxaauth", "fxa_auth")
+        .when(F.col("payload_type") == "fxacontent", "fxa_content")
+        .when(F.col("payload_type") == "private_relay", "private_relay")
+    )
+    bucket = F.coalesce(
+        F.regexp_extract(F.col("source_address"), r"^10\.0\.(\d+)\.1$", 1),
+        F.regexp_extract(F.col("subject_user"), r"^uid-(\d+)$", 1),
+    ).cast("long")
+    return (
+        parsed.withColumn("leg", leg)
+        .where(F.col("leg").isNotNull())
+        .groupBy("leg", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @register(
     "alert_pipeline",
     """

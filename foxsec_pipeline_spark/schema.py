@@ -21,13 +21,24 @@ PAYLOAD_TYPES = [
     "glb",
     "nginx",
     "fxaauth",
+    "fxacontent",
     "openssh",
     "cloudtrail",
     "gcpaudit",
+    "gcpvpcflow",
     "duopull",
     "auth0",
     "apache_combined",
+    "bmoaudit",
+    "iprepdlog",
+    "taskcluster",
+    "amodocker",
     "alert",
+    "guardduty",
+    "etd",
+    "cfgtick",
+    "private_relay",
+    "phabricator_audit",
     "raw",
 ]
 
@@ -54,6 +65,10 @@ EVENT_SCHEMA = T.StructType(
         # envelope metadata (hoisted — Parser.java:310-405)
         T.StructField("project_id", T.StringType()),
         T.StructField("resource", T.StringType()),        # multiplex element name
+        # payload-specific typed detail, extracted at parse time (the
+        # columnar analog of the reference's Payload getters; values
+        # stringified, detectors cast as needed)
+        T.StructField("fields", T.MapType(T.StringType(), T.StringType())),
         # source-specific detail, parsed lazily
         T.StructField("payload", T.StringType()),
         T.StructField("raw", T.StringType()),
