@@ -76,6 +76,7 @@ def registry() -> dict[str, QuerySpec]:
         catalog_composed,
         catalog_customs,
         catalog_data,
+        catalog_detectors,
         catalog_pipeline,
     )
 

@@ -1,0 +1,120 @@
+"""Detector-family unit tests: the comparator/at-risk state-table
+pair (cross-pipeline contract, SURVEY §7 hard part 2) and spot checks
+of the new detector operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from foxsec_pipeline_spark.operators.customs import status_comparator
+from foxsec_pipeline_spark.operators.detectors import (
+    addon_multi_submit,
+    aws_behavior_match,
+    etd_finding_alerts,
+    login_failure_for_at_risk_account,
+    status_comparator_state,
+)
+
+
+def test_at_risk_state_flows_across_queries(spark, tmp_path):
+    """CustomsStatusComparator.java:155-164 writes email->scanned_by
+    state read later by CustomsLoginFailureForAtRiskAccount.java:70-125.
+    Query 1 persists the state snapshot to parquet; query 2 (a separate
+    plan over a fresh read) joins it — proving the Datastore-kind
+    contract works as an explicit state table across jobs."""
+    events = spark.createDataFrame(
+        [
+            # victim@x: two status scans then a failure -> at risk
+            Row(ts="2024-01-01 10:00:00", email="victim@x", kind="scan", ip="1.1.1.1"),
+            Row(ts="2024-01-01 10:01:00", email="victim@x", kind="scan", ip="1.1.1.1"),
+            Row(ts="2024-01-01 10:02:00", email="victim@x", kind="fail", ip="1.1.1.1"),
+            # later failure for the at-risk account (different query run)
+            Row(ts="2024-01-01 11:30:00", email="victim@x", kind="fail", ip="9.9.9.9"),
+            # control account: failure but never scanned
+            Row(ts="2024-01-01 11:00:00", email="ok@x", kind="fail", ip="2.2.2.2"),
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # --- query 1: comparator -> state snapshot
+    comp = status_comparator(
+        events, key="email",
+        scan_predicate=F.col("kind") == "scan",
+        failure_predicate=F.col("kind") == "fail",
+        ts="ts", duration="1 hour", min_scans=2, min_failures=1,
+    ).withColumn("addr", F.lit("1.1.1.1"))
+    state = status_comparator_state(comp, account_col="email", addr_col="addr")
+    state_path = str(tmp_path / "at_risk_state")
+    state.write.parquet(state_path)
+
+    # --- query 2: fresh read of the snapshot feeds the detector
+    at_risk = spark.read.parquet(state_path)
+    hits = login_failure_for_at_risk_account(
+        events, at_risk, account_col="email",
+        failure_predicate=F.col("kind") == "fail", ts="ts",
+    ).collect()
+    assert {(r.email, str(r.ts)) for r in hits} == {
+        ("victim@x", "2024-01-01 10:02:00"),
+        ("victim@x", "2024-01-01 11:30:00"),
+    }
+    assert all(r.scanned_by == "1.1.1.1" for r in hits)
+
+
+def test_etd_ignore_and_severity(spark):
+    f = spark.createDataFrame(
+        [
+            Row(ts="2024-01-01 00:00:00", rule_name="iam_anomalous_grant",
+                technique="t", indicator="i", project_number="1"),
+            Row(ts="2024-01-01 00:10:00", rule_name="iam_anomalous_grant",
+                technique="t", indicator="i", project_number="1"),  # suppressed
+            Row(ts="2024-01-01 00:00:00", rule_name="noisy_scan",
+                technique="t", indicator="i", project_number="1"),  # ignored
+            Row(ts="2024-01-01 00:00:00", rule_name="persistence_gcs",
+                technique="t", indicator="i", project_number="2"),
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = etd_finding_alerts(
+        f, ignore_rule_regexes=["noisy_.*"], high_rule_regexes=["iam_.*"],
+        suppress_window="1 hour",
+    ).collect()
+    got = {(r.rule_name, r.handling_severity) for r in out}
+    assert got == {("iam_anomalous_grant", "high"), ("persistence_gcs", "low")}
+    assert len(out) == 2  # repeat suppressed
+
+
+def test_aws_behavior_multi_match(spark):
+    ev = spark.createDataFrame(
+        [Row(event_name="CreateAccessKey", event_source="signin.amazonaws.com",
+             mfa="false", user_name="u1")]
+    )
+    out = aws_behavior_match(
+        ev,
+        [
+            {"description": "key created", "resource": "user_name",
+             "fields": [["event_name", "CreateAccessKey"]]},
+            {"description": "no mfa",
+             "fields": [["event_source", "signin.amazonaws.com"], ["mfa", "false"]]},
+        ],
+        field_cols={"event_name": "event_name", "event_source": "event_source",
+                    "mfa": "mfa", "user_name": "user_name"},
+    ).collect()
+    # one event, two matchers -> two alerts (reference runs one Matcher
+    # transform per config entry over the same stream)
+    assert sorted(r.matcher_description for r in out) == ["key created", "no mfa"]
+    assert out[0].severity == "critical"
+
+
+def test_addon_multi_submit_rounding_and_distinct(spark):
+    rows = [
+        Row(email=f"u{i}@x", bytes=12_345) for i in range(5)
+    ] + [
+        Row(email="u0@x", bytes=12_345),   # duplicate pair: ignored
+        Row(email="small@x", bytes=2_000),  # under min size: ignored
+    ]
+    out = addon_multi_submit(
+        spark.createDataFrame(rows), alert_on=5
+    ).collect()
+    assert len(out) == 1
+    assert out[0].rounded_size == 20_000  # rounds UP to next 10k
+    assert out[0].n_submitters == 5
