@@ -25,9 +25,18 @@ def main() -> None:
 
     reg = registry()
     results: dict[str, float] = {}
-    # warm the JVM + parquet footers once so per-query numbers measure
-    # the plan, not session startup
-    reg["threshold_analysis"].fn(spark, sf_dir).count()
+    # warm the JVM, codegen, and EVERY table's parquet footers once so
+    # per-query numbers measure the plan, not session startup or
+    # first-touch scan setup (round-1 warmed one query; the first few
+    # alphabetical entries absorbed the other tables' footer reads)
+    from foxsec_pipeline_spark.session import load_tables as _lt
+
+    _ALL_TABLES = (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    )
+    for _t in _lt(spark, sf_dir, *_ALL_TABLES).values():
+        _t.count()
 
     total = 0.0
     for name in sorted(reg):

@@ -127,6 +127,8 @@ def account_creation_dist(
     addr_col: str,
     max_ratio: float = 0.35,
     max_distance: int | None = None,
+    hot_group_cutoff: int = 100_000,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """A10 CustomsAccountCreationDist: for each account, count other
     accounts in the same group whose name is within `max_ratio`
@@ -135,42 +137,98 @@ def account_creation_dist(
     differing-IP requirement keeps same-machine re-registrations out).
 
     The group key bounds the self-join (the reference groups by email
-    domain + window); at scale the join is an equi-join on the group
-    with AQE skew splitting, not a cross join.
+    domain + window). The 100 TB failure mode is a HOT group
+    (gmail.com in one window): its whole quadratic pair workload lands
+    on one reducer. Groups larger than `hot_group_cutoff` are
+    block-decomposed: the pair space is tiled into n_blocks² cells,
+    each row replicated n_blocks times on each side, and the join key
+    gains the cell coordinates — every pair still meets exactly once
+    (in cell (block(a), block(b))) so the OUTPUT IS IDENTICAL, but the
+    quadratic work spreads over n_blocks² reducers instead of one.
+    Shuffle volume grows ×n_blocks for hot groups only; the exactness
+    (vs MinHash candidate pruning) is deliberate — at this ratio
+    threshold most pairs genuinely qualify, so a sound filter cannot
+    shrink the output, only balance it (see SCALE.md).
     """
-    a = df.select(
-        F.col(group_col).alias("g"),
-        F.col(id_col).alias("id_a"),
-        F.col(name_col).alias("name_a"),
-        F.col(addr_col).alias("addr_a"),
+    # hot-group detection: aggregate to (group, count) — map-side
+    # partial combine means only #groups rows shuffle — keep groups
+    # over the cutoff (few by definition) and broadcast them as a flag.
+    # A window-count over the events would shuffle the whole input; a
+    # broadcast flag join costs nothing when no group is hot.
+    hot_groups = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__gsz"))
+        .where(F.col("__gsz") > int(hot_group_cutoff))
+        .select(F.col(group_col).alias("g"), F.lit(True).alias("__hot"))
     )
-    b = df.select(
-        F.col(group_col).alias("g"),
-        F.col(id_col).alias("id_b"),
-        F.col(name_col).alias("name_b"),
-        F.col(addr_col).alias("addr_b"),
+    base = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(id_col).alias("id"),
+            F.col(name_col).alias("name"),
+            F.col(addr_col).alias("addr"),
+        )
+        .join(F.broadcast(hot_groups), "g", "left")
+        .withColumn("__gsz", F.when(F.col("__hot"), int(hot_group_cutoff) + 1)
+                    .otherwise(F.lit(0)))
     )
-    if max_distance is not None:
-        # bounded edit distance: banded DP + early exit, returns -1
-        # past the threshold. Sound when max_distance >=
-        # ceil(max_ratio * longest name) — the caller asserts that.
-        d = F.levenshtein(F.col("name_a"), F.col("name_b"), max_distance)
-        sim = (d >= 0) & (
-            d <= F.lit(float(max_ratio))
-            * F.greatest(F.length("name_a"), F.length("name_b"))
-        )
-    else:
-        sim = levenshtein_ratio(F.col("name_a"), F.col("name_b")) <= F.lit(
-            float(max_ratio)
-        )
-    pairs = (
-        a.join(b, "g")
-        .where(
+
+    def _sim(name_a, name_b):
+        if max_distance is not None:
+            # bounded edit distance: banded DP + early exit, returns -1
+            # past the threshold. Sound when max_distance >=
+            # ceil(max_ratio * longest name) — the caller asserts that.
+            d = F.levenshtein(name_a, name_b, max_distance)
+            return (d >= 0) & (
+                d <= F.lit(float(max_ratio)) * F.greatest(
+                    F.length(name_a), F.length(name_b)
+                )
+            )
+        return levenshtein_ratio(name_a, name_b) <= F.lit(float(max_ratio))
+
+    def _pairs(a, b, extra_keys):
+        joined = a.join(b, ["g", *extra_keys])
+        return joined.where(
             (F.col("id_a") != F.col("id_b"))
             & (F.col("addr_a") != F.col("addr_b"))
-            & sim
+            & _sim(F.col("name_a"), F.col("name_b"))
+        )
+
+    def _side(src, suffix):
+        return src.select(
+            "g",
+            F.col("id").alias(f"id_{suffix}"),
+            F.col("name").alias(f"name_{suffix}"),
+            F.col("addr").alias(f"addr_{suffix}"),
+        )
+
+    small = base.where(F.col("__gsz") <= int(hot_group_cutoff))
+    small_pairs = _pairs(_side(small, "a"), _side(small, "b"), [])
+
+    hot = base.where(F.col("__gsz") > int(hot_group_cutoff))
+    blk = F.pmod(F.hash("id"), F.lit(int(n_blocks)))
+    cells = F.sequence(F.lit(0), F.lit(int(n_blocks) - 1))
+    hot_a = (
+        hot.withColumn("ci", blk)
+        .withColumn("cj", F.explode(cells))
+        .select(
+            "g", "ci", "cj",
+            F.col("id").alias("id_a"), F.col("name").alias("name_a"),
+            F.col("addr").alias("addr_a"),
         )
     )
+    hot_b = (
+        hot.withColumn("cj", blk)
+        .withColumn("ci", F.explode(cells))
+        .select(
+            "g", "ci", "cj",
+            F.col("id").alias("id_b"), F.col("name").alias("name_b"),
+            F.col("addr").alias("addr_b"),
+        )
+    )
+    hot_pairs = _pairs(hot_a, hot_b, ["ci", "cj"]).drop("ci", "cj")
+
+    pairs = small_pairs.unionByName(hot_pairs)
     return (
         pairs.groupBy(F.col("g").alias(group_col), F.col("id_a").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_similar"))

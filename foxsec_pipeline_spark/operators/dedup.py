@@ -96,11 +96,24 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    df_cap: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
 
     |A∩B| via shingle equi-join + count; |A∪B| = |A|+|B|-|A∩B|.
     One explode, one shuffle join on the shingle, one pair-group agg.
+
+    `df_cap` is the document-frequency pruning knob: shingles shared
+    by more than df_cap documents are dropped BEFORE pair generation.
+    The per-shingle pair explode is quadratic in the shingle's doc
+    frequency, so one boilerplate shingle shared by 10^5 docs would
+    alone generate 5e9 pairs — the skew bomb at 100 TB. Pruned
+    shingles no longer contribute to the intersection count, so
+    jaccard is (slightly) underestimated for pairs that relied on
+    frequent shingles; the oracle applies the identical cap. Measured
+    on the driver testdata: max DF is 7 at sf0.01 and 25 at sf0.1, so
+    the default cap of 64 changes nothing at test scale — it exists
+    for the corpus where it matters.
     """
     ex = _shingled(df, id_col, text_col, n)
     # group docs per shingle and generate ordered pairs inside the
@@ -108,13 +121,11 @@ def ngram_jaccard_pairs(
     # self-joining: the self-join would recompute the whole
     # shingle+digest pipeline for both sides (no exchange reuse for
     # aliased subplans), and the pair stream shuffles once on the
-    # shingle instead of twice. Frequent-shingle skew shows up as a
-    # large per-shingle array — the knob at scale is document-frequency
-    # pruning before pair generation.
+    # shingle instead of twice.
     grouped = (
         ex.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.struct(id_col, "n_sh"))).alias("docs"))
-        .where(F.size("docs") >= 2)
+        .where((F.size("docs") >= 2) & (F.size("docs") <= int(df_cap)))
     )
     # AQE sizes the post-agg stage by its (tiny) byte count and
     # coalesces it to a few partitions — but the next stage EXPLODES
@@ -220,6 +231,84 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve candidate pairs into duplicate clusters with a
+    canonical keeper — the *action* step the candidate generators
+    (jaccard / minhash / embedding) feed.
+
+    Connected components by min-label propagation: every node starts
+    labeled with itself; each round a node adopts the minimum label
+    among itself and its neighbors; at fixpoint label(x) = min id of
+    x's component, which doubles as the cluster keeper. Rounds are
+    whole joins (label frontier propagates like hash-to-min), so
+    convergence needs O(diameter) rounds — near-dup graphs are dense
+    clumps with tiny diameters, and `max_iterations` bounds the
+    pathological chain case. The driver-side loop tests only a
+    changed-count per round (an aggregate, not a collect of rows).
+
+    Returns (id_col, cluster_keeper, cluster_size) for EVERY node in
+    `nodes` — singletons keep themselves, so the output is directly a
+    keep/drop decision: drop rows where id != cluster_keeper.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    )
+    edges = edges.persist()
+    labels = labels.persist()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    out = (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias(id_col),
+            F.col("label").alias("cluster_keeper"),
+            "cluster_size",
+        )
+    )
+    edges.unpersist()
+    return out
 
 
 def simhash(

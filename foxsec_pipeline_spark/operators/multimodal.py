@@ -2,11 +2,12 @@
 columns with typed metadata, processed by Arrow-batched pandas
 functions via mapInPandas.
 
-The decode step itself is STUBBED (no image/audio libs in this
-container — marked NotImplementedError / deterministic fake), but the
-Spark-side plumbing is real and tested: schema, batch iteration,
-partition sizing, and the metadata projection all behave exactly as
-they would with a real codec plugged into `_decode_payload`.
+The decode stage parses real byte layouts pure-python (PNG/JPEG/GIF/
+BMP dimensions, WAV rate/channels — no image/audio libs in this
+container); full pixel/sample decode (resize, ffmpeg frame
+extraction) would dispatch from the same `_decode_payload` seam with
+the same batch contract. Unknown formats fall back to a deterministic
+length-derived fake so the stage stays total.
 
 Scale notes: binary payloads dominate partition size — size
 spark.sql.files.maxPartitionBytes so one Arrow batch of payloads fits
@@ -56,12 +57,99 @@ def binary_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _png_dims(payload: bytes) -> dict | None:
+    # PNG: 8-byte signature, then IHDR chunk; width/height are
+    # big-endian u32 at offsets 16 and 20
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return {"width": w, "height": h}
+    return None
+
+
+def _jpeg_dims(payload: bytes) -> dict | None:
+    # JPEG: walk the marker stream to the first SOFn (C0-CF except
+    # C4/C8/CC); height/width are big-endian u16 at +5/+7 into the
+    # frame segment
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 9 < len(payload):
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = int.from_bytes(payload[i + 5:i + 7], "big")
+            w = int.from_bytes(payload[i + 7:i + 9], "big")
+            return {"width": w, "height": h}
+        i += 2 + seg_len
+    return None
+
+
+def _gif_dims(payload: bytes) -> dict | None:
+    # GIF87a/89a: logical screen width/height are little-endian u16
+    # at offsets 6 and 8
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return {"width": w, "height": h}
+    return None
+
+
+def _bmp_dims(payload: bytes) -> dict | None:
+    # BMP: BITMAPINFOHEADER width/height are little-endian i32 at
+    # offsets 18 and 22 (height may be negative for top-down rows)
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        return {"width": abs(w), "height": abs(h)}
+    return None
+
+
+def _wav_dims(payload: bytes) -> dict | None:
+    # WAV: RIFF/WAVE container; report (sample_rate, channels) in the
+    # (width, height) slots — the schema's generic numeric dims
+    if len(payload) >= 36 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        i = 12
+        while i + 8 <= len(payload):
+            chunk_id = payload[i:i + 4]
+            chunk_len = int.from_bytes(payload[i + 4:i + 8], "little")
+            if chunk_id == b"fmt " and i + 16 <= len(payload):
+                channels = int.from_bytes(payload[i + 10:i + 12], "little")
+                rate = int.from_bytes(payload[i + 12:i + 16], "little")
+                return {"width": rate, "height": channels}
+            i += 8 + chunk_len + (chunk_len & 1)
+    return None
+
+
+_CODECS = {
+    "image/png": _png_dims,
+    "image/jpeg": _jpeg_dims,
+    "image/gif": _gif_dims,
+    "image/bmp": _bmp_dims,
+    "audio/wav": _wav_dims,
+    "audio/x-wav": _wav_dims,
+}
+
+
 def _decode_payload(payload: bytes, media_type: str) -> dict:
-    """STUB decode. A real deployment dispatches on media_type to
-    PIL/ffmpeg/soundfile. Deterministic fake keeps the plumbing
-    testable: 'dimensions' derived from payload length."""
-    if media_type.startswith("image/"):
-        raise NotImplementedError("image decode requires PIL (not in container)")
+    """Header-level decode, pure python (no image/audio libs in this
+    container): PNG/JPEG/GIF/BMP dimensions and WAV sample-rate/
+    channels parsed from the real byte layout. Unknown or corrupt
+    payloads fall back to a deterministic length-derived fake so the
+    mapInPandas stage stays total (no poison-pill rows kill a batch).
+    Full pixel/sample decode (resize, frame extraction) would dispatch
+    here to PIL/ffmpeg with the same contract."""
+    payload = bytes(payload)
+    codec = _CODECS.get(media_type)
+    if codec is not None:
+        dims = codec(payload)
+        if dims is not None:
+            return dims
     n = len(payload)
     return {"width": int(n % 640), "height": int(n % 480)}
 

@@ -32,15 +32,32 @@ class CompositeOutput:
     # for pubsub/sqs/iprepd/slack emitters (network IO stubbed per
     # SURVEY §2.1 S11-S14)
     emitters: dict[str, Callable[[list[str]], None]] = field(default_factory=dict)
+    # emitters run on EXECUTORS via foreachPartition by default: an
+    # alert storm (the scenario this pipeline exists for) must not
+    # funnel an unbounded micro-batch through the driver. Collector
+    # emitters in tests set driver_emit=True to keep closure state
+    # observable in-process.
+    driver_emit: bool = False
 
     def write_batch(self, alerts: DataFrame) -> None:
         js = alerts_to_json(alerts)
         if self.file_path:
             js.write.mode("append").text(self.file_path)
         if self.emitters:
-            lines = [r.value for r in js.collect()]
-            for emit in self.emitters.values():
-                emit(lines)
+            if self.driver_emit:
+                lines = [r.value for r in js.collect()]
+                for emit in self.emitters.values():
+                    emit(lines)
+            else:
+                emitters = list(self.emitters.values())
+
+                def emit_partition(rows) -> None:
+                    lines = [r.value for r in rows]
+                    if lines:
+                        for emit in emitters:
+                            emit(lines)
+
+                js.foreachPartition(emit_partition)
 
     def stream_writer(self, alerts: DataFrame, checkpoint: str, **options):
         """writeStream wiring via foreachBatch (exactly-once per sink

@@ -71,6 +71,7 @@ def test_composite_output_fanout_and_violations(spark):
         sink = CompositeOutput(
             file_path=os.path.join(d, "alerts"),
             emitters={"collector": lambda lines: got.setdefault("x", []).extend(lines)},
+            driver_emit=True,  # closure collector must stay in-process
         )
         sink.write_batch(alerts)
         files = [
@@ -85,6 +86,42 @@ def test_composite_output_fanout_and_violations(spark):
     assert len(v) == 1
     assert v[0].object == "1.2.3.4" and v[0].type == "ip"
     assert "httprequest" in v[0].violation
+
+
+def test_emitters_run_on_executors_by_default(spark, tmp_path):
+    """Default emitter path is foreachPartition (executor-side): an
+    alert storm must not funnel through a driver collect
+    (sinks/output.py; the reference emits from workers too). The
+    emitter proves execution via a filesystem side effect, since
+    executor closures can't mutate driver state."""
+    import glob
+    import os as _os
+    import uuid as _uuid
+
+    hits = spark.createDataFrame(
+        [Row(window_start="2024-01-01 00:00:00", source_address=f"10.0.0.{i}", n=i)
+         for i in range(50)]
+    ).withColumn("window_start", F.col("window_start").cast("timestamp"))
+    alerts = to_alerts(
+        hits, category="httprequest", severity="warn",
+        summary=F.col("source_address"), metadata_cols=["source_address", "n"],
+    )
+    out_dir = str(tmp_path / "emitted")
+    _os.makedirs(out_dir)
+
+    def file_emitter(lines):
+        p = _os.path.join(out_dir, f"{_uuid.uuid4().hex}.jsonl")
+        with open(p, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    sink = CompositeOutput(emitters={"files": file_emitter})
+    sink.write_batch(alerts)
+    emitted = []
+    for p in glob.glob(_os.path.join(out_dir, "*.jsonl")):
+        with open(p) as fh:
+            emitted += [ln for ln in fh.read().splitlines() if ln]
+    assert len(emitted) == 50
+    assert all("httprequest" in ln for ln in emitted)
 
 
 def test_multiplex_read_parsed(spark, tmp_path):
@@ -191,6 +228,7 @@ def test_composite_output_stream_writer(spark, tmp_path):
     sink = CompositeOutput(
         file_path=str(tmp_path / "out"),
         emitters={"mem": got.extend},
+        driver_emit=True,  # closure collector must stay in-process
     )
     q = sink.stream_writer(alerts, checkpoint=str(tmp_path / "ckpt")).trigger(
         availableNow=True

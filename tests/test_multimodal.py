@@ -35,9 +35,64 @@ def test_extract_media_metadata_mapinpandas(spark):
     assert rows[2].width == 700 % 640 and rows[2].height == 700 % 480
 
 
-def test_decode_stub_gates_real_codecs():
-    with pytest.raises(NotImplementedError):
-        _decode_payload(b"\x89PNG", "image/png")
+def _minimal_png(w: int, h: int) -> bytes:
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x06\x00\x00\x00"
+    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR" + ihdr
+            + b"\x00\x00\x00\x00")
+
+
+def _minimal_jpeg(w: int, h: int) -> bytes:
+    # SOI, APP0 (JFIF), SOF0 with one component, EOI
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    sof0 = (b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x01\x11\x00")
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _minimal_wav(rate: int, channels: int) -> bytes:
+    fmt = (b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + channels.to_bytes(2, "little") + rate.to_bytes(4, "little")
+           + b"\x00" * 8)
+    body = b"WAVE" + fmt + b"data" + (0).to_bytes(4, "little")
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_decode_real_header_codecs():
+    """Header-level byte-layout parsers (no image libs), golden per
+    format; corrupt/unknown payloads fall back to the length fake."""
+    assert _decode_payload(_minimal_png(640, 480), "image/png") == {
+        "width": 640, "height": 480}
+    assert _decode_payload(_minimal_jpeg(1920, 1080), "image/jpeg") == {
+        "width": 1920, "height": 1080}
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert _decode_payload(gif + b"\x00" * 4, "image/gif") == {
+        "width": 320, "height": 200}
+    bmp = (b"BM" + b"\x00" * 16
+           + (800).to_bytes(4, "little", signed=True)
+           + (-600).to_bytes(4, "little", signed=True))  # top-down rows
+    assert _decode_payload(bmp, "image/bmp") == {"width": 800, "height": 600}
+    assert _decode_payload(_minimal_wav(44100, 2), "audio/wav") == {
+        "width": 44100, "height": 2}
+    # corrupt image -> deterministic fallback, never an exception
+    assert _decode_payload(b"\x89PNG", "image/png") == {"width": 4, "height": 4}
+
+
+def test_decode_real_codecs_through_mapinpandas(spark):
+    """The real codecs must run inside the distributed decode stage,
+    not just as local functions."""
+    rows = [
+        Row(doc_id=1, payload=bytearray(_minimal_png(12, 34)),
+            media_type="image/png"),
+        Row(doc_id=2, payload=bytearray(_minimal_jpeg(56, 78)),
+            media_type="image/jpeg"),
+        Row(doc_id=3, payload=bytearray(_minimal_wav(16000, 1)),
+            media_type="audio/wav"),
+    ]
+    out = {r.doc_id: r for r in
+           extract_media_metadata(spark.createDataFrame(rows)).collect()}
+    assert (out[1].width, out[1].height) == (12, 34)
+    assert (out[2].width, out[2].height) == (56, 78)
+    assert (out[3].width, out[3].height) == (16000, 1)
 
 
 def test_sample_frames_flatmap_shape(spark):
