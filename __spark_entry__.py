@@ -43,7 +43,8 @@ _VERIFY_FIRST = [
     "amo_fxa_ban_pattern", "amo_report_restriction",
     "source_login_failure_dist", "content_server_variance",
     "customs_activity_monitor", "login_failure_at_risk_account",
-    "customs_alert_fanout", "dedup_clusters",
+    "customs_alert_fanout", "dedup_clusters", "postprocessing_pipeline",
+    "ann_cosine_lsh_multiprobe",
     # the r01 hash failure, now fixed —
     "global_stats",
     # formerly 0-row-vacuous, retuned —

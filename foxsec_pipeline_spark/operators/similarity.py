@@ -94,30 +94,53 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
-    planes: list[list[float]],
+    planes: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    tables: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
-    bucket, then exact cosine rank within bucket. The cross join
-    becomes an equi-join on bucket — the scale path."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        lsh_bucket(F.col(vec_col), planes).alias("__bkt"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        lsh_bucket(F.col(vec_col), planes).alias("__bkt"),
-    )
-    scored = (
-        c.join(F.broadcast(q), ["__bkt"])
+    bucket(s), then exact cosine rank over the candidate set. The
+    cross join becomes an equi-join on (table, bucket) — the scale
+    path.
+
+    `tables` enables OR-amplification (classic AND-OR LSH): each
+    table is an independent set of hyperplanes; a pair is a candidate
+    if it collides in ANY table. More planes per table → fewer, purer
+    candidates (precision/AND); more tables → higher recall (OR).
+    Rows are posexploded to one row per table with that table's
+    bucket, so candidate generation stays ONE equi-join regardless of
+    table count — never an OR-of-conditions join (which would plan as
+    a cartesian). Duplicate pairs from multi-table collisions are
+    dropped before scoring. Single-table callers pass `planes`;
+    recall is measured against the exact baseline in
+    tests/test_similarity_recall.py.
+    """
+    if tables is None:
+        if planes is None:
+            raise ValueError("pass planes or tables")
+        tables = [planes]
+
+    def _exploded(df, out_id):
+        bkts = F.array(*[lsh_bucket(F.col(vec_col), t) for t in tables])
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(f"__{out_id}_v"),
+            F.posexplode(bkts).alias("__tbl", "__bkt"),
+        )
+
+    q = _exploded(queries, "query_id")
+    c = _exploded(corpus, "neighbor_id")
+    cand = (
+        c.join(F.broadcast(q), ["__tbl", "__bkt"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
-        .drop("__qv", "__cv", "__bkt")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(cosine(F.col("__query_id_v"), F.col("__neighbor_id_v")), 6),
+    ).select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

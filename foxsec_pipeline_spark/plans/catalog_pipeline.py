@@ -228,3 +228,120 @@ def q_alert_pipeline(spark, sf_dir):
         F.col("metadata").getItem("user_id").alias("meta_user_id"),
         F.col("metadata").getItem("event_count").alias("meta_count"),
     )
+
+
+@register(
+    "postprocessing_pipeline",
+    """
+WITH alerts AS (
+  SELECT event_id AS alert_id, ts, event_type AS category,
+         '10.' || (user_id % 32) || '.0.1' AS ip,
+         'u' || user_id || '@example.com' AS email
+  FROM events
+), kv AS (
+  SELECT alert_id, ts, 'source_address' AS matched_key, ip AS obj,
+         'ip' AS kind
+  FROM alerts
+  UNION ALL
+  SELECT alert_id, ts, 'email', email, 'email' FROM alerts
+), wl(wl_type, wl_object, wl_severity) AS (
+  VALUES ('ip', '10.3.0.1', 'warn'), ('ip', '10.7.0.1', 'critical'),
+         ('email', 'u17@example.com', 'critical'),
+         ('email', 'u42@example.com', 'warn')
+), wl_leg AS (
+  SELECT 'watchlist' AS subcategory, ts, wl_severity AS severity,
+         'matched watchlist object found in alert ' || alert_id AS summary,
+         matched_key, wl_object AS matched_object,
+         CASE wl_severity WHEN 'critical' THEN 'critical@example.com'
+              ELSE 'warning@example.com' END AS notify_email,
+         CAST(NULL AS DOUBLE) AS pct_change
+  FROM kv JOIN wl ON obj = wl_object AND kind = wl_type
+), counts AS (
+  SELECT date_trunc('day', ts) AS window_start, category, count(*) AS n
+  FROM alerts GROUP BY 1, 2
+), d AS (
+  SELECT window_start, category, n,
+         lag(n) OVER (PARTITION BY category ORDER BY window_start) AS prev_n
+  FROM counts
+), sm AS (
+  SELECT 'summary' AS subcategory, window_start AS ts, 'warn' AS severity,
+         'alert volume anomaly: ' || category AS summary,
+         CAST(NULL AS VARCHAR) AS matched_key,
+         CAST(NULL AS VARCHAR) AS matched_object,
+         CAST(NULL AS VARCHAR) AS notify_email,
+         round((n - prev_n) * 100.0 / prev_n, 6) AS pct_change
+  FROM d WHERE prev_n IS NOT NULL
+    AND abs((n - prev_n) * 100.0 / prev_n) >= 10.0
+)
+SELECT * FROM wl_leg UNION ALL SELECT * FROM sm
+""",
+    doc="postprocessing/PostProcessing.java:54-420 composed pipeline: an "
+        "alert stream fans into (a) WatchlistAnalyze — ip AND email alert "
+        "metadata unpivoted to (key, value, kind) rows and broadcast-joined "
+        "against the watchlist, emitting escalation alerts with matched "
+        "metadata + severity-routed notify address (createAlert, "
+        "PostProcessing.java:349-374) — and (b) AlertSummary volume-anomaly "
+        "deltas (AlertSummary.java:427-514); both legs union into one "
+        "postprocessing alert stream. The reference batches Datastore "
+        "watchlist lookups per 250 alerts to bound QPS; a broadcast join "
+        "makes batching moot",
+)
+def q_postprocessing_pipeline(spark, sf_dir):
+    from ..operators.summary import summary_delta
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    alerts = ev.select(
+        F.col("event_id").alias("alert_id"),
+        "ts",
+        F.col("event_type").alias("category"),
+        F.concat(F.lit("10."), (F.col("user_id") % 32).cast("string"),
+                 F.lit(".0.1")).alias("ip"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string"),
+                 F.lit("@example.com")).alias("email"),
+    )
+    # unpivot the checkable metadata keys to (key, value, kind) rows —
+    # the reference walks ipKeys/emailKeys per alert; stack() is the
+    # columnar twin and keeps the join a single equi-join
+    kv = alerts.select(
+        "alert_id", "ts",
+        F.expr(
+            "stack(2, 'source_address', ip, 'ip', 'email', email, 'email') "
+            "AS (matched_key, obj, kind)"
+        ),
+    )
+    wl = ev.sparkSession.createDataFrame(
+        [("ip", "10.3.0.1", "warn"), ("ip", "10.7.0.1", "critical"),
+         ("email", "u17@example.com", "critical"),
+         ("email", "u42@example.com", "warn")],
+        "wl_type string, wl_object string, wl_severity string",
+    )
+    wl_leg = (
+        kv.join(F.broadcast(wl),
+                (kv["obj"] == wl["wl_object"]) & (kv["kind"] == wl["wl_type"]))
+        .select(
+            F.lit("watchlist").alias("subcategory"),
+            "ts",
+            F.col("wl_severity").alias("severity"),
+            F.concat(F.lit("matched watchlist object found in alert "),
+                     F.col("alert_id").cast("string")).alias("summary"),
+            "matched_key",
+            F.col("wl_object").alias("matched_object"),
+            F.when(F.col("wl_severity") == "critical",
+                   "critical@example.com")
+            .otherwise("warning@example.com").alias("notify_email"),
+            F.lit(None).cast("double").alias("pct_change"),
+        )
+    )
+    sm = summary_delta(
+        alerts, classifier="category", ts="ts", duration="1 day", warn_pct=10.0
+    ).select(
+        F.lit("summary").alias("subcategory"),
+        F.col("window_start").alias("ts"),
+        F.lit("warn").alias("severity"),
+        F.concat(F.lit("alert volume anomaly: "), F.col("category")).alias("summary"),
+        F.lit(None).cast("string").alias("matched_key"),
+        F.lit(None).cast("string").alias("matched_object"),
+        F.lit(None).cast("string").alias("notify_email"),
+        "pct_change",
+    )
+    return wl_leg.unionByName(sm)

@@ -148,3 +148,41 @@ def test_ann_broadcasts_queries(spark, reg):
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
             f"{name}\n{plan}"
         )
+
+
+def test_multiprobe_lsh_single_equijoin(spark, reg):
+    """OR-amplified LSH must stay ONE equi-join on (table, bucket) —
+    an OR-of-bucket-conditions join would plan as a nested-loop
+    cartesian over the corpus."""
+    plan = plan_of(reg["ann_cosine_lsh_multiprobe"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # exactly one join node in the tree section (explain-formatted
+    # repeats each node in the detail section)
+    tree = plan.split("\n\n")[0]
+    assert sum("BroadcastHashJoin" in ln for ln in tree.splitlines()) == 1, plan
+
+
+def test_hot_group_flag_is_broadcast(spark):
+    """account_creation_dist's hot-group detection joins a broadcast
+    flag (few hot groups by definition) — a shuffled join here would
+    re-shuffle the whole input just to mark rows."""
+    from pyspark.sql import Row
+
+    from foxsec_pipeline_spark.operators.customs import account_creation_dist
+
+    df = spark.createDataFrame(
+        [Row(g="d.com", id=i, name=f"n{i}", addr=f"a{i}") for i in range(10)]
+    )
+    plan = plan_of(account_creation_dist(
+        df, group_col="g", id_col="id", name_col="name", addr_col="addr",
+        max_ratio=0.3, hot_group_cutoff=5, n_blocks=2,
+    ))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_postprocessing_watchlist_broadcasts(spark, reg):
+    """T8/PostProcessing: the watchlist side must broadcast — the
+    alert stream never reshuffles for watchlist matching."""
+    plan = plan_of(reg["postprocessing_pipeline"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan

@@ -1,0 +1,76 @@
+"""Recall of the approximate (LSH) paths measured against their exact
+baselines — the missing evidence called out in round-1 review: a
+bucketed candidate generator is only the right 100 TB design if its
+recall at test scale is known and bounded.
+
+Floors are deliberately conservative (deterministic planes/hashes, so
+the measured numbers are stable); the printed values document the
+actual operating point.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from foxsec_pipeline_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from foxsec_pipeline_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from foxsec_pipeline_spark.plans.catalog_data import _LSH_TABLES, _PLANES
+from foxsec_pipeline_spark.session import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pair_set(df, a, b):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_tables(spark, SF_DIR, "embeddings")["embeddings"]
+
+
+def test_ann_lsh_recall_vs_exact(emb, spark):
+    queries = emb.where(F.col("vec_id") < 50)
+    exact = _pair_set(
+        cosine_topk(queries, emb, k=5), "query_id", "neighbor_id"
+    )
+    single = _pair_set(
+        cosine_topk_lsh(queries, emb, planes=_PLANES, k=5),
+        "query_id", "neighbor_id",
+    )
+    multi = _pair_set(
+        cosine_topk_lsh(queries, emb, tables=_LSH_TABLES, k=5),
+        "query_id", "neighbor_id",
+    )
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    print(f"ann recall@5: single-table={r_single:.3f} "
+          f"multi-table(6x4)={r_multi:.3f} (|exact|={len(exact)})")
+    # OR-amplification must not lose recall vs one table; the 6-table
+    # operating point measured 0.84 (4 tables: 0.70, 8: 0.86 — knee of
+    # the curve), single 16-bucket table 0.11 — the honest weak
+    # baseline that motivates amplification
+    assert r_multi >= r_single
+    assert r_multi >= 0.75
+    assert r_single >= 0.08
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    docs = load_tables(spark, SF_DIR, "documents")["documents"]
+    exact = _pair_set(
+        ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=10**9),
+        "doc_a", "doc_b",
+    )
+    approx = _pair_set(
+        minhash_lsh_pairs(docs, n=3, num_hashes=8, band_size=2),
+        "doc_a", "doc_b",
+    )
+    assert exact, "exact jaccard baseline returned no pairs at sf0.001"
+    recall = len(exact & approx) / len(exact)
+    print(f"minhash recall vs jaccard>=0.5: {recall:.3f} "
+          f"(|exact|={len(exact)}, |candidates|={len(approx)})")
+    # 4 bands x 2 rows: P(candidate) = 1-(1-s^2)^4, ~0.87 at s=0.5 and
+    # >0.99 at s=0.7 — the measured floor reflects the s~0.5 tail
+    assert recall >= 0.6
