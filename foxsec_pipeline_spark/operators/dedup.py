@@ -27,13 +27,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    MINHASH_A,
+    MINHASH_B,
     MINHASH_P,
     doc_fingerprint,
     md5_bucket,
-    minhash_signature_universal,
     tokens,
-    word_shingles,
 )
+from .skew import spread
 
 
 def exact_dedup(
@@ -67,6 +68,7 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     # the sf0.1 documents table.
     from pyspark.sql import Window
 
+    df = spread(df)
     tok = df.where(F.size(tokens(F.col(text_col))) >= n).select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "__t")
     )
@@ -173,29 +175,45 @@ def minhash_lsh_pairs(
     downstream if exact Jaccard is needed.
     """
     assert num_hashes % band_size == 0
-    # signature stays ARRAY-shaped (word_shingles + per-element hash +
-    # min-fold): it never explodes the shingles, so the whole signature
-    # is map-side — measured faster than routing through the exploded
-    # relational _shingled (which pays window+distinct shuffles that
-    # only the pairwise-join path needs).
-    sh = df.where(F.size(tokens(F.col(text_col))) >= n).select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+    # signature is computed RELATIONALLY: explode shingle hashes, then
+    # groupBy(id).agg(min(perm_i(h))) per permutation. Two reasons over
+    # the array-shaped (word_shingles + transform + array_min) form:
+    # (1) higher-order functions evaluate interpreted, outside
+    # whole-stage codegen; (2) CollapseProject inlines an array-shaped
+    # signature into every downstream band column, duplicating the
+    # whole HOF tree ~num_hashes^2 times — Catalyst then spends more
+    # time COMPILING the plan than executing it (measured: ~1.7 s
+    # compile vs ~0.3 s run at sf0.1). The aggregation is a collapse
+    # barrier, and map-side partial agg shrinks the exploded shingles
+    # back to one row per (doc, partition) before the exchange, so the
+    # shuffle is ~|docs| rows at any scale.
+    from pyspark.sql import Window
+
+    df = spread(df)
+    tok = df.where(F.size(tokens(F.col(text_col))) >= n).select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "__t")
     )
-    # separate select: CollapseProject keeps the expensive alias
-    # un-inlined, so the digest isn't recomputed per permutation
-    hashed = sh.select(
-        F.col(id_col),
-        F.transform(
-            F.col("shingles"), lambda s: md5_bucket(s) % F.lit(MINHASH_P)
-        ).alias("hps"),
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("__t")] + [F.lead("__t", i).over(w) for i in range(1, n)]
+    hashed = (
+        tok.select(
+            F.col(id_col),
+            F.concat_ws(" ", *parts).alias("__s"),
+            parts[-1].alias("__last"),
+        )
+        .where(F.col("__last").isNotNull())
+        .select(
+            F.col(id_col), (md5_bucket(F.col("__s")) % F.lit(MINHASH_P)).alias("__h")
+        )
     )
-    sig_arr = hashed.select(
-        F.col(id_col),
-        minhash_signature_universal(F.col("hps"), num_hashes).alias("sig"),
-    )
-    sig = sig_arr.select(
-        F.col(id_col),
-        *[F.col("sig").getItem(i).alias(f"__h{i}") for i in range(num_hashes)],
+    sig = hashed.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("__h") + F.lit(MINHASH_B[i]))
+                % F.lit(MINHASH_P)
+            ).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
     )
     n_bands = num_hashes // band_size
     bands = sig.select(
@@ -218,17 +236,24 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select(id_col, "bs.band", "bs.band_sig")
-    a, b = bands.alias("a"), bands.alias("b")
+    # pairs are generated INSIDE each (band, band_sig) bucket by
+    # grouping ids and exploding ordered combinations — a self-join on
+    # the bucket key would re-evaluate the whole (higher-order,
+    # interpreted) signature pipeline for both join sides, since
+    # Catalyst gives aliased subplans no exchange reuse. One signature
+    # pass, one shuffle on the bucket key; bucket width stays the LSH
+    # fan-out bound either way.
+    grouped = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("docs"))
+        .where(F.size("docs") >= 2)
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+        grouped.repartition(par)
+        .select("docs", F.explode("docs").alias("doc_a"))
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 
@@ -258,6 +283,17 @@ def dedup_clusters(
     Returns (id_col, cluster_keeper, cluster_size) for EVERY node in
     `nodes` — singletons keep themselves, so the output is directly a
     keep/drop decision: drop rows where id != cluster_keeper.
+
+    Each round is cut with an eager `localCheckpoint` rather than
+    `persist`: the logical plan would otherwise grow by one
+    join+agg per round, so round N pays O(N) re-analysis and the
+    final plan is the whole loop unrolled (measured ~10 s -> ~3 s
+    at sf0.1). Checkpoint blocks are reclaimed by the ContextCleaner
+    when the python refs drop, so nothing stays pinned after return
+    (the old persist-based version leaked its final cache and
+    contaminated every later query in the bench run). Change
+    detection rides the update join itself (max(changed) over a
+    flag column) instead of a second old-vs-new join.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -265,41 +301,34 @@ def dedup_clusters(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    )
-    edges = edges.persist()
-    labels = labels.persist()
+    ).localCheckpoint(eager=True)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        upd = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
+                (F.col("nlabel") < F.col("label")).cast("int").alias("__chg"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        changed = upd.agg(F.max("__chg")).first()[0]
+        labels = upd.drop("__chg")
+        if not changed:
             break
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    out = (
+    return (
         labels.join(sizes, "label")
         .select(
             F.col("node").alias(id_col),
@@ -307,8 +336,6 @@ def dedup_clusters(
             "cluster_size",
         )
     )
-    edges.unpersist()
-    return out
 
 
 def simhash(
@@ -326,6 +353,7 @@ def simhash(
     token array per row — no explode, no shuffle: a pure map-side
     fingerprint, which is what lets it run over 100 TB as a scan.
     """
+    df = spread(df)
     tok = tokens(F.col(text_col))
     # per-token 16-bit portable hash
     th = F.transform(

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .skew import spread
+
 
 def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
@@ -57,16 +59,31 @@ def cosine_topk(
     Ranking uses the rounded score with id tie-break, so the result
     set is deterministic across engines.
     """
+    # per-vector norms are hoisted OUT of the per-pair expression: the
+    # pair score is then one dot fold instead of three (dot + 2 norm
+    # folds), and sqrt(fold) is computed identically to the inline
+    # form, so results are bit-identical
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine", F.round(cosine(F.col("__qv"), F.col("__cv")), round_decimals)
+            "cosine",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                round_decimals,
+            ),
         )
-        .drop("__qv", "__cv")
+        .drop("__qv", "__cv", "__qn", "__cn")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -89,6 +106,80 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
         arr = F.array(*[F.lit(float(v)) for v in plane])
         bucket = bucket + F.when(dot(vec, arr) > 0, F.lit(2**i)).otherwise(F.lit(0))
     return bucket
+
+
+# fixed-point scale for the relational bucket path: embeddings are
+# float32 in (-1, 1); x -> floor(x * 2^20) is exact in double (the
+# scale is a power of two) and makes the per-plane dot an INTEGER sum
+# — order-independent, so a shuffled groupBy-sum is bit-reproducible
+# and DuckDB's unnest+sum oracle matches exactly. floor, not round:
+# round half-cases tie-break differently across engines (the
+# global_stats lesson).
+LSH_SCALE = 1 << 20
+
+
+def lsh_buckets_relational(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, __tbl, __bkt) — one row per (vector, LSH table), computed
+    relationally: posexplode the vector, one integer agg per (table,
+    plane), sign-pack per table, posexplode the per-table buckets.
+
+    Why not the `lsh_bucket` expression per row: each plane dot is a
+    higher-order fold (interpreted, no codegen), and CollapseProject
+    inlines the whole bucket expression into every downstream use —
+    with 6 tables x 4 planes the plan spends multiples of the runtime
+    in compilation alone. Here the plane dot is sum(scaled_x * coef)
+    under groupBy(id): whole-stage codegen end to end, and map-side
+    partial agg shrinks the exploded (id, j, x) rows back to one row
+    per (id, partition) before the exchange — the shuffle stays
+    ~|vectors| rows at any scale.
+    """
+    ex = spread(df).select(
+        F.col(id_col), F.col(vec_col), F.posexplode(vec_col).alias("__j", "__x")
+    )
+    scaled = ex.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__j"),
+        F.floor(F.col("__x").cast("double") * F.lit(float(LSH_SCALE)))
+        .cast("long")
+        .alias("__xs"),
+    )
+    # the vector rides through the agg via first() (one vector per id,
+    # so deterministic) — cheaper than joining it back on id afterward
+    aggs = [F.first(F.col(vec_col)).alias(vec_col)]
+    for t, table in enumerate(tables):
+        for i, plane in enumerate(table):
+            # the whole per-plane agg is ONE parsed SQL expression:
+            # building the coefficient array with F.lit costs a py4j
+            # round-trip per element (and F.lit(list) explodes to
+            # per-element lits internally) — 24 planes x 64 coefs made
+            # DataFrame *construction* take 3.6 s, 2.5x the execution
+            coefs = ",".join(str(int(v)) for v in plane)
+            aggs.append(
+                F.expr(
+                    f"sum(__xs * element_at(array({coefs}), __j + 1))"
+                ).alias(f"__d_{t}_{i}")
+            )
+    dots = scaled.groupBy(id_col).agg(*aggs)
+    # sign-pack per table, again as one parsed expression per query
+    # (a python-side when-chain is ~100 py4j calls)
+    packed = ", ".join(
+        " + ".join(
+            f"(CASE WHEN __d_{t}_{i} > 0 THEN {2 ** i} ELSE 0 END)"
+            for i in range(len(table))
+        )
+        for t, table in enumerate(tables)
+    )
+    return dots.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(F.expr(f"array({packed})")).alias("__tbl", "__bkt"),
+    )
 
 
 def cosine_topk_lsh(
@@ -122,25 +213,52 @@ def cosine_topk_lsh(
             raise ValueError("pass planes or tables")
         tables = [planes]
 
-    def _exploded(df, out_id):
-        bkts = F.array(*[lsh_bucket(F.col(vec_col), t) for t in tables])
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).alias(f"__{out_id}_v"),
-            F.posexplode(bkts).alias("__tbl", "__bkt"),
-        )
-
-    q = _exploded(queries, "query_id")
-    c = _exploded(corpus, "neighbor_id")
+    # candidate generation works on (id, table, bucket) rows ONLY —
+    # carrying the vectors through the bucket join + distinct would
+    # shuffle/sort 64-float arrays per collision and force the dedup
+    # into SortAggregate; ids re-attach the vectors afterward. The
+    # corpus bucket pipeline is also referenced exactly once this way
+    # (a two-sided self-reference would compile and run it twice:
+    # Catalyst gives aliased subplans no exchange reuse across a
+    # broadcast boundary).
+    qb = lsh_buckets_relational(queries, tables, id_col=id_col, vec_col=vec_col)
+    cb = lsh_buckets_relational(corpus, tables, id_col=id_col, vec_col=vec_col)
+    q_ids = qb.select(F.col(id_col).alias("query_id"), "__tbl", "__bkt")
+    c_ids = cb.select(F.col(id_col).alias("neighbor_id"), "__tbl", "__bkt")
     cand = (
-        c.join(F.broadcast(q), ["__tbl", "__bkt"])
+        c_ids.join(F.broadcast(q_ids), ["__tbl", "__bkt"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    scored = cand.withColumn(
-        "cosine",
-        F.round(cosine(F.col("__query_id_v"), F.col("__neighbor_id_v")), 6),
-    ).select("query_id", "neighbor_id", "cosine")
+    # re-attach vectors + hoisted norms (norm fold once per vector,
+    # not once per pair), then score on an explicitly wide stage: AQE
+    # coalesces the candidate shuffle by its small byte size, blind to
+    # the interpreted 64-wide dot fold each row still costs
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    cv = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .repartition(par)
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

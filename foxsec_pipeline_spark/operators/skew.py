@@ -21,6 +21,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Fan a narrow input out across the cluster before expensive
+    per-row compute — the Beam `Reshuffle` anti-fusion analog
+    (`gatekeeper/ETDTransforms.java:295-298` breaks step fusion the
+    same way).
+
+    A scan's parallelism is its split count; parquet row groups are
+    the atomic split, so a single-row-group file runs every fused
+    map-side expression on ONE core no matter the cluster size
+    (measured: the whole MinHash signature pipeline at sf0.1 ran
+    1-of-32 threads — 4.7 s for work that takes 0.3 s spread). A
+    100 TB table scans as thousands of splits, so this is a no-op
+    there (and must be: an unconditional repartition would shuffle
+    the full corpus). Round-robin placement only — content-level
+    results are unchanged.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def salted_windowed_counts(
     df: DataFrame,
     key: str,

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint, tokens
+from .skew import spread
 
 # tiny per-language stopword marker sets for the n-gram/stopword
 # heuristic language id (public-knowledge common words)
@@ -30,6 +31,7 @@ def _ratio_in(tok: Column, words: list[str]) -> Column:
 
 def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc token/char stats: the quality-scoring feature base."""
+    df = spread(df)
     tok = tokens(F.col(text_col))
     avg_tok_len = F.aggregate(
         tok, F.lit(0.0), lambda acc, t: acc + F.length(t)
@@ -49,6 +51,7 @@ def quality_score(
     """Composite quality score in [0,1]: length band + lexical
     diversity + stopword presence (the standard cheap quality gates a
     pretraining pipeline applies before expensive model scoring)."""
+    df = spread(df)
     tok = tokens(F.col(text_col))
     n_tok = F.size(tok)
     diversity = F.size(F.array_distinct(tok)) / F.greatest(n_tok, F.lit(1))
@@ -79,6 +82,7 @@ def language_id(
     the operator shape (map-side projection, argmax over a struct
     array) is identical.
     """
+    df = spread(df)
     tok = tokens(F.col(text_col))
     scores = F.array(
         *[

@@ -259,10 +259,14 @@ _PLANES = [
 
 
 def _plane_sql(plane: list[float]) -> str:
-    vals = ", ".join(str(v) for v in plane)
+    # integer fixed-point dot (matches similarity.LSH_SCALE floor-scale):
+    # order-independent, so Spark's shuffled groupBy-sum and this fold
+    # agree exactly
+    vals = ", ".join(str(int(v)) for v in plane)
     return (
         f"list_reduce(list_transform(range(1, 65), "
-        f"i -> embedding[i]::DOUBLE * ([{vals}]::DOUBLE[])[i]), (x, y) -> x + y)"
+        f"i -> CAST(floor(embedding[i]::DOUBLE * 1048576) AS BIGINT)"
+        f" * ([{vals}]::BIGINT[])[i]), (x, y) -> x + y)"
     )
 
 
@@ -401,25 +405,50 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4
         "(candidate join is bucket-local, like MinHash banding for text)",
 )
 def q_dedup_embedding_cosine(spark, sf_dir):
-    from ..operators.similarity import cosine, lsh_bucket
+    from ..operators.similarity import dot, l2_norm, lsh_buckets_relational
+    from ..operators.skew import spread
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    b = emb.select(
-        "vec_id", "embedding",
-        lsh_bucket(F.col("embedding"), _PLANES).alias("bkt"),
+    # candidate pairs from id-only bucket rows (grouped in-bucket
+    # combination explode — one evaluation of the bucket pipeline, no
+    # self-join); vectors and hoisted norms re-attach by id afterward,
+    # and the interpreted dot fold runs on an explicitly wide stage
+    # (AQE sizes the pair shuffle by bytes, blind to fold cost)
+    b = lsh_buckets_relational(emb, [_PLANES]).select(
+        "vec_id", F.col("__bkt").alias("bkt")
     )
-    a = b.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("__ea"),
-        F.col("bkt"),
+    par = spark.sparkContext.defaultParallelism
+    pairs = (
+        b.groupBy("bkt")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .repartition(par)
+        .select("ids", F.explode("ids").alias("vec_a"))
+        .select("vec_a", F.explode("ids").alias("vec_b"))
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .distinct()
+        # AQE coalesces the distinct's output to 1 partition (tiny
+        # bytes) and the broadcast joins below inherit that width —
+        # Catalyst then pushes the cosine filter INTO the join stage,
+        # so the interpreted fold would run single-core. Explicit
+        # width BEFORE the joins keeps the whole score+filter wide.
+        .repartition(par)
     )
-    c = b.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("__eb"),
-        F.col("bkt"),
+    v = spread(emb).select(
+        "vec_id", F.col("embedding").alias("__v"),
+        l2_norm(F.col("embedding")).alias("__n"),
     )
     return (
-        a.join(c, ["bkt"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(cosine(F.col("__ea"), F.col("__eb")), 6))
+        pairs.join(v.select(F.col("vec_id").alias("vec_a"),
+                            F.col("__v").alias("__ea"),
+                            F.col("__n").alias("__na")), "vec_a")
+        .join(v.select(F.col("vec_id").alias("vec_b"),
+                       F.col("__v").alias("__eb"),
+                       F.col("__n").alias("__nb")), "vec_b")
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb")), 6),
+        )
         .where(F.col("cosine") >= 0.4)
         .select("vec_a", "vec_b", "cosine")
     )

@@ -157,10 +157,19 @@ def test_multiprobe_lsh_single_equijoin(spark, reg):
     plan = plan_of(reg["ann_cosine_lsh_multiprobe"].fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    # exactly one join node in the tree section (explain-formatted
-    # repeats each node in the detail section)
+    # candidate generation is ONE bucket equi-join; the two extra
+    # joins re-attach vectors by id to the id-only candidates (so
+    # 64-float arrays never ride through the bucket join/distinct).
+    # All three are hash equi-joins — at local scale the planner may
+    # broadcast any of them.
     tree = plan.split("\n\n")[0]
-    assert sum("BroadcastHashJoin" in ln for ln in tree.splitlines()) == 1, plan
+    n_joins = sum(
+        ("BroadcastHashJoin" in ln) or ("SortMergeJoin" in ln)
+        or ("ShuffledHashJoin" in ln)
+        for ln in tree.splitlines()
+    )
+    assert n_joins == 3, plan
+    assert "__bkt" in plan, plan
 
 
 def test_hot_group_flag_is_broadcast(spark):
