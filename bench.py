@@ -37,6 +37,14 @@ def main() -> None:
     )
     for _t in _lt(spark, sf_dir, *_ALL_TABLES).values():
         _t.count()
+    # warm the parser too: the 22-spec projection build (~3s of py4j,
+    # cached after first use) and the codegen+JIT of its cascade are
+    # one-time session costs that otherwise land entirely on the
+    # alphabetically-first parse query
+    from foxsec_pipeline_spark.parser.parse import ParserCfg as _PC
+    from foxsec_pipeline_spark.parser.parse import parse_events as _pe
+
+    _pe(spark.createDataFrame([("warm",)], "value string"), _PC()).count()
 
     total = 0.0
     for name in sorted(reg):

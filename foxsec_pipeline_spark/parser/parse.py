@@ -72,47 +72,69 @@ def _projection(chain: list[PayloadSpec]):
     if hit is not None:
         return hit[1]
 
-    ptype = F.lit(None).cast("string")
-    for spec in reversed(chain):
-        ptype = F.when(spec.matcher, F.lit(spec.name)).otherwise(ptype)
-    ptype = F.coalesce(ptype, F.lit("raw"))
+    # All cascades are built FLAT (one CaseWhen with N branches via
+    # chained .when(), first match wins) rather than N nested
+    # CaseWhens: the nested form is a depth-22 tree that Catalyst
+    # re-traverses on every optimizer rule — measured ~2s of driver
+    # analysis per parse query at 22 specs; the flat form is one node.
+    def cascade(pairs, default):
+        if not pairs:
+            return default
+        (c0, v0), *rest = pairs
+        col = F.when(c0, v0)
+        for cond, val in rest:
+            col = col.when(cond, val)
+        return col.otherwise(default) if default is not None else col
+
+    ptype = cascade(
+        [(spec.matcher, F.lit(spec.name)) for spec in chain], F.lit("raw")
+    )
 
     def pick(fname: str):
-        col = F.lit(None).cast(dict(zip(EVENT_SCHEMA.fieldNames(),
-                                        [f.dataType.simpleString() for f in EVENT_SCHEMA]))
-                               .get(fname, "string"))
-        for spec in reversed(chain):
-            expr = spec.fields.get(fname)
-            if expr is not None:
-                col = F.when(F.col("payload_type") == spec.name, expr).otherwise(col)
-        return col
+        null = F.lit(None).cast(dict(zip(EVENT_SCHEMA.fieldNames(),
+                                         [f.dataType.simpleString() for f in EVENT_SCHEMA]))
+                                .get(fname, "string"))
+        pairs = [
+            (F.col("payload_type") == spec.name, spec.fields[fname])
+            for spec in chain
+            if spec.fields.get(fname) is not None
+        ]
+        return cascade(pairs, null) if pairs else null
 
-    norm_type = F.lit(None).cast("string")
-    payload_ts = F.lit(None).cast("timestamp")
-    extras_col = F.lit(None).cast("map<string,string>")
-    for spec in reversed(chain):
-        norm_type = F.when(
-            F.col("payload_type") == spec.name, spec.normalized_type
-        ).otherwise(norm_type)
-        if spec.event_ts is not None:
-            payload_ts = F.when(
-                F.col("payload_type") == spec.name, spec.event_ts
-            ).otherwise(payload_ts)
-        if spec.extras:
-            # null-valued keys are dropped via a to_json/from_json
-            # round-trip (to_json omits null fields) rather than
-            # map_filter: map_filter is a HigherOrderFunction with no
-            # codegen support, and ONE interpreted expression in the
-            # projection knocks the WHOLE parse select out of
-            # whole-stage codegen (measured: 26k -> 252k rows/s on the
-            # 22-spec chain when replaced)
-            st = F.struct(
-                *[v.cast("string").alias(k) for k, v in sorted(spec.extras.items())]
-            )
-            m = F.from_json(F.to_json(st), "map<string,string>")
-            extras_col = F.when(F.col("payload_type") == spec.name, m).otherwise(
-                extras_col
-            )
+    norm_type = cascade(
+        [(F.col("payload_type") == spec.name, spec.normalized_type) for spec in chain],
+        F.lit(None).cast("string"),
+    )
+    payload_ts = cascade(
+        [
+            (F.col("payload_type") == spec.name, spec.event_ts)
+            for spec in chain
+            if spec.event_ts is not None
+        ],
+        F.lit(None).cast("timestamp"),
+    )
+
+    def extras_map(spec):
+        # null-valued keys are dropped via a to_json/from_json
+        # round-trip (to_json omits null fields) rather than
+        # map_filter: map_filter is a HigherOrderFunction with no
+        # codegen support, and ONE interpreted expression in the
+        # projection knocks the WHOLE parse select out of
+        # whole-stage codegen (measured: 26k -> 252k rows/s on the
+        # 22-spec chain when replaced)
+        st = F.struct(
+            *[v.cast("string").alias(k) for k, v in sorted(spec.extras.items())]
+        )
+        return F.from_json(F.to_json(st), "map<string,string>")
+
+    extras_col = cascade(
+        [
+            (F.col("payload_type") == spec.name, extras_map(spec))
+            for spec in chain
+            if spec.extras
+        ],
+        F.lit(None).cast("map<string,string>"),
+    )
 
     picks = [pick(f) for f in _NORM_FIELDS]
     built = (ptype, norm_type, payload_ts, extras_col, picks)

@@ -84,60 +84,81 @@ def _synth_customs_lines(spark, sf_dir):
     """Synthesize the Customs pipeline's mixed raw stream from the
     events table: FxaAuth mozlog for click/error, FxaContent for view,
     PrivateRelay for signup, and a non-matching raw line for purchase
-    (which the prefilter must drop)."""
+    (which the prefilter must drop).
+
+    One scan, one projection: a when-cascade picks the line shape per
+    row. The earlier 4-branch unionByName read events 4 times AND let
+    PushProjectionThroughUnion clone the downstream 22-spec parse
+    cascade into every branch — quadrupling Catalyst analysis +
+    codegen driver time (measured: the wall time of the prefilter
+    query was ~60% driver-side plan work)."""
     ev = load_tables(spark, sf_dir, "events")["events"]
     bucket = (F.col("user_id") % 10).cast("string")
     addr = F.concat(F.lit("10.0."), bucket, F.lit(".1"))
-    fxaauth = ev.where(F.col("event_type").isin("click", "error")).select(
-        F.to_json(
+    fxaauth = F.to_json(
+        F.struct(
+            F.lit(0).alias("Timestamp"),
+            F.lit("fxa-auth-server").alias("Logger"),
+            F.lit("request.summary").alias("Type"),
             F.struct(
-                F.lit(0).alias("Timestamp"),
-                F.lit("fxa-auth-server").alias("Logger"),
-                F.lit("request.summary").alias("Type"),
-                F.struct(
-                    F.lit("/v1/account/login").alias("path"),
-                    F.lit("POST").alias("method"),
-                    F.when(F.col("event_type") == "error", "401")
-                    .otherwise("200").alias("status"),
-                    F.concat(F.lit('["'), addr, F.lit('"]')).alias(
-                        "remoteAddressChain"
-                    ),
-                ).alias("Fields"),
-            )
-        ).alias("value")
+                F.lit("/v1/account/login").alias("path"),
+                F.lit("POST").alias("method"),
+                F.when(F.col("event_type") == "error", "401")
+                .otherwise("200").alias("status"),
+                F.concat(F.lit('["'), addr, F.lit('"]')).alias(
+                    "remoteAddressChain"
+                ),
+            ).alias("Fields"),
+        )
     )
-    fxacontent = ev.where(F.col("event_type") == "view").select(
-        F.to_json(
+    fxacontent = F.to_json(
+        F.struct(
+            F.lit(0).alias("Timestamp"),
+            F.lit("fxa-content-server").alias("Logger"),
+            F.lit("server.requests.route").alias("Type"),
             F.struct(
-                F.lit(0).alias("Timestamp"),
-                F.lit("fxa-content-server").alias("Logger"),
-                F.lit("server.requests.route").alias("Type"),
-                F.struct(
-                    addr.alias("clientAddress"),
-                    F.lit("/metrics/flow").alias("path"),
-                    F.lit("GET").alias("method"),
-                    F.lit("200").alias("status"),
-                ).alias("Fields"),
-            )
-        ).alias("value")
+                addr.alias("clientAddress"),
+                F.lit("/metrics/flow").alias("path"),
+                F.lit("GET").alias("method"),
+                F.lit("200").alias("status"),
+            ).alias("Fields"),
+        )
     )
-    relay = ev.where(F.col("event_type") == "signup").select(
-        F.to_json(
+    relay = F.to_json(
+        F.struct(
+            F.lit(0).alias("Timestamp"),
+            F.lit("fx-private-relay").alias("Logger"),
+            F.lit("events").alias("Type"),
             F.struct(
-                F.lit(0).alias("Timestamp"),
-                F.lit("fx-private-relay").alias("Logger"),
-                F.lit("events").alias("Type"),
-                F.struct(
-                    F.lit("email_relay").alias("msg"),
-                    F.concat(F.lit("uid-"), bucket).alias("fxa_uid"),
-                ).alias("Fields"),
-            )
-        ).alias("value")
+                F.lit("email_relay").alias("msg"),
+                F.concat(F.lit("uid-"), bucket).alias("fxa_uid"),
+            ).alias("Fields"),
+        )
     )
-    other = ev.where(F.col("event_type") == "purchase").select(
-        F.concat(F.lit("noise line "), F.col("event_id").cast("string")).alias("value")
+    other = F.concat(F.lit("noise line "), F.col("event_id").cast("string"))
+    line = (
+        F.when(F.col("event_type").isin("click", "error"), fxaauth)
+        .when(F.col("event_type") == "view", fxacontent)
+        .when(F.col("event_type") == "signup", relay)
+        .otherwise(other)
     )
-    return fxaauth.unionByName(fxacontent).unionByName(relay).unionByName(other)
+    return ev.select(line.alias("value"))
+
+
+_CUSTOMS_CHAIN = None
+
+
+def _customs_chain():
+    # module-level singleton so parse_events' projection cache (keyed
+    # by spec identity) hits across calls
+    global _CUSTOMS_CHAIN
+    if _CUSTOMS_CHAIN is None:
+        from ..parser.payloads import (
+            fxaauth_spec, fxacontent_spec, privaterelay_spec,
+        )
+
+        _CUSTOMS_CHAIN = [fxaauth_spec(), fxacontent_spec(), privaterelay_spec()]
+    return _CUSTOMS_CHAIN
 
 
 @register(
@@ -160,7 +181,18 @@ SELECT leg, bucket, count(*) AS n FROM legs GROUP BY 1, 2
 )
 def q_customs_prefilter_split(spark, sf_dir):
     raw = _synth_customs_lines(spark, sf_dir)
-    parsed = parse_events(raw, ParserCfg())
+    # CustomsPreFilter.java: probe ONLY the three customs matchers and
+    # drop everything else BEFORE full parsing — here a substring
+    # pre-filter (pushed into the scan) plus a restricted 3-spec
+    # chain. Besides matching the reference's semantics this keeps the
+    # probe cascade 3 wide instead of 22 (7x less generated code on
+    # the hottest map stage in the pipeline).
+    raw = raw.where(
+        F.col("value").contains("fxa-auth-server")
+        | F.col("value").contains("fxa-content-server")
+        | F.col("value").contains("fx-private-relay")
+    )
+    parsed = parse_events(raw, ParserCfg(chain=_customs_chain()))
     leg = (
         F.when(F.col("payload_type") == "fxaauth", "fxa_auth")
         .when(F.col("payload_type") == "fxacontent", "fxa_content")
