@@ -70,6 +70,7 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     DuckDB's ns->us handling.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     out = {}
     for name in names:
@@ -78,6 +79,14 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
         for c in _nano_ts_columns(path):
             # integer `div`, not `/`: int64 nanos overflow double mantissa
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # µs parquet timestamps (isAdjustedToUTC=false) read as
+        # TIMESTAMP_NTZ under Spark's inferTimestampNTZ default; the
+        # engine's time math (unix_micros, window()) wants TIMESTAMP.
+        # Session tz is UTC, so the cast is value-preserving and
+        # matches DuckDB's naive-UTC reading of the same column.
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.TimestampNTZType):
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
