@@ -36,7 +36,11 @@ def main() -> None:
         "lineitem", "events", "documents", "embeddings",
     )
     for _t in _lt(spark, sf_dir, *_ALL_TABLES).values():
-        _t.count()
+        # xxhash64(struct(*)) forces a FULL-column read: a bare count()
+        # prunes every column, so the alphabetically-first query to read
+        # a wide column (documents.text, embeddings.vec) was paying its
+        # decompression as if it were plan time
+        _t.selectExpr("max(xxhash64(to_json(struct(*))))").collect()
     # warm the parser too: the 22-spec projection build (~3s of py4j,
     # cached after first use) and the codegen+JIT of its cascade are
     # one-time session costs that otherwise land entirely on the
