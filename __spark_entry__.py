@@ -44,7 +44,7 @@ _VERIFY_FIRST = [
     "source_login_failure_dist", "content_server_variance",
     "customs_activity_monitor", "login_failure_at_risk_account",
     "customs_alert_fanout", "dedup_clusters", "postprocessing_pipeline",
-    "ann_cosine_lsh_multiprobe",
+    "ann_cosine_lsh_multiprobe", "ann_cosine_ivf", "token_count_bpe",
     # the r01 hash failure, now fixed —
     "global_stats",
     # formerly 0-row-vacuous, retuned —

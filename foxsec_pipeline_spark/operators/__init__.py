@@ -30,5 +30,5 @@ from .customs import (  # noqa: F401
     watchlist_match,
 )
 from .dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash  # noqa: F401
-from .similarity import cosine_topk, cosine_topk_lsh  # noqa: F401
+from .similarity import cosine_topk, cosine_topk_ivf, cosine_topk_lsh  # noqa: F401
 from .textanalysis import fingerprint, language_id, quality_score, text_stats  # noqa: F401

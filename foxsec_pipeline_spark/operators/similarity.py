@@ -212,6 +212,13 @@ def cosine_topk_lsh(
         if planes is None:
             raise ValueError("pass planes or tables")
         tables = [planes]
+    return _score_candidates(
+        _lsh_candidates(queries, corpus, tables, id_col, vec_col),
+        queries, corpus, id_col, vec_col, k,
+    )
+
+
+def _lsh_candidates(queries, corpus, tables, id_col, vec_col):
 
     # candidate generation works on (id, table, bucket) rows ONLY —
     # carrying the vectors through the bucket join + distinct would
@@ -225,12 +232,24 @@ def cosine_topk_lsh(
     cb = lsh_buckets_relational(corpus, tables, id_col=id_col, vec_col=vec_col)
     q_ids = qb.select(F.col(id_col).alias("query_id"), "__tbl", "__bkt")
     c_ids = cb.select(F.col(id_col).alias("neighbor_id"), "__tbl", "__bkt")
-    cand = (
+    return (
         c_ids.join(F.broadcast(q_ids), ["__tbl", "__bkt"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
+
+
+def _score_candidates(
+    cand: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact cosine rank over a (query_id, neighbor_id) candidate set —
+    the shared tail of every bucketed ANN path (LSH, IVF)."""
     # re-attach vectors + hoisted norms (norm fold once per vector,
     # not once per pair), then score on an explicitly wide stage: AQE
     # coalesces the candidate shuffle by its small byte size, blind to
@@ -267,3 +286,101 @@ def cosine_topk_lsh(
         .where(F.col("rank") <= F.lit(int(k)))
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _int_exploded(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    """(out_id, __j, __xs): vector exploded to fixed-point int64
+    components — the order-independent, cross-engine-exact currency of
+    the bucketing paths (see LSH_SCALE)."""
+    return (
+        spread(df)
+        .select(F.col(id_col).alias(out_id), F.posexplode(vec_col).alias("__j", "__x"))
+        .select(
+            out_id,
+            "__j",
+            F.floor(F.col("__x").cast("double") * F.lit(float(LSH_SCALE)))
+            .cast("long")
+            .alias("__xs"),
+        )
+    )
+
+
+def ivf_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(__vid, cid, __d, __rn): every vector scored against every
+    centroid by INTEGER fixed-point inner product, ranked per vector
+    (rank 1 = the vector's IVF cell).
+
+    The score is a MIPS (max-inner-product) coarse quantizer rather
+    than full cosine: skipping the centroid-norm division keeps the
+    whole assignment in int64 — exactly reproducible under any
+    summation order and by the DuckDB oracle's fold, with centroid-id
+    tie-break making ranks total. For ~unit-norm embeddings the cells
+    approximate cosine Voronoi cells; products are bounded by
+    64 * 2^40 < 2^47, no int64 overflow.
+
+    Shape for 100 TB: centroids are tiny and BROADCAST; the corpus is
+    posexploded map-side (|corpus| x dim rows), partial-agged back to
+    ~|corpus| x K rows before the one shuffle on (id, cid), then a
+    window argmax per id. One pass over the corpus, no corpus
+    self-join.
+    """
+    ex = _int_exploded(vectors, id_col, vec_col, "__vid")
+    ce = _int_exploded(centroids, id_col, vec_col, "cid").withColumnRenamed(
+        "__xs", "__cs"
+    )
+    dots = (
+        ex.join(F.broadcast(ce), "__j")
+        .groupBy("__vid", "cid")
+        .agg(F.sum(F.col("__xs") * F.col("__cs")).alias("__d"))
+    )
+    w = Window.partitionBy("__vid").orderBy(F.col("__d").desc(), F.col("cid").asc())
+    return dots.withColumn("__rn", F.row_number().over(w))
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroid_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) bucketing: each corpus
+    vector lands in exactly ONE cell (nearest centroid); each query
+    probes its `nprobe` nearest cells; exact cosine ranks the probed
+    candidates. The other classic ANN scale path next to LSH: corpus
+    work is one assignment pass + an equi-join on the cell id, and
+    recall is tuned by nprobe (measured against the exact baseline in
+    tests/test_similarity_recall.py).
+
+    Centroids are taken from the corpus by id (`centroid_ids`) — a
+    deterministic stand-in for a k-means codebook; the operator only
+    assumes the centroid set is small enough to broadcast, which a
+    trained codebook would be too.
+    """
+    cents = corpus.where(F.col(id_col).isin([int(i) for i in centroid_ids]))
+    corpus_cells = (
+        ivf_cells(corpus, cents, id_col, vec_col)
+        .where(F.col("__rn") == 1)
+        .select(F.col("__vid").alias("neighbor_id"), F.col("cid").alias("__cell"))
+    )
+    query_cells = (
+        ivf_cells(queries, cents, id_col, vec_col)
+        .where(F.col("__rn") <= F.lit(int(nprobe)))
+        .select(F.col("__vid").alias("query_id"), F.col("cid").alias("__cell"))
+    )
+    # each corpus vector is in exactly one cell and probe cells are
+    # distinct per query, so a (query, neighbor) pair meets at most
+    # once — no dedup needed before scoring
+    cand = (
+        corpus_cells.join(F.broadcast(query_cells), "__cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return _score_candidates(cand, queries, corpus, id_col, vec_col, k)

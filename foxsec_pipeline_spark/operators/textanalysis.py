@@ -103,3 +103,36 @@ def language_id(
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     return df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+
+
+# GPT-2-style pretokenizer regex, restricted to constructs shared by
+# Java regex (Spark) and RE2 (DuckDB): contraction suffixes, then
+# space-prefixed letter runs / digit runs / punctuation runs, then
+# whitespace runs. No lookahead (RE2 has none) — the original
+# `\s+(?!\S)` trailing-space rule is dropped, which only changes how
+# runs of 2+ spaces split, not the count of non-whitespace tokens.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc token counts under two tokenizers: whitespace words and
+    a BPE-ish regex pretokenizer (the unit LLM training budgets are
+    quoted in). chars_per_token is the compression proxy quality
+    filters threshold on. Map-side projection — no shuffle at any
+    scale."""
+    ws = tokens(F.col(text_col))
+    bpe = F.filter(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0)),
+        lambda t: ~t.rlike(r"^\s+$"),
+    )
+    n_bpe = F.size(bpe)
+    return df.select(
+        F.col(id_col),
+        F.size(ws).alias("n_tokens_ws"),
+        n_bpe.alias("n_tokens_bpe"),
+        F.round(
+            F.length(text_col) * 1.0 / F.greatest(n_bpe, F.lit(1)), 6
+        ).alias("chars_per_token"),
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.net import xff_select_client
 from ..operators import (
     cosine_topk,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     exact_dedup,
     fingerprint,
@@ -385,6 +386,77 @@ def q_ann_cosine_lsh_multiprobe(spark, sf_dir):
     )
 
 
+# IVF codebook: 16 corpus vectors by fixed id (7, 20, ..., 202 — all
+# present at every sf). A deterministic stand-in for trained k-means
+# centroids; the operator contract only needs "small enough to
+# broadcast".
+_CENTROID_IDS = tuple(13 * i + 7 for i in range(16))
+
+# integer fixed-point inner product (floor-scale 2^20, matching
+# similarity.LSH_SCALE): order-independent, so Spark's shuffled
+# partial-agg sum and this sequential fold agree bit-for-bit
+_IDOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> CAST(floor({a}[i]::DOUBLE * 1048576) AS BIGINT)"
+    " * CAST(floor({b}[i]::DOUBLE * 1048576) AS BIGINT)), (x, y) -> x + y)"
+)
+
+
+def _ivf_oracle() -> str:
+    ids = ", ".join(str(i) for i in _CENTROID_IDS)
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id IN ({ids})
+), assign AS (
+  SELECT e.vec_id, cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_IDOT.format(a='e.embedding', b='cv')} DESC, cid) AS rn
+  FROM embeddings e CROSS JOIN cent
+), cc AS (
+  SELECT vec_id AS neighbor_id, cid AS cell FROM assign WHERE rn = 1
+), qp AS (
+  SELECT vec_id AS query_id, cid AS cell FROM assign
+  WHERE vec_id < 10 AND rn <= 2
+), cand AS (
+  SELECT query_id, neighbor_id FROM cc JOIN qp USING (cell)
+  WHERE query_id <> neighbor_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round({_FOLD.format(a='q.embedding', b='c.embedding')}
+               / (sqrt({_FOLD.format(a='q.embedding', b='q.embedding')})
+                  * sqrt({_FOLD.format(a='c.embedding', b='c.embedding')})),
+               6) AS cosine
+  FROM cand JOIN embeddings q ON q.vec_id = query_id
+  JOIN embeddings c ON c.vec_id = neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_cosine_ivf",
+    _ivf_oracle(),
+    doc="IVF-bucketed approximate top-k: corpus vectors assigned to "
+        "their nearest centroid cell (integer fixed-point MIPS "
+        "quantizer — cross-engine exact), queries probe nprobe=2 cells, "
+        "exact cosine ranks the probed candidates. The inverted-file "
+        "scale path next to LSH: one assignment pass over the corpus + "
+        "an equi-join on the cell id; recall tuned by nprobe and "
+        "measured in tests/test_similarity_recall.py",
+)
+def q_ann_cosine_ivf(spark, sf_dir):
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return cosine_topk_ivf(
+        emb.where(F.col("vec_id") < 10), emb, list(_CENTROID_IDS), k=5, nprobe=2
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     f"""
@@ -477,6 +549,34 @@ FROM t
 )
 def q_text_stats(spark, sf_dir):
     return text_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "token_count_bpe",
+    """
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws,
+         len(list_filter(
+           regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'),
+           s -> NOT regexp_matches(s, '^\\s+$'))) AS n_tokens_bpe
+  FROM documents
+)
+SELECT doc_id, n_tokens_ws, n_tokens_bpe,
+       round(n_chars * 1.0 / greatest(n_tokens_bpe, 1), 6) AS chars_per_token
+FROM t
+""",
+    doc="LLM-budget token counting: whitespace words + a GPT-2-style "
+        "regex pretokenizer (contractions / space-prefixed letter, digit, "
+        "punctuation runs — lookahead-free so Java regex and RE2 agree); "
+        "chars_per_token is the compression proxy quality filters use. "
+        "Map-side only",
+)
+def q_token_count_bpe(spark, sf_dir):
+    from ..operators.textanalysis import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
 
 
 @register(

@@ -15,8 +15,16 @@ from foxsec_pipeline_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )
-from foxsec_pipeline_spark.operators.similarity import cosine_topk, cosine_topk_lsh
-from foxsec_pipeline_spark.plans.catalog_data import _LSH_TABLES, _PLANES
+from foxsec_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+)
+from foxsec_pipeline_spark.plans.catalog_data import (
+    _CENTROID_IDS,
+    _LSH_TABLES,
+    _PLANES,
+)
 from foxsec_pipeline_spark.session import load_tables
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -55,6 +63,31 @@ def test_ann_lsh_recall_vs_exact(emb, spark):
     assert r_multi >= r_single
     assert r_multi >= 0.75
     assert r_single >= 0.08
+
+
+def test_ann_ivf_recall_vs_exact(emb, spark):
+    queries = emb.where(F.col("vec_id") < 50)
+    exact = _pair_set(
+        cosine_topk(queries, emb, k=5), "query_id", "neighbor_id"
+    )
+    recalls = {}
+    for nprobe in (1, 2, 4):
+        ivf = _pair_set(
+            cosine_topk_ivf(
+                queries, emb, list(_CENTROID_IDS), k=5, nprobe=nprobe
+            ),
+            "query_id", "neighbor_id",
+        )
+        recalls[nprobe] = len(exact & ivf) / len(exact)
+    print(f"ivf recall@5 by nprobe: "
+          + " ".join(f"{n}={r:.3f}" for n, r in recalls.items())
+          + f" (|exact|={len(exact)}, K=16 cells)")
+    # probing more cells can only add candidates — recall must be
+    # monotone in nprobe; the floors record the measured operating
+    # point with the deterministic 16-id codebook
+    assert recalls[1] <= recalls[2] <= recalls[4]
+    assert recalls[2] >= 0.25
+    assert recalls[4] >= 0.4
 
 
 def test_minhash_recall_vs_exact_jaccard(spark):
