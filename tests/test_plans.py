@@ -176,6 +176,17 @@ def test_multiprobe_lsh_single_equijoin(spark, reg):
     assert "__bkt" in plan, plan
 
 
+def test_ivf_no_cartesian_and_broadcast_centroids(spark, reg):
+    """IVF assignment: the corpus joins BROADCAST centroid components
+    on the dimension index and probes via a cell equi-join — the
+    corpus must never self-join or plan a cartesian."""
+    plan = plan_of(reg["ann_cosine_ivf"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "__cell" in plan, plan
+
+
 def test_hot_group_flag_is_broadcast(spark):
     """account_creation_dist's hot-group detection joins a broadcast
     flag (few hot groups by definition) — a shuffled join here would
