@@ -458,6 +458,69 @@ def q_geo_velocity(spark, sf_dir):
 
 
 @register(
+    "auth_state_decision",
+    """
+WITH e AS (
+  SELECT user_id AS identity, ts, event_id,
+         'ip-' || CAST((event_id * 11) % 7 AS VARCHAR) AS source_address,
+         ((event_id * 37) % 18000) / 100.0 - 90.0 AS lat,
+         ((event_id * 73) % 36000) / 100.0 - 180.0 AS lon
+  FROM events WHERE event_type IN ('click', 'view')
+), k AS (
+  SELECT *, lag(ts) OVER (PARTITION BY identity, source_address
+                          ORDER BY ts, event_id) AS prev_ip_ts
+  FROM e
+), p AS (
+  SELECT *, lag(ts) OVER w AS prev_ts,
+         lag(lat) OVER w AS prev_lat, lag(lon) OVER w AS prev_lon
+  FROM k WINDOW w AS (PARTITION BY identity ORDER BY ts, event_id)
+), d AS (
+  SELECT identity, ts, source_address,
+         prev_ip_ts IS NOT NULL
+           AND epoch_us(ts) - epoch_us(prev_ip_ts) <= 864000000000 AS known_ip,
+         prev_ts,
+         CASE WHEN prev_ts IS NOT NULL THEN
+           2.0 * 6371.0 * asin(sqrt(
+             pow(sin((radians(lat) - radians(prev_lat)) / 2), 2)
+             + cos(radians(prev_lat)) * cos(radians(lat))
+               * pow(sin((radians(lon) - radians(prev_lon)) / 2), 2))) END AS km,
+         CASE WHEN prev_ts IS NOT NULL
+              THEN (epoch_us(ts) - epoch_us(prev_ts)) / 3600000000.0 END AS hours
+  FROM p
+)
+SELECT identity, ts AS timestamp, source_address, known_ip,
+       CASE WHEN known_ip THEN 'info'
+            WHEN prev_ts IS NULL THEN 'info'
+            WHEN km > 800.0 * hours THEN 'critical'
+            ELSE 'warn' END AS severity,
+       round(CASE WHEN NOT known_ip THEN km END, 3) AS km_from_last
+FROM d
+""",
+    doc="T4/J5 AuthProfile.java:567-766 StateAnalyze severity decision "
+        "tree as a DECLARATIVE batch twin (two lag windows: known-IP "
+        "recency per (identity, ip), geo-velocity vs latest prior "
+        "login) — upgrades the stateful operator's semantics from "
+        "pytest-only to driver-oracle-verified; the streaming twin is "
+        "auth_state_analyze (applyInPandasWithState)",
+)
+def q_auth_state_decision(spark, sf_dir):
+    from ..streaming.state import auth_state_decision_batch
+
+    ev = _events(spark, sf_dir).where(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.col("user_id").alias("identity"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        F.concat(F.lit("ip-"), ((F.col("event_id") * 11) % 7).cast("string"))
+        .alias("source_address"),
+        (((F.col("event_id") * 37) % 18000) / 100.0 - 90.0).alias("lat"),
+        (((F.col("event_id") * 73) % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    return auth_state_decision_batch(ev, max_kmh=800.0, prune_age_days=10.0)
+
+
+@register(
     "levenshtein_similarity",
     """
 SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,

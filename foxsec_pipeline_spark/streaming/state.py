@@ -24,7 +24,8 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -143,6 +144,85 @@ def _auth_state_fn(max_kmh: float, prune_age_days: float):
             yield pd.DataFrame(out_rows)
 
     return fn
+
+
+def auth_state_decision_batch(
+    logins: DataFrame,
+    max_kmh: float = 800.0,
+    prune_age_days: float = 10.0,
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Declarative batch twin of the T4 severity decision tree
+    (`AuthProfile.java:567-766` StateAnalyze): per-login KNOWN_IP /
+    geo-velocity classification as two lag windows — no Python, no
+    state store, oracle-checkable.
+
+    Semantics vs the stateful twin (documented divergence): "known IP"
+    = a previous login from the same (identity, source_address) within
+    the prune horizon (the stateful op's entry-age pruning,
+    PruningStrategyEntryAge.java:13-44, expressed as a lag-age bound);
+    geo-velocity compares against the latest previous login by event
+    time (the stateful op compares against the latest state entry,
+    which differs only when a known-IP login reorders entry
+    recency). The velocity test is multiplicative (km > max_kmh *
+    hours) so a zero/negative time delta never divides.
+
+    Expects LOGIN_SCHEMA-shaped input (identity, timestamp,
+    source_address, lat, lon) plus a deterministic `order_col`
+    tie-break. One shuffle on identity serves both windows (the
+    per-(identity, ip) window re-sorts within partitions only...
+    Catalyst plans the narrower partition first).
+    """
+    from ..functions.geo import haversine_km
+
+    w_ip = Window.partitionBy("identity", "source_address").orderBy(
+        "timestamp", order_col
+    )
+    w_id = Window.partitionBy("identity").orderBy("timestamp", order_col)
+    us = F.unix_micros(F.col("timestamp"))
+    prune_us = int(prune_age_days * 86_400_000_000)
+    d = (
+        logins.withColumn("__prev_ip_ts", F.lag("timestamp").over(w_ip))
+        .withColumn("__prev_ts", F.lag("timestamp").over(w_id))
+        .withColumn("__prev_lat", F.lag("lat").over(w_id))
+        .withColumn("__prev_lon", F.lag("lon").over(w_id))
+        .withColumn(
+            "known_ip",
+            F.col("__prev_ip_ts").isNotNull()
+            & ((us - F.unix_micros(F.col("__prev_ip_ts"))) <= F.lit(prune_us)),
+        )
+        .withColumn(
+            "__km",
+            F.when(
+                F.col("__prev_ts").isNotNull(),
+                haversine_km(
+                    F.col("__prev_lat"), F.col("__prev_lon"),
+                    F.col("lat"), F.col("lon"),
+                ),
+            ),
+        )
+        .withColumn(
+            "__hours",
+            F.when(
+                F.col("__prev_ts").isNotNull(),
+                (us - F.unix_micros(F.col("__prev_ts"))) / F.lit(3.6e9),
+            ),
+        )
+    )
+    severity = (
+        F.when(F.col("known_ip"), "info")
+        .when(F.col("__prev_ts").isNull(), "info")
+        .when(F.col("__km") > F.lit(float(max_kmh)) * F.col("__hours"), "critical")
+        .otherwise("warn")
+    )
+    return d.select(
+        "identity",
+        "timestamp",
+        "source_address",
+        "known_ip",
+        severity.alias("severity"),
+        F.round(F.when(~F.col("known_ip"), F.col("__km")), 3).alias("km_from_last"),
+    )
 
 
 def auth_state_analyze(

@@ -114,6 +114,37 @@ def test_auth_state_known_ip_and_geovelocity(spark, tmpdir):
     assert rows[("u2", "2024-01-01 00:00:00")].severity == "info"
 
 
+def test_auth_state_batch_twin_agrees_on_fixture(spark):
+    """The declarative batch twin (auth_state_decision_batch) makes
+    the same decisions as the stateful operator on the golden fixture
+    above — the duality evidence behind the `auth_state_decision`
+    driver-oracle query."""
+    from foxsec_pipeline_spark.streaming.state import auth_state_decision_batch
+
+    logins = [
+        Row(identity="u1", timestamp=datetime.fromisoformat("2024-01-01 00:00:00"),
+            source_address="1.1.1.1", lat=51.5, lon=-0.12, event_id=1),
+        Row(identity="u1", timestamp=datetime.fromisoformat("2024-01-01 01:00:00"),
+            source_address="1.1.1.1", lat=51.5, lon=-0.12, event_id=2),
+        Row(identity="u1", timestamp=datetime.fromisoformat("2024-01-01 01:30:00"),
+            source_address="2.2.2.2", lat=48.85, lon=2.35, event_id=3),
+        Row(identity="u1", timestamp=datetime.fromisoformat("2024-01-01 01:31:00"),
+            source_address="3.3.3.3", lat=-33.86, lon=151.2, event_id=4),
+        Row(identity="u2", timestamp=datetime.fromisoformat("2024-01-01 00:00:00"),
+            source_address="9.9.9.9", lat=0.0, lon=0.0, event_id=5),
+    ]
+    out = auth_state_decision_batch(spark.createDataFrame(logins))
+    rows = {(r.identity, str(r.timestamp)): r for r in out.collect()}
+    assert rows[("u1", "2024-01-01 00:00:00")].known_ip is False
+    assert rows[("u1", "2024-01-01 00:00:00")].severity == "info"
+    assert rows[("u1", "2024-01-01 01:00:00")].known_ip is True
+    assert rows[("u1", "2024-01-01 01:00:00")].severity == "info"
+    w = rows[("u1", "2024-01-01 01:30:00")]
+    assert w.severity == "warn" and 330 < w.km_from_last < 350
+    assert rows[("u1", "2024-01-01 01:31:00")].severity == "critical"
+    assert rows[("u2", "2024-01-01 00:00:00")].severity == "info"
+
+
 def test_streaming_windowed_heuristic_matches_batch(spark, tmpdir):
     """The same session/window plan runs under readStream — batch and
     streaming results agree on final windows (SURVEY §7 hard part 1)."""
