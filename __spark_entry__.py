@@ -45,7 +45,7 @@ _VERIFY_FIRST = [
     "customs_activity_monitor", "login_failure_at_risk_account",
     "customs_alert_fanout", "dedup_clusters", "postprocessing_pipeline",
     "ann_cosine_lsh_multiprobe", "ann_cosine_ivf", "token_count_bpe",
-    "auth_state_decision",
+    "auth_state_decision", "violation_projection", "notify_merge",
     # the r01 hash failure, now fixed —
     "global_stats",
     # formerly 0-row-vacuous, retuned —

@@ -263,6 +263,88 @@ def q_alert_pipeline(spark, sf_dir):
 
 
 @register(
+    "violation_projection",
+    """
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS ws, user_id, count(*) AS n
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT '10.' || (user_id % 32) || '.0.1' AS object, 'ip' AS type,
+       'fxa:heavy_hitter_httprequest' AS violation
+FROM counts
+""",
+    doc="S13 iprepd sink: Alert -> Violation projection "
+        "(Violation.java:23-87,344) driver-verified — alerts carrying a "
+        "source_address become (object, type, violation) submissions; "
+        "the HTTP PUT leg stays a pluggable executor-side emitter",
+)
+def q_violation_projection(spark, sf_dir):
+    from ..sinks.output import violations_from_alerts
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    hits = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .where(F.col("event_count") >= 2)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "event_count",
+            F.concat(F.lit("10."), (F.col("user_id") % 32).cast("string"),
+                     F.lit(".0.1")).alias("source_address"),
+        )
+    )
+    alerts = to_alerts(
+        hits,
+        category="httprequest",
+        severity="warn",
+        summary=F.concat(F.lit("heavy hitter "), F.col("source_address")),
+        metadata_cols=["source_address", "event_count"],
+    )
+    return violations_from_alerts(alerts).select("object", "type", "violation")
+
+
+@register(
+    "notify_merge",
+    """
+WITH a AS (
+  SELECT ts, 'err-' || user_id AS summary,
+         CASE WHEN user_id % 4 <> 0
+              THEN 'grp-' || (user_id % 16) END AS nm
+  FROM events WHERE event_type = 'error'
+), m AS (
+  SELECT nm AS notify_merge, min(ts) AS first_ts,
+         count(*) AS n_alerts,
+         string_agg(summary, ' | ' ORDER BY summary) AS summary
+  FROM a WHERE nm IS NOT NULL GROUP BY date_trunc('hour', ts), nm
+)
+SELECT notify_merge, first_ts, n_alerts, summary FROM m
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), ts, CAST(1 AS BIGINT), summary
+FROM a WHERE nm IS NULL
+""",
+    doc="S14 AlertIO notify-merge (AlertIO.java:116-143): alerts sharing "
+        "a notify_merge key within the window become ONE notification "
+        "row with a deterministic combined summary; key-less alerts pass "
+        "through 1:1. Driver-verified (was pytest-only in round 1)",
+)
+def q_notify_merge(spark, sf_dir):
+    from ..alert.model import merge_for_notification
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    alerts = ev.where(F.col("event_type") == "error").select(
+        F.col("ts").alias("timestamp"),
+        F.concat(F.lit("err-"), F.col("user_id").cast("string")).alias("summary"),
+        F.when(
+            F.col("user_id") % 4 != 0,
+            F.concat(F.lit("grp-"), (F.col("user_id") % 16).cast("string")),
+        ).alias("notify_merge"),
+    )
+    return merge_for_notification(alerts, window="1 hour")
+
+
+@register(
     "postprocessing_pipeline",
     """
 WITH alerts AS (
