@@ -13,6 +13,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from foxsec_pipeline_spark.plans.catalog import registry
 
@@ -54,6 +55,30 @@ def test_parquet_pushdown_and_pruning(spark, reg):
     assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0], plan
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "l_comment" not in read_schema, f"column pruning failed: {read_schema}"
+
+
+def test_partitioned_layout_prunes_partitions(spark, tmp_path_factory):
+    """The 100 TB layout claim (SCALE.md: parquet partitioned by
+    (resource, dt-hour) → partition pruning on the universal filters):
+    a resource-partitioned write + resource filter must prune at the
+    source — the scan's PartitionFilters carries the predicate and the
+    pruned directories never appear as input files."""
+    from foxsec_pipeline_spark.session import load_tables
+
+    path = str(tmp_path_factory.mktemp("layout") / "events_by_type")
+    ev = load_tables(spark, "/root/testdata/sf0.001", "events")["events"]
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    q = (
+        spark.read.parquet(path)
+        .where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .count()
+    )
+    plan = plan_of(q)
+    # the filter must land in PartitionFilters (directory-level prune
+    # at the file index), NOT as a post-scan Filter over all partitions
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "event_type" in pf, plan
 
 
 def test_parse_is_shuffle_free(spark, reg):
