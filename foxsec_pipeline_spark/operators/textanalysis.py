@@ -105,6 +105,55 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Within-document repetition metrics over word n-grams — the
+    Gopher-style quality signal (boilerplate / keyword-stuffed / looping
+    text has a high duplicate-shingle ratio long before it's a
+    cross-document near-dup).
+
+    Returns (id, n_shingles, n_distinct, dup_shingle_ratio,
+    top_shingle_ratio). Shingling is relational (posexplode + window
+    leads — whole-stage codegen, same rationale as dedup._shingled);
+    two partial-agged shuffles: (doc, shingle) counts, then per-doc
+    rollup. Docs with fewer than n tokens are excluded (no n-gram
+    exists), matching the oracle's WHERE.
+    """
+    from pyspark.sql import Window
+
+    tok = df.where(F.size(tokens(F.col(text_col))) >= n).select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "__t")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("__t")] + [F.lead("__t", i).over(w) for i in range(1, n)]
+    sh = (
+        tok.select(
+            F.col(id_col),
+            F.concat_ws(" ", *parts).alias("shingle"),
+            parts[-1].alias("__last"),
+        )
+        .where(F.col("__last").isNotNull())
+    )
+    freq = sh.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("c"))
+    agg = freq.groupBy(id_col).agg(
+        F.sum("c").alias("n_shingles"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("__max_c"),
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_shingles",
+        "n_distinct",
+        F.round(
+            1.0 - F.col("n_distinct") * 1.0 / F.col("n_shingles"), 6
+        ).alias("dup_shingle_ratio"),
+        F.round(F.col("__max_c") * 1.0 / F.col("n_shingles"), 6).alias(
+            "top_shingle_ratio"
+        ),
+    )
+
+
 # GPT-2-style pretokenizer regex, restricted to constructs shared by
 # Java regex (Spark) and RE2 (DuckDB): contraction suffixes, then
 # space-prefixed letter runs / digit runs / punctuation runs, then

@@ -580,6 +580,146 @@ def q_token_count_bpe(spark, sf_dir):
 
 
 @register(
+    "text_repetition",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
+  FROM toks WHERE len(t) >= 3
+), ex AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+), freq AS (
+  SELECT doc_id, max(n_sh) AS n_shingles, shingle, count(*) AS c
+  FROM ex GROUP BY doc_id, shingle
+)
+SELECT doc_id, max(n_shingles) AS n_shingles, count(*) AS n_distinct,
+       round(1.0 - count(*) * 1.0 / max(n_shingles), 6) AS dup_shingle_ratio,
+       round(max(c) * 1.0 / max(n_shingles), 6) AS top_shingle_ratio
+FROM freq GROUP BY doc_id
+""",
+    doc="Gopher-style within-doc repetition: duplicate word-3-gram ratio "
+        "+ top-shingle frequency ratio — the boilerplate/looping-text "
+        "quality gate; relational shingling, two partial-agged shuffles",
+)
+def q_text_repetition(spark, sf_dir):
+    from ..operators.textanalysis import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "quality_filter_pipeline",
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents
+), q AS (
+  SELECT doc_id,
+         round(0.4 * (CASE WHEN len(tok) BETWEEN 10 AND 10000
+                           THEN 1.0 ELSE 0.0 END)
+               + 0.3 * least(len(list_distinct(tok))
+                             / greatest(len(tok), 1) * 2, 1.0)
+               + 0.3 * least(len(list_filter(tok,
+                   s -> s IN ('the','a','of','and','is','to','in')))
+                   / greatest(len(tok), 1) * 10, 1.0), 6) AS quality
+  FROM t
+), scores AS (
+  SELECT doc_id, l.lang,
+         round(len(list_filter(tok, s -> list_contains(l.words, s)))
+               / greatest(len(tok), 1), 6) AS score
+  FROM t CROSS JOIN (
+    SELECT * FROM (VALUES
+      ('de', ['der','die','das','und','ist','ein','zu']),
+      ('en', ['the','a','of','and','is','to','in']),
+      ('es', ['el','la','de','y','es','en','un']),
+      ('fr', ['le','la','de','et','est','en','un'])
+    ) AS v(lang, words)) l
+), lid AS (
+  SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang
+  FROM (SELECT doc_id, lang, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang DESC) AS rn
+        FROM scores) WHERE rn = 1
+), sh AS (
+  SELECT doc_id, list_transform(range(1, len(tok) - 1),
+                 i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) AS shingles
+  FROM t WHERE len(tok) >= 3
+), rep AS (
+  SELECT doc_id, round(1.0 - len(list_distinct(shingles)) * 1.0
+                       / len(shingles), 6) AS dup_shingle_ratio
+  FROM sh
+), h AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS ch
+  FROM documents
+), keepers AS (
+  SELECT ch, min(doc_id) AS keeper_id FROM h GROUP BY ch
+), joined AS (
+  SELECT q.doc_id, q.quality, lid.pred_lang,
+         coalesce(rep.dup_shingle_ratio, 0.0) AS dup_shingle_ratio,
+         h.doc_id = k.keeper_id AS is_keeper
+  FROM q JOIN lid USING (doc_id)
+  LEFT JOIN rep USING (doc_id)
+  JOIN h ON h.doc_id = q.doc_id
+  JOIN keepers k ON k.ch = h.ch
+)
+SELECT doc_id, quality, pred_lang, dup_shingle_ratio, is_keeper,
+       is_keeper AND pred_lang = 'en' AND quality >= 0.5
+         AND dup_shingle_ratio <= 0.6 AS keep,
+       CASE WHEN NOT is_keeper THEN 'duplicate'
+            WHEN pred_lang <> 'en' THEN 'language'
+            WHEN quality < 0.5 THEN 'quality'
+            WHEN dup_shingle_ratio > 0.6 THEN 'repetition'
+            ELSE 'keep' END AS drop_reason
+FROM joined
+""",
+    doc="the training-data pipeline END-TO-END: quality score + language "
+        "id + within-doc repetition + exact-dedup keeper composed into "
+        "one keep/drop decision per document with the failing gate named "
+        "— the flagship composition of the LLM-data operator family. All "
+        "four legs share the one documents scan; joins are 1:1 on "
+        "doc_id/content-hash",
+)
+def q_quality_filter_pipeline(spark, sf_dir):
+    from ..operators.textanalysis import repetition_stats
+
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs).select("doc_id", "quality")
+    l = language_id(docs).select("doc_id", "pred_lang")
+    rep = repetition_stats(docs).select("doc_id", "dup_shingle_ratio")
+    from ..functions.text import doc_fingerprint
+
+    h = docs.select("doc_id", doc_fingerprint(F.col("text")).alias("ch"))
+    keepers = h.groupBy("ch").agg(F.min("doc_id").alias("keeper_id"))
+    joined = (
+        q.join(l, "doc_id")
+        .join(rep, "doc_id", "left")
+        .withColumn("dup_shingle_ratio", F.coalesce("dup_shingle_ratio", F.lit(0.0)))
+        .join(h, "doc_id")
+        .join(keepers, "ch")
+        .withColumn("is_keeper", F.col("doc_id") == F.col("keeper_id"))
+    )
+    keep = (
+        F.col("is_keeper")
+        & (F.col("pred_lang") == "en")
+        & (F.col("quality") >= 0.5)
+        & (F.col("dup_shingle_ratio") <= 0.6)
+    )
+    reason = (
+        F.when(~F.col("is_keeper"), "duplicate")
+        .when(F.col("pred_lang") != "en", "language")
+        .when(F.col("quality") < 0.5, "quality")
+        .when(F.col("dup_shingle_ratio") > 0.6, "repetition")
+        .otherwise("keep")
+    )
+    return joined.select(
+        "doc_id", "quality", "pred_lang", "dup_shingle_ratio", "is_keeper",
+        keep.alias("keep"), reason.alias("drop_reason"),
+    )
+
+
+@register(
     "text_quality",
     """
 WITH t AS (

@@ -147,3 +147,37 @@ def test_streaming_parse_to_alert_end_to_end(spark, tmp_path):
     assert rows[0].metadata["source_address"] == "10.0.0.9"
     assert rows[0].metadata["error_count"] == "10"
     assert rows[0].category == "httprequest" and rows[0].severity == "warn"
+
+
+def test_quality_filter_pipeline_decision_branches(spark):
+    """Every drop-reason branch of the composed quality filter fires on
+    a crafted corpus (the sf0.01 synth docs only exercise language/keep:
+    they contain no exact dupes or degenerate text)."""
+    from foxsec_pipeline_spark.plans.catalog_data import q_quality_filter_pipeline
+
+    good = ("the quick brown fox jumps over a lazy dog and then runs far "
+            "to the old stone bridge in cold light rain near a quiet town")
+    rows = [
+        Row(doc_id=0, text=good),                      # keep
+        Row(doc_id=1, text=good),                      # duplicate of 0
+        Row(doc_id=2, text="der hund und die katze und der vogel und das haus "
+                           "und ist ein zu der die das und ist ein zu"),  # language
+        Row(doc_id=3, text="the the the the"),         # quality (short, low diversity)
+        Row(doc_id=4, text="the a of and is to in " * 40),  # repetition
+    ]
+    df = spark.createDataFrame(rows)
+
+    # run the same composition the catalog query uses, on the fixture
+    import foxsec_pipeline_spark.plans.catalog_data as cd
+
+    orig = cd._docs
+    try:
+        cd._docs = lambda spark, sf_dir: df
+        out = {r.doc_id: r for r in q_quality_filter_pipeline(spark, "unused").collect()}
+    finally:
+        cd._docs = orig
+    assert out[0].drop_reason == "keep" and out[0].keep
+    assert out[1].drop_reason == "duplicate" and not out[1].keep
+    assert out[2].drop_reason == "language"
+    assert out[3].drop_reason == "quality"
+    assert out[4].drop_reason == "repetition" and out[4].dup_shingle_ratio > 0.6
