@@ -78,6 +78,10 @@ def entry(spark: SparkSession) -> DataFrame:
     the heart of the reference's heuristics (per-key session windows
     with inactivity gap) as one declarative Spark plan."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ parquet timestamps are cast to TIMESTAMP under the SESSION
+    # timezone (load_tables); pin UTC so a driver-built session matches
+    # the DuckDB oracle's naive-UTC reading regardless of machine tz
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spec = registry()["session_analysis"]
     return spec.fn(spark, "/root/testdata/sf0.001")
 
@@ -88,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             return fn(spark, sf_dir)
 
         return run
