@@ -288,6 +288,70 @@ def _score_candidates(
     )
 
 
+def cosine_topk_arrow(
+    queries_matrix,
+    query_ids,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k with an Arrow-batched numpy scorer —
+    the measured fast path when candidate volume makes the per-pair
+    `aggregate` fold (interpreted, ~µs/element) the bottleneck.
+
+    `queries_matrix` is a (|Q|, dim) numpy array and `query_ids` the
+    matching id list — the caller materializes the (always small) query
+    side; the corpus streams through `mapInPandas` one Arrow batch at a
+    time and each batch is ONE `batch @ Q.T` matmul. Same plan shape as
+    `cosine_topk` (corpus scan, no corpus shuffle, |corpus|x|Q| scored
+    rows pruned to k per query by the window) — only the scorer
+    changes.
+
+    Values differ from the fold scorer by float summation order
+    (numpy pairwise vs sequential), so this variant is NOT wired to a
+    DuckDB-hash oracle; `tests/test_similarity_recall.py` asserts
+    allclose + identical top-k sets vs `cosine_topk`, and SCALE.md
+    records the measured speedup.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(queries_matrix, dtype=np.float64)
+    qn = np.sqrt((q * q).sum(axis=1))
+    qids = list(query_ids)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            c = np.asarray(
+                np.stack(pdf[vec_col].to_numpy()), dtype=np.float64
+            )
+            cn = np.sqrt((c * c).sum(axis=1))
+            sims = (c @ q.T) / (cn[:, None] * qn[None, :])
+            n, m = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, n),
+                    "neighbor_id": np.repeat(ids, m),
+                    "cosine": np.round(sims.ravel(), round_decimals),
+                }
+            )
+
+    scored = spread(corpus).select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(int(k)))
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _int_exploded(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
     """(out_id, __j, __xs): vector exploded to fixed-point int64
     components — the order-independent, cross-engine-exact currency of
