@@ -220,3 +220,35 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(op, FRAME_SCHEMA)
+
+
+def featurize_media(
+    df: DataFrame, id_col: str = "doc_id", dim: int = 64
+) -> DataFrame:
+    """Feature-extraction stage: opaque payload bytes -> fixed-dim
+    embedding, Arrow batch by Arrow batch. The featurizer here is a
+    deterministic L2-normalized byte histogram (no vision/audio models
+    in this container); a real CLIP/wav2vec encoder swaps in at the
+    same `mapInPandas` seam with the identical (id, payload) ->
+    (id, array<double>) contract and batch shape.
+
+    This completes the multimodal training-data path: decode ->
+    featurize -> ANN/dedup over the embedding column (the downstream
+    operators are the similarity family — see
+    test_multimodal_to_ann_pipeline).
+    """
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                h = np.bincount(b % dim, minlength=dim).astype(np.float64)
+                n = np.linalg.norm(h)
+                vecs.append((h / n if n else h).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": vecs})
+
+    return df.select(id_col, "payload").mapInPandas(
+        op, schema=f"{id_col} long, embedding array<double>"
+    )

@@ -122,3 +122,35 @@ def test_sample_frames_flatmap_shape(spark):
     assert {(r.doc_id, r.frame_index, r.frame_sha256) for r in rows} == {
         (r.doc_id, r.frame_index, r.frame_sha256) for r in again
     }
+
+
+def test_multimodal_to_ann_pipeline(spark):
+    """The full multimodal training-data path composes end-to-end:
+    binary payloads -> Arrow featurize (byte-histogram embedding; a
+    real encoder swaps in at the same seam) -> ANN top-k over the
+    embedding column. Deterministic across runs."""
+    import numpy as np
+
+    from foxsec_pipeline_spark.operators.multimodal import featurize_media
+    from foxsec_pipeline_spark.operators.similarity import cosine_topk_arrow
+    from foxsec_pipeline_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", "documents")["documents"]
+    emb = featurize_media(attach_binary_payload(docs.limit(50)))
+    ep = emb.toPandas().sort_values("doc_id")
+    # unit-norm embeddings out of the featurizer
+    norms = [np.linalg.norm(v) for v in ep["embedding"]]
+    assert all(abs(n - 1.0) < 1e-9 for n in norms)
+    qp = ep.head(5)
+    topk = cosine_topk_arrow(
+        np.stack(qp["embedding"].to_numpy()), qp["doc_id"].tolist(),
+        emb, id_col="doc_id", k=3,
+    )
+    rows = topk.collect()
+    assert len(rows) == 15  # 5 queries x k=3
+    assert all(1 <= r.rank <= 3 and -1.0 <= r.cosine <= 1.0 for r in rows)
+    again = {(r.query_id, r.neighbor_id, r.rank) for r in cosine_topk_arrow(
+        np.stack(qp["embedding"].to_numpy()), qp["doc_id"].tolist(),
+        emb, id_col="doc_id", k=3,
+    ).collect()}
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in rows} == again

@@ -212,6 +212,15 @@ def test_ivf_no_cartesian_and_broadcast_centroids(spark, reg):
     assert "__cell" in plan, plan
 
 
+def test_quality_filter_pipeline_no_cartesian(spark, reg):
+    """The composed keep/drop pipeline is four 1:1 legs joined on
+    doc_id/content-hash — every join must stay an equi-join (language
+    id's tiny marker 'cross join' broadcasts a 4-row literal table,
+    which is fine; a real cartesian over documents is not)."""
+    plan = plan_of(reg["quality_filter_pipeline"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_hot_group_flag_is_broadcast(spark):
     """account_creation_dist's hot-group detection joins a broadcast
     flag (few hot groups by definition) — a shuffled join here would
