@@ -158,3 +158,40 @@ def test_compiled_filter_matches_python_semantics(spark, filter_df, spec):
     }
     want = {r["rid"] for r in ROWS if _eval_filter(spec, r)}
     assert got == want, f"spec={spec}"
+
+
+# --- parser totality fuzz -------------------------------------------------
+
+_JUNK_LINES = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters="\n\r\x00"
+        ),
+        min_size=0,
+        max_size=200,
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lines=_JUNK_LINES)
+def test_parser_total_on_arbitrary_input(spark, lines):
+    """Parse is TOTAL: any junk line lands in the raw fallback (or a
+    real payload if it happens to match a probe) — never an exception,
+    never a dropped row (Parser.java's Raw payload terminates the probe
+    chain the same way). Property-based because the probe cascade has
+    22 branches of regex/JSON paths that hand-written goldens can't
+    sweep."""
+    from foxsec_pipeline_spark.parser.parse import ParserCfg, parse_events
+
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    out = parse_events(df, ParserCfg())
+    rows = out.select("payload_type").collect()
+    assert len(rows) == len(lines)
+    assert all(r.payload_type is not None for r in rows)
