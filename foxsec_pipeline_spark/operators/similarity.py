@@ -393,17 +393,21 @@ def ivf_cells(
     window argmax per id. One pass over the corpus, no corpus
     self-join.
     """
+    dots = _ivf_dots(vectors, centroids, id_col, vec_col)
+    w = Window.partitionBy("__vid").orderBy(F.col("__d").desc(), F.col("cid").asc())
+    return dots.withColumn("__rn", F.row_number().over(w))
+
+
+def _ivf_dots(vectors, centroids, id_col, vec_col):
     ex = _int_exploded(vectors, id_col, vec_col, "__vid")
     ce = _int_exploded(centroids, id_col, vec_col, "cid").withColumnRenamed(
         "__xs", "__cs"
     )
-    dots = (
+    return (
         ex.join(F.broadcast(ce), "__j")
         .groupBy("__vid", "cid")
         .agg(F.sum(F.col("__xs") * F.col("__cs")).alias("__d"))
     )
-    w = Window.partitionBy("__vid").orderBy(F.col("__d").desc(), F.col("cid").asc())
-    return dots.withColumn("__rn", F.row_number().over(w))
 
 
 def cosine_topk_ivf(
@@ -429,10 +433,16 @@ def cosine_topk_ivf(
     trained codebook would be too.
     """
     cents = corpus.where(F.col(id_col).isin([int(i) for i in centroid_ids]))
+    # corpus assignment needs only the ARGMAX cell, so a max_by
+    # hash-agg replaces the rank window — no sort of the |corpus| x K
+    # score rows (the window's dominant cost at scale). struct(__d,
+    # -cid) max = highest dot, ties to the LOWEST centroid id, exactly
+    # the oracle's ORDER BY d DESC, cid ASC at rn = 1.
     corpus_cells = (
-        ivf_cells(corpus, cents, id_col, vec_col)
-        .where(F.col("__rn") == 1)
-        .select(F.col("__vid").alias("neighbor_id"), F.col("cid").alias("__cell"))
+        _ivf_dots(corpus, cents, id_col, vec_col)
+        .groupBy("__vid")
+        .agg(F.expr("max_by(cid, struct(__d, -cid))").alias("__cell"))
+        .select(F.col("__vid").alias("neighbor_id"), "__cell")
     )
     query_cells = (
         ivf_cells(queries, cents, id_col, vec_col)
