@@ -208,3 +208,49 @@ def parse_events(
             >= ref_now - F.expr(f"INTERVAL {int(cfg.max_timestamp_skew_seconds)} SECONDS")
         )
     return out
+
+
+def parse_events_observed(
+    df: DataFrame,
+    cfg: ParserCfg | None = None,
+    value_col: str = "value",
+    now=None,
+):
+    """`parse_events` plus parse telemetry — the Spark-first analog of
+    the reference's Beam metrics counters (`ParserDoFn` counters that
+    tests like TestThresholdAnalysis1.java:74-129 assert on).
+
+    Returns (events, Observation). The Observation's `get` (available
+    after the first action on the returned frame, batch mode) carries:
+    n_parsed (post-fast-matcher rows), n_raw_fallback (probe chain
+    exhausted -> Raw payload), n_age_dropped (EventTooOld policy).
+    Metrics ride the SAME single pass — no second scan; the age drop
+    is applied after the observe node so dropped rows are still
+    counted. Streaming queries attach the identical aggregates via
+    df.observe(name, ...) and read them from the progress listener.
+    """
+    from dataclasses import replace
+
+    from pyspark.sql import Observation
+
+    cfg = cfg or ParserCfg()
+    parsed = parse_events(
+        df, replace(cfg, max_timestamp_skew_seconds=None), value_col, now
+    )
+    ref_now = (
+        F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    )
+    if cfg.max_timestamp_skew_seconds is not None:
+        too_old = F.col("timestamp") < ref_now - F.expr(
+            f"INTERVAL {int(cfg.max_timestamp_skew_seconds)} SECONDS"
+        )
+    else:
+        too_old = F.lit(False)
+    obs = Observation("parse_metrics")
+    parsed = parsed.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_parsed"),
+        F.count(F.when(F.col("payload_type") == "raw", 1)).alias("n_raw_fallback"),
+        F.count(F.when(too_old, 1)).alias("n_age_dropped"),
+    )
+    return parsed.where(~too_old), obs

@@ -280,3 +280,45 @@ def test_duopull(spark):
     assert r.source_address == "198.51.100.3"
     assert r.object == "admin_login"
     assert str(r.timestamp) == "1970-01-01 00:09:00"  # epoch-seconds ts
+
+
+def test_parse_metrics_observation(spark):
+    """Beam-metrics parity: one parse pass also yields counters
+    (n_parsed / n_raw_fallback / n_age_dropped) via the Observation
+    API — mirroring the DoFn counters the reference's tests assert."""
+    import json
+
+    from foxsec_pipeline_spark.parser.parse import ParserCfg, parse_events_observed
+
+    glb = json.dumps(
+        {
+            "timestamp": "1970-01-01T00:00:30.000Z",
+            "resource": {"labels": {"project_id": "p"}},
+            "httpRequest": {
+                "remoteIp": "10.0.0.1", "requestMethod": "GET",
+                "requestUrl": "https://h/x", "status": 200, "userAgent": "ua",
+            },
+        }
+    )
+    old = json.dumps(
+        {
+            "timestamp": "1969-12-25T00:00:00.000Z",
+            "resource": {"labels": {"project_id": "p"}},
+            "httpRequest": {
+                "remoteIp": "10.0.0.2", "requestMethod": "GET",
+                "requestUrl": "https://h/y", "status": 200, "userAgent": "ua",
+            },
+        }
+    )
+    df = spark.createDataFrame(
+        [(glb,), (old,), ("complete junk line",)], "value string"
+    )
+    events, obs = parse_events_observed(
+        df, ParserCfg(max_timestamp_skew_seconds=3600), now="1970-01-01 00:01:00"
+    )
+    kept = events.collect()
+    m = obs.get
+    assert m["n_parsed"] == 3
+    assert m["n_raw_fallback"] == 1   # the junk line
+    assert m["n_age_dropped"] == 1    # the 1969 event
+    assert len(kept) == 2             # junk kept as raw, old row dropped
