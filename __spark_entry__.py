@@ -46,7 +46,7 @@ _VERIFY_FIRST = [
     "customs_alert_fanout", "dedup_clusters", "postprocessing_pipeline",
     "ann_cosine_lsh_multiprobe", "ann_cosine_ivf", "token_count_bpe",
     "auth_state_decision", "violation_projection", "notify_merge",
-    "text_repetition", "quality_filter_pipeline",
+    "text_repetition", "quality_filter_pipeline", "authprofile_pipeline",
     # the r01 hash failure, now fixed —
     "global_stats",
     # formerly 0-row-vacuous, retuned —

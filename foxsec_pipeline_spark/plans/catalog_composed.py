@@ -231,3 +231,127 @@ def q_identity_resolution(spark, sf_dir):
     return im.resolve_identity(e, "subject_user", keep_unmatched=False).select(
         "event_id", "subject_user", "identity"
     )
+
+
+@register(
+    "authprofile_pipeline",
+    """
+WITH e AS (
+  SELECT event_id, user_id, event_type, ts,
+         'u' || user_id AS subject_user,
+         '10.' || (user_id % 32) || '.0.1' AS ip
+  FROM events WHERE event_type IN ('signup', 'click')
+), f AS (
+  SELECT * FROM e
+  WHERE NOT regexp_matches(subject_user, '^u9')
+    AND NOT user_id % 32 = 0
+), dim(alias, identity) AS (
+  VALUES ('u1','alice'), ('u11','alice'), ('u21','alice'), ('alice','alice'),
+         ('u2','bob'), ('u12','bob'), ('bob','bob'),
+         ('u3','mallory'), ('mallory','mallory')
+), ident AS (
+  SELECT f.*, coalesce(dim.identity, f.subject_user) AS identity
+  FROM f LEFT JOIN dim ON f.subject_user = dim.alias
+), located AS (
+  SELECT identity, ts, event_id, ip AS source_address,
+         ((event_id * 37) % 18000) / 100.0 - 90.0 AS lat,
+         ((event_id * 73) % 36000) / 100.0 - 180.0 AS lon
+  FROM ident
+), k AS (
+  SELECT *, lag(ts) OVER (PARTITION BY identity, source_address
+                          ORDER BY ts, event_id) AS prev_ip_ts
+  FROM located
+), p AS (
+  SELECT *, lag(ts) OVER w AS prev_ts,
+         lag(lat) OVER w AS prev_lat, lag(lon) OVER w AS prev_lon
+  FROM k WINDOW w AS (PARTITION BY identity ORDER BY ts, event_id)
+), d AS (
+  SELECT identity, ts,
+         prev_ip_ts IS NOT NULL
+           AND epoch_us(ts) - epoch_us(prev_ip_ts) <= 864000000000 AS known_ip,
+         prev_ts,
+         CASE WHEN prev_ts IS NOT NULL THEN
+           2.0 * 6371.0 * asin(sqrt(
+             pow(sin((radians(lat) - radians(prev_lat)) / 2), 2)
+             + cos(radians(prev_lat)) * cos(radians(lat))
+               * pow(sin((radians(lon) - radians(prev_lon)) / 2), 2))) END AS km,
+         CASE WHEN prev_ts IS NOT NULL
+              THEN (epoch_us(ts) - epoch_us(prev_ts)) / 3600000000.0 END AS hours
+  FROM p
+), state_alerts AS (
+  SELECT ts, 'authprofile' AS category,
+         CASE WHEN km > 800.0 * hours THEN 'critical' ELSE 'warn' END AS severity,
+         identity AS subject, 'state_analyze' AS leg
+  FROM d
+  WHERE NOT known_ip AND prev_ts IS NOT NULL
+), crit AS (
+  SELECT ts, subject_user,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM f WHERE event_type = 'click' AND user_id % 7 = 0
+)
+SELECT * FROM state_alerts
+UNION ALL
+SELECT ts, 'authprofile', 'critical', subject_user, 'crit_object'
+FROM crit WHERE rn = 1
+""",
+    doc="SURVEY §3.2 AuthProfile assembly as ONE plan: Parse filter "
+        "chain (ignored-user regex + internal-CIDR drop) -> "
+        "ExtractIdentity (broadcast alias dim, unmatched keep their "
+        "username, AuthProfile.java:254-307) -> StateAnalyze severity "
+        "decision tree (batch twin) -> union with the CritObjectAnalyze "
+        "leg (regex object escalation, first-per-identity-day "
+        "suppression) — the same legs the reference wires in "
+        "AuthProfile.java:1015-1085",
+)
+def q_authprofile_pipeline(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..streaming.state import auth_state_decision_batch
+
+    ev = _events(spark, sf_dir).where(F.col("event_type").isin("signup", "click"))
+    e = ev.select(
+        "event_id", "user_id", "event_type", "ts",
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("subject_user"),
+        F.concat(
+            F.lit("10."), (F.col("user_id") % 32).cast("string"), F.lit(".0.1")
+        ).alias("ip"),
+    )
+    f = e.where(
+        ~F.col("subject_user").rlike("^u9")
+        & ~cidr_in_any(F.col("ip"), ["10.0.0.0/16"])
+    )
+    im = IdentityManager.from_json(_IDENTITY_CFG)
+    ident = im.resolve_identity(f, "subject_user", keep_unmatched=True)
+    ident = ident.withColumn(
+        "identity", F.coalesce("identity", "subject_user")
+    )
+    logins = ident.select(
+        "identity", F.col("ts").alias("timestamp"), "event_id",
+        F.col("ip").alias("source_address"),
+        (((F.col("event_id") * 37) % 18000) / 100.0 - 90.0).alias("lat"),
+        (((F.col("event_id") * 73) % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    state = auth_state_decision_batch(logins)
+    state_alerts = state.where(F.col("severity") != "info").select(
+        F.col("timestamp").alias("ts"),
+        F.lit("authprofile").alias("category"),
+        "severity",
+        F.col("identity").alias("subject"),
+        F.lit("state_analyze").alias("leg"),
+    )
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("day", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    crit_alerts = (
+        f.where((F.col("event_type") == "click") & (F.col("user_id") % 7 == 0))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "ts", F.lit("authprofile").alias("category"),
+            F.lit("critical").alias("severity"),
+            F.col("subject_user").alias("subject"),
+            F.lit("crit_object").alias("leg"),
+        )
+    )
+    return state_alerts.unionByName(crit_alerts)
