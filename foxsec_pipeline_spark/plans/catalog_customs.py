@@ -560,3 +560,73 @@ def q_email_normalize(spark, sf_dir):
         ).alias("email"),
     )
     return ev.select("event_id", "email", normalize_email(F.col("email")).alias("norm_email"))
+
+
+@register(
+    "customs_pipeline",
+    """
+WITH slf AS (
+  SELECT date_trunc('day', ts) AS window_start, user_id,
+         'source_login_failure' AS detector, count(*) AS n
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1, 2 HAVING count(*) > 3
+), pra AS (
+  SELECT date_trunc('day', ts) AS window_start, user_id,
+         'password_reset_abuse' AS detector, count(*) AS n
+  FROM events WHERE event_type = 'view'
+  GROUP BY 1, 2 HAVING count(*) > 2
+), enum AS (
+  SELECT window_start, user_id, 'account_enumeration' AS detector,
+         n_accounts AS n
+  FROM (
+    SELECT date_trunc('day', ts) AS window_start, user_id,
+           count(DISTINCT props) AS n_accounts,
+           count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY 1, 2
+  ) WHERE n_accounts >= 6 AND n_types > 1
+)
+SELECT * FROM slf
+UNION ALL SELECT * FROM pra
+UNION ALL SELECT * FROM enum
+""",
+    doc="SURVEY §3.3 Customs assembly (Customs.java:601-702 "
+        "executePipeline): ONE event scan fans into the windowed "
+        "detector legs (SourceLoginFailure, PasswordResetAbuse, "
+        "AccountEnumeration with its variance gate) whose alert rows "
+        "union into the output plane — the reference's TupleTag fanout "
+        "as N aggregations over one cached scan",
+)
+def q_customs_pipeline(spark, sf_dir):
+    from ..operators import error_rate_analysis
+
+    ev = _events(spark, sf_dir)
+    slf = error_rate_analysis(
+        ev, key="user_id", error_predicate=F.col("event_type") == "error",
+        ts="ts", duration="1 day", max_errors=3,
+    ).select(
+        "window_start", "user_id",
+        F.lit("source_login_failure").alias("detector"),
+        F.col("error_count").alias("n"),
+    )
+    pra = error_rate_analysis(
+        ev, key="user_id", error_predicate=F.col("event_type") == "view",
+        ts="ts", duration="1 day", max_errors=2,
+    ).select(
+        "window_start", "user_id",
+        F.lit("password_reset_abuse").alias("detector"),
+        F.col("error_count").alias("n"),
+    )
+    enum = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(
+            F.countDistinct("props").alias("n_accounts"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .where((F.col("n_accounts") >= 6) & (F.col("n_types") > 1))
+        .select(
+            F.col("w.start").alias("window_start"), "user_id",
+            F.lit("account_enumeration").alias("detector"),
+            F.col("n_accounts").alias("n"),
+        )
+    )
+    return slf.unionByName(pra).unionByName(enum)
