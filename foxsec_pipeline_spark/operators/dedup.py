@@ -309,11 +309,12 @@ def dedup_clusters(
     # fraction of the corpus (36% on the driver testdata, far less on
     # clean data at scale), which shrinks every per-round join/shuffle
     # by the same factor. Edges are already bidirectional, so src alone
-    # covers both endpoints.
+    # covers both endpoints. Labels SEED at min(self, neighbors) — the
+    # first propagation round computed as one aggregate over the edge
+    # list itself (no join), so the loop starts one round ahead.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
