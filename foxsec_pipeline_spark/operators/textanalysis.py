@@ -185,3 +185,36 @@ def token_counts(
             F.length(text_col) * 1.0 / F.greatest(n_bpe, F.lit(1)), 6
         ).alias("chars_per_token"),
     )
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 common subset (no
+# lookaround), applied in a FIXED order so the redacted text is
+# byte-identical across engines
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII detection + redaction — the scrubbing stage every
+    training-data pipeline runs before text ships. Per-doc match
+    counts (on the original text) plus the md5 of the redacted text
+    (each match class replaced by its `<CLASS>` token, fixed order),
+    so the oracle proves the REDACTION is byte-identical, not just the
+    counts. Map-side only; regexps are JVM codegen expressions."""
+    counts = [
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    scrubbed = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return df.select(
+        F.col(id_col), *counts, F.md5(scrubbed).alias("scrubbed_hash")
+    )

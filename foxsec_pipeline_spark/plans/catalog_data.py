@@ -610,6 +610,54 @@ def q_text_repetition(spark, sf_dir):
 
 
 @register(
+    "pii_scrub",
+    """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id || '@example.com or 555-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-4567 from 10.' || (doc_id % 32) || '.0.1' AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phone,
+       len(regexp_extract_all(text,
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'))
+         AS scrubbed_hash
+FROM aug
+""",
+    doc="PII detection + redaction (training-data scrubbing stage): "
+        "per-doc email/phone/IPv4 match counts AND the md5 of the "
+        "redacted text — the hash proves the replacement bytes are "
+        "identical across engines, not just the counts. Patterns live "
+        "in the Java-regex ∩ RE2 subset; map-side only. PII is "
+        "synthesized deterministically (the synth corpus contains none)",
+)
+def q_pii_scrub(spark, sf_dir):
+    from ..operators.textanalysis import pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-4567 from 10."),
+            (F.col("doc_id") % 32).cast("string"), F.lit(".0.1"),
+        ).alias("text"),
+    )
+    return pii_scrub(aug)
+
+
+@register(
     "quality_filter_pipeline",
     """
 WITH t AS (
