@@ -393,3 +393,34 @@ def simhash(
     for c in bit_cols[1:]:
         fp = fp + c
     return df.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def decontaminate(
+    df: DataFrame,
+    probe_predicate,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark/eval-set decontamination: flag training documents
+    sharing any word-n-gram with the probe (eval) subset — the overlap
+    rule used to keep test sets out of training corpora.
+
+    `probe_predicate` selects the probe docs (an eval-set id list or
+    flag column). Returns (id, n_overlap) for contaminated TRAINING
+    docs only; n_overlap = how many of the doc's distinct shingles
+    appear anywhere in the probe set. Scale shape: probe sets are
+    small by nature, so their distinct-shingle side BROADCASTS and the
+    corpus is one shingle pass + a map-side semi-join — the corpus
+    never shuffles on the probe key.
+    """
+    sh = _shingled(df, id_col, text_col, n)
+    probes = (
+        sh.where(probe_predicate).select("shingle").distinct()
+    )
+    return (
+        sh.where(~probe_predicate)
+        .join(F.broadcast(probes), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )

@@ -610,6 +610,33 @@ def q_text_repetition(spark, sf_dir):
 
 
 @register(
+    "decontaminate",
+    _SHINGLE_CTE
+    + """
+, evals AS (
+  SELECT DISTINCT shingle FROM ex WHERE doc_id % 50 = 0
+)
+SELECT e.doc_id, count(*) AS n_overlap
+FROM ex e JOIN evals USING (shingle)
+WHERE e.doc_id % 50 <> 0
+GROUP BY 1
+""",
+    doc="benchmark decontamination: training docs sharing ANY "
+        "word-3-gram with the eval subset (every 50th doc here) are "
+        "flagged with their overlap count — the n-gram overlap rule "
+        "that keeps test sets out of training corpora. Probe shingles "
+        "BROADCAST (eval sets are small); the corpus is one shingle "
+        "pass + a map-side join, no corpus shuffle on the probe key",
+)
+def q_decontaminate(spark, sf_dir):
+    from ..operators.dedup import decontaminate
+
+    return decontaminate(
+        _docs(spark, sf_dir), probe_predicate=F.col("doc_id") % 50 == 0
+    )
+
+
+@register(
     "pii_scrub",
     """
 WITH aug AS (
