@@ -47,7 +47,7 @@ _VERIFY_FIRST = [
     "ann_cosine_lsh_multiprobe", "ann_cosine_ivf", "token_count_bpe",
     "auth_state_decision", "violation_projection", "notify_merge",
     "text_repetition", "quality_filter_pipeline", "authprofile_pipeline",
-    "customs_pipeline", "pii_scrub", "decontaminate",
+    "customs_pipeline", "pii_scrub", "decontaminate", "stratified_sample",
     # the r01 hash failure, now fixed —
     "global_stats",
     # formerly 0-row-vacuous, retuned —

@@ -218,3 +218,32 @@ def pii_scrub(
     return df.select(
         F.col(id_col), *counts, F.md5(scrubbed).alias("scrubbed_hash")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling — the domain-mixing stage that
+    sets per-source proportions of a training corpus. Each row draws a
+    uniform bucket from md5(id) (stable across runs, engines, and
+    cluster layouts — never `rand()`, which breaks retries and
+    lineage-recompute), and survives iff bucket < rate(stratum).
+    Map-side only: no shuffle, no sampling-induced skew, and the SAME
+    row set on every re-execution — the property that makes training
+    runs reproducible.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, float(r)).otherwise(rate)
+    return df.where(bucket < rate * 10000).select(
+        F.col(id_col), F.col(strata_col), bucket.alias("sample_bucket")
+    )

@@ -610,6 +610,36 @@ def q_text_repetition(spark, sf_dir):
 
 
 @register(
+    "stratified_sample",
+    """
+WITH b AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 10000
+           AS sample_bucket
+  FROM documents
+)
+SELECT doc_id, source, sample_bucket FROM b
+WHERE sample_bucket < 10000 * (CASE source
+  WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25
+  WHEN 'src3' THEN 0.1 ELSE 0.02 END)
+""",
+    doc="domain-mixing stratified sampler: per-source keep rates via a "
+        "DETERMINISTIC md5(id) bucket draw (never rand() — retries, "
+        "lineage recompute, and both engines reproduce the same row "
+        "set). Map-side only; the keep/drop set is stable across runs, "
+        "the property training reproducibility depends on",
+)
+def q_stratified_sample(spark, sf_dir):
+    from ..operators.textanalysis import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        default_rate=0.02,
+    )
+
+
+@register(
     "decontaminate",
     _SHINGLE_CTE
     + """
