@@ -418,6 +418,7 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 2,
+    queries_in_corpus: bool = False,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) bucketing: each corpus
     vector lands in exactly ONE cell (nearest centroid); each query
@@ -438,17 +439,34 @@ def cosine_topk_ivf(
     # score rows (the window's dominant cost at scale). struct(__d,
     # -cid) max = highest dot, ties to the LOWEST centroid id, exactly
     # the oracle's ORDER BY d DESC, cid ASC at rn = 1.
+    dots = _ivf_dots(corpus, cents, id_col, vec_col)
     corpus_cells = (
-        _ivf_dots(corpus, cents, id_col, vec_col)
-        .groupBy("__vid")
+        dots.groupBy("__vid")
         .agg(F.expr("max_by(cid, struct(__d, -cid))").alias("__cell"))
         .select(F.col("__vid").alias("neighbor_id"), "__cell")
     )
-    query_cells = (
-        ivf_cells(queries, cents, id_col, vec_col)
-        .where(F.col("__rn") <= F.lit(int(nprobe)))
-        .select(F.col("__vid").alias("query_id"), F.col("cid").alias("__cell"))
-    )
+    if queries_in_corpus:
+        # queries ⊆ corpus (dedup/self-search): the corpus assignment
+        # pass already scored every query vector — probe cells come
+        # from the SAME dots frame via a broadcast id semi-join + a
+        # window over only the query rows, halving the assignment work
+        q_dots = dots.join(
+            F.broadcast(queries.select(F.col(id_col).alias("__vid"))), "__vid"
+        )
+        w = Window.partitionBy("__vid").orderBy(
+            F.col("__d").desc(), F.col("cid").asc()
+        )
+        query_cells = (
+            q_dots.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= F.lit(int(nprobe)))
+            .select(F.col("__vid").alias("query_id"), F.col("cid").alias("__cell"))
+        )
+    else:
+        query_cells = (
+            ivf_cells(queries, cents, id_col, vec_col)
+            .where(F.col("__rn") <= F.lit(int(nprobe)))
+            .select(F.col("__vid").alias("query_id"), F.col("cid").alias("__cell"))
+        )
     # each corpus vector is in exactly one cell and probe cells are
     # distinct per query, so a (query, neighbor) pair meets at most
     # once — no dedup needed before scoring

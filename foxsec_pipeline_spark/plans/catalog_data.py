@@ -453,7 +453,8 @@ FROM ranked WHERE rank <= 5
 def q_ann_cosine_ivf(spark, sf_dir):
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return cosine_topk_ivf(
-        emb.where(F.col("vec_id") < 10), emb, list(_CENTROID_IDS), k=5, nprobe=2
+        emb.where(F.col("vec_id") < 10), emb, list(_CENTROID_IDS), k=5, nprobe=2,
+        queries_in_corpus=True,
     )
 
 
