@@ -291,3 +291,62 @@ def test_streaming_heuristic_with_suppression_composed(spark, tmpdir):
     got = [(r.k, str(r.timestamp)) for r in spark.sql(f"SELECT * FROM {name}").collect()]
     # both 1-min windows alerted for 'a'; the suppressor emits exactly one
     assert len(got) == 1 and got[0][0] == "a"
+
+
+def test_etd_suppression_streaming_matches_batch(spark, tmpdir):
+    """The round-2 ETD leg runs under Structured Streaming: ignore
+    regexes + severity mapping are plain column exprs (stream-safe),
+    and SuppressAlerts becomes the keyed-TTL suppress_stream. On a
+    fixture whose repeats fall inside one suppression window the
+    streaming TTL and the batch tumbling-window rn=1 agree exactly
+    (the general divergence — TTL-from-first vs window boundary — is
+    the documented T1 semantics difference)."""
+    from foxsec_pipeline_spark.operators.detectors import etd_finding_alerts
+
+    rows = [
+        Row(ts=datetime.fromisoformat("2024-01-01 00:00:00"),
+            rule_name="iam_anomalous_grant", technique="t1", indicator="audit",
+            project_number="p1"),
+        Row(ts=datetime.fromisoformat("2024-01-01 00:05:00"),  # suppressed dup
+            rule_name="iam_anomalous_grant", technique="t1", indicator="audit",
+            project_number="p1"),
+        Row(ts=datetime.fromisoformat("2024-01-01 00:06:00"),  # ignored rule
+            rule_name="noisy_scanner", technique="t1", indicator="audit",
+            project_number="p1"),
+        Row(ts=datetime.fromisoformat("2024-01-01 00:07:00"),  # low severity
+            rule_name="other_rule", technique="t2", indicator="audit",
+            project_number="p2"),
+    ]
+    schema = ("ts timestamp, rule_name string, technique string, "
+              "indicator string, project_number string")
+
+    batch = etd_finding_alerts(
+        spark.createDataFrame(rows, schema),
+        ignore_rule_regexes=["noisy_.*"], high_rule_regexes=["iam_.*"],
+        suppress_window="1 hour",
+    ).collect()
+
+    src = _stream_from_rows(spark, rows, schema, tmpdir)
+    filt = src.where(~F.coalesce(F.col("rule_name"), F.lit("")).rlike("noisy_.*"))
+    mapped = (
+        filt.withColumn(
+            "handling_severity",
+            F.when(F.col("rule_name").rlike("iam_.*"), "high").otherwise("low"),
+        )
+        .withColumn("severity", F.lit("critical"))
+        .withColumn("category", F.lit("gatekeeper:gcp"))
+        .withColumnRenamed("ts", "timestamp")
+    )
+    streamed = suppress_stream(
+        mapped,
+        ["project_number", "rule_name", "technique", "indicator"],
+        expiry="1 hour",
+    )
+    name = f"etd_{uuid.uuid4().hex[:8]}"
+    _run_stream(streamed, name)
+    got = spark.sql(f"SELECT * FROM {name}").collect()
+
+    key = lambda r: (r.project_number, r.rule_name, r.technique, r.indicator,
+                     r.handling_severity)
+    assert {key(r) for r in batch} == {key(r) for r in got}
+    assert len(batch) == len(got) == 2
