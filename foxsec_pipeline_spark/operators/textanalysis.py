@@ -247,3 +247,37 @@ def stratified_sample(
     return df.where(bucket < rate * 10000).select(
         F.col(id_col), F.col(strata_col), bucket.alias("sample_bucket")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Sequence packing: assign each document to a fixed-token-budget
+    training sequence by running token count, packed WITHIN each shard
+    (deterministic id order). A doc starting before a seq_len boundary
+    joins that sequence — the standard greedy concat-packing rule.
+
+    Packing is per-shard BY DESIGN: a global cumsum would be a global
+    sort (one reducer at any scale); shards pack independently, so the
+    window is partitionBy(shard) and the whole operator is one shuffle
+    on the shard key. Returns (id, shard, n_tokens, seq_id).
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    return df.select(
+        F.col(id_col),
+        F.col(shard_col),
+        n_tok.alias("n_tokens"),
+        F.floor((cum - n_tok) / F.lit(int(seq_len))).alias("seq_id"),
+    )

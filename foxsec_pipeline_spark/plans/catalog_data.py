@@ -611,6 +611,30 @@ def q_text_repetition(spark, sf_dir):
 
 
 @register(
+    "sequence_packing",
+    """
+SELECT doc_id, source,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       CAST(floor((sum(len(string_split_regex(trim(text), '\\s+')))
+                     OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING)
+                   - len(string_split_regex(trim(text), '\\s+')))
+                  / 512.0) AS BIGINT) AS seq_id
+FROM documents
+""",
+    doc="sequence packing for pretraining batches: docs assigned to "
+        "fixed-token-budget sequences by running token count, packed "
+        "per shard in deterministic id order (a global cumsum would be "
+        "a one-reducer global sort — shards pack independently, one "
+        "shuffle on the shard key)",
+)
+def q_sequence_packing(spark, sf_dir):
+    from ..operators.textanalysis import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=512)
+
+
+@register(
     "stratified_sample",
     """
 WITH b AS (
