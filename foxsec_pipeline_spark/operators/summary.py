@@ -96,3 +96,40 @@ def source_correlation(
     return agg.where(
         (F.col("n_addr") >= F.lit(int(min_addresses))) & (ratio >= F.lit(float(min_ratio)))
     ).select(group_col, "n_addr", "n_alerted", F.round(ratio, 6).alias("alerted_ratio"))
+
+
+def classifier_rollup(
+    df: DataFrame,
+    ts: str = "ts",
+    duration: str = "15 minutes",
+    levels: tuple[str, ...] = ("resource", "category"),
+) -> DataFrame:
+    """A8 AlertSummary's classifier hierarchy (global / per-resource /
+    per-category counts per block — AlertSummary.java:109-148 runs one
+    CombineFn per classifier) as ONE grouping-sets aggregation: every
+    level shares a single shuffle and the map-side partial agg, with
+    `grouping_id` discriminating the levels. The Spark-first shape for
+    "count at N granularities of the same stream".
+
+    Returns (window_start, level columns..., grouping_level, n) where
+    NULL level columns mean "aggregated over" (standard grouping-sets
+    semantics, identical in the DuckDB oracle).
+    """
+    w = F.window(ts, duration)["start"].alias("window_start")
+    sets = ", ".join(
+        "(" + ", ".join(["window_start"] + list(levels[:i])) + ")"
+        for i in range(len(levels) + 1)
+    )
+    proj = df.select(w, *levels)
+    proj.createOrReplaceTempView("__rollup_in")
+    cols = ", ".join(levels)
+    # no-arg grouping_id: Spark requires the argument list to match ALL
+    # grouping columns; window_start is in every set so its bit is
+    # always 0 and the value equals grouping_id(<levels...>)
+    return df.sparkSession.sql(f"""
+        SELECT window_start, {cols},
+               CAST(grouping_id() AS BIGINT) AS grouping_level,
+               count(*) AS n
+        FROM __rollup_in
+        GROUP BY GROUPING SETS ({sets})
+    """)

@@ -458,6 +458,42 @@ def q_geo_velocity(spark, sf_dir):
 
 
 @register(
+    "alert_summary_rollup",
+    """
+WITH a AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         'res-' || (user_id % 3) AS resource,
+         event_type AS category
+  FROM events
+)
+SELECT window_start, resource, category,
+       CAST(grouping_id(resource, category) AS BIGINT) AS grouping_level,
+       count(*) AS n
+FROM a
+GROUP BY GROUPING SETS ((window_start), (window_start, resource),
+                        (window_start, resource, category))
+""",
+    doc="A8 AlertSummary classifier hierarchy (global / per-resource / "
+        "per-category block counts, AlertSummary.java:109-148) as ONE "
+        "grouping-sets aggregation — every classifier level shares a "
+        "single shuffle + map-side partial agg instead of one CombineFn "
+        "per level; grouping_id discriminates levels",
+)
+def q_alert_summary_rollup(spark, sf_dir):
+    from ..operators.summary import classifier_rollup
+
+    ev = _events(spark, sf_dir).select(
+        "ts",
+        F.concat(F.lit("res-"), (F.col("user_id") % 3).cast("string")).alias(
+            "resource"
+        ),
+        F.col("event_type").alias("category"),
+    )
+    return classifier_rollup(ev, ts="ts", duration="1 hour",
+                             levels=("resource", "category"))
+
+
+@register(
     "auth_state_decision",
     """
 WITH e AS (
