@@ -48,7 +48,7 @@ _VERIFY_FIRST = [
     "auth_state_decision", "violation_projection", "notify_merge",
     "text_repetition", "quality_filter_pipeline", "authprofile_pipeline",
     "customs_pipeline", "pii_scrub", "decontaminate", "stratified_sample",
-    "sequence_packing", "alert_summary_rollup",
+    "sequence_packing", "alert_summary_rollup", "regional_revenue",
     # the r01 hash failure, now fixed —
     "global_stats",
     # formerly 0-row-vacuous, retuned —

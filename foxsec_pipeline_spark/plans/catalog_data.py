@@ -635,6 +635,57 @@ def q_sequence_packing(spark, sf_dir):
 
 
 @register(
+    "regional_revenue",
+    """
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+         / 10000.0 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+    doc="TPC-H Q5-shaped six-table join: local-supplier revenue by "
+        "nation within a region/date band. Exercises Catalyst's join "
+        "reordering + broadcast selection across the full star "
+        "(region/nation broadcast into customer/supplier, the fact "
+        "tables join on their keys, the c=s nation equality prunes "
+        "before the aggregate); money in exact integer basis points",
+)
+def q_regional_revenue(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem",
+                    "supplier", "nation", "region")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+    )
+
+
+@register(
     "stratified_sample",
     """
 WITH b AS (
