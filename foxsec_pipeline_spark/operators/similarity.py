@@ -320,6 +320,11 @@ def cosine_topk_arrow(
 
     q = np.asarray(queries_matrix, dtype=np.float64)
     qn = np.sqrt((q * q).sum(axis=1))
+    # zero-norm guard: a degenerate all-zero vector (e.g. featurize_media
+    # on an empty payload) must score cosine 0.0, not NaN — Spark sorts
+    # NaN above every number, so one zero vector would otherwise rank #1
+    # for every query. Clamped norm divides a zero dot by 1 -> 0.0.
+    qn = np.where(qn == 0, 1.0, qn)
     qids = list(query_ids)
 
     def score(batches):
@@ -329,6 +334,7 @@ def cosine_topk_arrow(
                 np.stack(pdf[vec_col].to_numpy()), dtype=np.float64
             )
             cn = np.sqrt((c * c).sum(axis=1))
+            cn = np.where(cn == 0, 1.0, cn)
             sims = (c @ q.T) / (cn[:, None] * qn[None, :])
             n, m = sims.shape
             yield pd.DataFrame(
@@ -352,20 +358,44 @@ def cosine_topk_arrow(
     )
 
 
+# |component| bound for the fixed-point int64 paths: a scaled component
+# is at most B * 2^20, a product (B * 2^20)^2 = B^2 * 2^40, and a dot
+# sums `dim` of them — safe iff dim * B^2 * 2^40 < 2^63, i.e.
+# B <= sqrt(2^23 / dim) (dim 64 -> B ~ 362). Components past that
+# overflow — and Spark (non-ANSI) WRAPS silently where the DuckDB
+# oracle's BIGINT errors, so the divergence would be one-sided. The
+# contract (B = 300, valid to dim ~93; ~unit-norm embeddings are far
+# inside it) is therefore enforced loudly at the scale step.
+INT_COMPONENT_BOUND = 300.0
+
+
 def _int_exploded(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
     """(out_id, __j, __xs): vector exploded to fixed-point int64
     components — the order-independent, cross-engine-exact currency of
-    the bucketing paths (see LSH_SCALE)."""
+    the bucketing paths (see LSH_SCALE). Components must satisfy
+    |x| <= INT_COMPONENT_BOUND (~unit-norm embeddings trivially do);
+    a non-normalized corpus fails with an explicit error instead of
+    silently wrapping int64."""
+    x = F.col("__x").cast("double")
+    scaled = F.when(
+        F.abs(x) <= F.lit(INT_COMPONENT_BOUND),
+        F.floor(x * F.lit(float(LSH_SCALE))).cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "fixed-point component out of range (|x| > "
+                    f"{INT_COMPONENT_BOUND}): normalize the corpus "
+                    "before the bucketed similarity paths; got "
+                ),
+                x.cast("string"),
+            )
+        ).cast("long")
+    )
     return (
         spread(df)
         .select(F.col(id_col).alias(out_id), F.posexplode(vec_col).alias("__j", "__x"))
-        .select(
-            out_id,
-            "__j",
-            F.floor(F.col("__x").cast("double") * F.lit(float(LSH_SCALE)))
-            .cast("long")
-            .alias("__xs"),
-        )
+        .select(out_id, "__j", scaled.alias("__xs"))
     )
 
 

@@ -121,15 +121,20 @@ def classifier_rollup(
         for i in range(len(levels) + 1)
     )
     proj = df.select(w, *levels)
-    proj.createOrReplaceTempView("__rollup_in")
     cols = ", ".join(levels)
     # no-arg grouping_id: Spark requires the argument list to match ALL
     # grouping columns; window_start is in every set so its bit is
-    # always 0 and the value equals grouping_id(<levels...>)
-    return df.sparkSession.sql(f"""
+    # always 0 and the value equals grouping_id(<levels...>).
+    # The input is passed as a parameterized-SQL DataFrame reference —
+    # no catalog temp view, so concurrent callers / user views of the
+    # same name can't collide and nothing leaks into the session.
+    return df.sparkSession.sql(
+        f"""
         SELECT window_start, {cols},
                CAST(grouping_id() AS BIGINT) AS grouping_level,
                count(*) AS n
-        FROM __rollup_in
+        FROM {{rollup_in}}
         GROUP BY GROUPING SETS ({sets})
-    """)
+        """,
+        rollup_in=proj,
+    )

@@ -222,8 +222,11 @@ def parse_events_observed(
 
     Returns (events, Observation). The Observation's `get` (available
     after the first action on the returned frame, batch mode) carries:
-    n_parsed (post-fast-matcher rows), n_raw_fallback (probe chain
-    exhausted -> Raw payload), n_age_dropped (EventTooOld policy).
+    n_parsed (post-fast-matcher rows BEFORE the age policy),
+    n_raw_fallback (probe chain exhausted -> Raw payload),
+    n_age_dropped (EventTooOld policy), and n_emitted (rows actually
+    returned; always n_parsed - n_age_dropped, exposed so the counters
+    reconcile with downstream row counts without arithmetic).
     Metrics ride the SAME single pass — no second scan; the age drop
     is applied after the observe node so dropped rows are still
     counted. Streaming queries attach the identical aggregates via
@@ -252,5 +255,6 @@ def parse_events_observed(
         F.count(F.lit(1)).alias("n_parsed"),
         F.count(F.when(F.col("payload_type") == "raw", 1)).alias("n_raw_fallback"),
         F.count(F.when(too_old, 1)).alias("n_age_dropped"),
+        F.count(F.when(~too_old, 1)).alias("n_emitted"),
     )
     return parsed.where(~too_old), obs

@@ -321,4 +321,5 @@ def test_parse_metrics_observation(spark):
     assert m["n_parsed"] == 3
     assert m["n_raw_fallback"] == 1   # the junk line
     assert m["n_age_dropped"] == 1    # the 1969 event
-    assert len(kept) == 2             # junk kept as raw, old row dropped
+    assert m["n_emitted"] == 2        # reconciles: n_parsed - n_age_dropped
+    assert len(kept) == m["n_emitted"]  # junk kept as raw, old row dropped
