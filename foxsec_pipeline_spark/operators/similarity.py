@@ -440,15 +440,122 @@ def _ivf_dots(vectors, centroids, id_col, vec_col):
     )
 
 
+def ivf_train_codebook(
+    corpus: DataFrame,
+    init_ids: list[int],
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, list[float]]:
+    """Lloyd's k-means codebook for IVF, in CROSS-ENGINE-EXACT integer
+    arithmetic: components are fixed-point int64 (floor-scale 2^20, see
+    LSH_SCALE), the assignment score is the integer MIPS dot (sum of
+    int64 products — order-independent, so Spark's shuffled partial agg
+    and a sequential SQL fold agree bit-for-bit), and the re-centered
+    component is floor(sum/count) where sum is exact in double
+    (|sum| < 2^53 for any sample the driver would train on) and IEEE
+    division/floor are bit-identical across engines. The whole loop is
+    therefore reproducible by an unrolled DuckDB CTE chain — the
+    property that lets the trained `ann_cosine_ivf` stay oracle-green.
+
+    Seeds are corpus vectors by id (`init_ids`); cells keep their seed
+    id as the stable centroid id (ties in assignment break to the
+    LOWEST cid in both engines). Empty cells keep their previous
+    centroid. Each iteration is two shuffles over the (already tiny
+    after partial-agg) exploded sample plus a K x dim collect — the
+    codebook is metadata, and collecting it driver-side is how every
+    IVF build works (FAISS included); the corpus itself never leaves
+    the cluster.
+
+    Returns {cid: [component / 2^20 as double, ...]} — exact multiples
+    of 2^-20, so re-scaling through `_int_exploded` recovers the
+    trained integers losslessly.
+    """
+    import math
+
+    spark = corpus.sparkSession
+    seed_rows = (
+        corpus.where(F.col(id_col).isin([int(i) for i in init_ids]))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cents: dict[int, list[int]] = {}
+    for r in seed_rows:
+        comps = [float(x) for x in r[1]]
+        for x in comps:
+            if abs(x) > INT_COMPONENT_BOUND:
+                raise ValueError(
+                    f"component {x} outside |x| <= {INT_COMPONENT_BOUND}"
+                )
+        cents[int(r[0])] = [
+            math.floor(x * float(LSH_SCALE)) for x in comps
+        ]
+    dim = len(next(iter(cents.values())))
+    ex = _int_exploded(corpus, id_col, vec_col, "__vid").persist()
+    try:
+        for _ in range(int(iters)):
+            ce = spark.createDataFrame(
+                [
+                    (cid, j, cs)
+                    for cid, comps in cents.items()
+                    for j, cs in enumerate(comps)
+                ],
+                "cid long, __j integer, __cs long",
+            )
+            assign = (
+                ex.join(F.broadcast(ce), "__j")
+                .groupBy("__vid", "cid")
+                .agg(F.sum(F.col("__xs") * F.col("__cs")).alias("__d"))
+                .groupBy("__vid")
+                .agg(F.expr("max_by(cid, struct(__d, -cid))").alias("cid"))
+            )
+            newc = (
+                ex.join(assign, "__vid")
+                .groupBy("cid", "__j")
+                .agg(
+                    F.floor(
+                        F.sum("__xs").cast("double") / F.count(F.lit(1))
+                    ).cast("long").alias("__cs")
+                )
+            )
+            got: dict[int, dict[int, int]] = {}
+            for r in newc.collect():
+                got.setdefault(int(r["cid"]), {})[int(r["__j"])] = int(r["__cs"])
+            for cid, byj in got.items():
+                cents[cid] = [byj.get(j, cents[cid][j]) for j in range(dim)]
+    finally:
+        ex.unpersist()
+    return {
+        cid: [cs / float(LSH_SCALE) for cs in comps]
+        for cid, comps in sorted(cents.items())
+    }
+
+
+def ivf_codebook_df(
+    spark,
+    codebook: dict[int, list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize a trained codebook as the (id, vector) frame the
+    IVF operators consume (components are exact 2^-20 multiples, so
+    the fixed-point re-scale inside `_int_exploded` is lossless)."""
+    return spark.createDataFrame(
+        [(cid, comps) for cid, comps in sorted(codebook.items())],
+        f"{id_col} long, {vec_col} array<double>",
+    )
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
-    centroid_ids: list[int],
+    centroid_ids: list[int] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 2,
     queries_in_corpus: bool = False,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) bucketing: each corpus
     vector lands in exactly ONE cell (nearest centroid); each query
@@ -458,12 +565,17 @@ def cosine_topk_ivf(
     recall is tuned by nprobe (measured against the exact baseline in
     tests/test_similarity_recall.py).
 
-    Centroids are taken from the corpus by id (`centroid_ids`) — a
-    deterministic stand-in for a k-means codebook; the operator only
-    assumes the centroid set is small enough to broadcast, which a
-    trained codebook would be too.
+    Centroids come either from a trained codebook (`centroids`, see
+    `ivf_train_codebook`) or from the corpus by id (`centroid_ids`) —
+    the deterministic untrained fallback; the operator only assumes
+    the centroid set is small enough to broadcast, which both are.
     """
-    cents = corpus.where(F.col(id_col).isin([int(i) for i in centroid_ids]))
+    if centroids is not None:
+        cents = centroids
+    elif centroid_ids is not None:
+        cents = corpus.where(F.col(id_col).isin([int(i) for i in centroid_ids]))
+    else:
+        raise ValueError("pass centroids or centroid_ids")
     # corpus assignment needs only the ARGMAX cell, so a max_by
     # hash-agg replaces the rank window — no sort of the |corpus| x K
     # score rows (the window's dominant cost at scale). struct(__d,

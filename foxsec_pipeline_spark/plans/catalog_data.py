@@ -402,26 +402,63 @@ _IDOT = (
 )
 
 
+_IVF_TRAIN_ITERS = 3
+
+
 def _ivf_oracle() -> str:
+    """Unrolled-k-means IVF oracle: reproduces `ivf_train_codebook`'s
+    3 Lloyd iterations as chained CTEs in the SAME integer fixed-point
+    arithmetic (int64 MIPS dots — order-independent; re-center =
+    floor(exact-double sum / count) — IEEE-identical across engines),
+    then the assignment/probe/exact-rank pipeline on the trained
+    codebook. Proves the TRAINED ann path end-to-end cross-engine,
+    training loop included."""
     ids = ", ".join(str(i) for i in _CENTROID_IDS)
-    return f"""
-WITH cent AS (
-  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id IN ({ids})
-), assign AS (
-  SELECT e.vec_id, cid,
-         row_number() OVER (
-           PARTITION BY e.vec_id
-           ORDER BY {_IDOT.format(a='e.embedding', b='cv')} DESC, cid) AS rn
-  FROM embeddings e CROSS JOIN cent
+    cte = [f"""
+WITH ex AS (
+  SELECT vec_id AS vid, j,
+         CAST(floor(embedding[j]::DOUBLE * 1048576) AS BIGINT) AS xs
+  FROM embeddings, range(1, 65) AS t(j)
+), c0 AS (
+  SELECT vec_id AS cid, j,
+         CAST(floor(embedding[j]::DOUBLE * 1048576) AS BIGINT) AS cs
+  FROM embeddings, range(1, 65) AS t(j)
+  WHERE vec_id IN ({ids})
+)"""]
+    for i in range(1, _IVF_TRAIN_ITERS + 1):
+        cte.append(f""", d{i} AS (
+  SELECT ex.vid, c.cid, sum(ex.xs * c.cs) AS d
+  FROM ex JOIN c{i - 1} c ON ex.j = c.j GROUP BY ex.vid, c.cid
+), a{i} AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid,
+           row_number() OVER (PARTITION BY vid ORDER BY d DESC, cid) AS rn
+    FROM d{i}) WHERE rn = 1
+), m{i} AS (
+  SELECT a.cid, ex.j,
+         CAST(floor(sum(ex.xs)::DOUBLE / count(*)) AS BIGINT) AS cs
+  FROM a{i} a JOIN ex ON ex.vid = a.vid GROUP BY a.cid, ex.j
+), c{i} AS (
+  SELECT c.cid, c.j, COALESCE(m.cs, c.cs) AS cs
+  FROM c{i - 1} c LEFT JOIN m{i} m ON m.cid = c.cid AND m.j = c.j
+)""")
+    cte.append(f""", cd AS (
+  SELECT ex.vid, c.cid, sum(ex.xs * c.cs) AS d
+  FROM ex JOIN c{_IVF_TRAIN_ITERS} c ON ex.j = c.j GROUP BY ex.vid, c.cid
+), cells AS (
+  SELECT vid, cid,
+         row_number() OVER (PARTITION BY vid ORDER BY d DESC, cid) AS rn
+  FROM cd
 ), cc AS (
-  SELECT vec_id AS neighbor_id, cid AS cell FROM assign WHERE rn = 1
+  SELECT vid AS neighbor_id, cid AS cell FROM cells WHERE rn = 1
 ), qp AS (
-  SELECT vec_id AS query_id, cid AS cell FROM assign
-  WHERE vec_id < 10 AND rn <= 2
+  SELECT vid AS query_id, cid AS cell FROM cells
+  WHERE vid < 10 AND rn <= 2
 ), cand AS (
   SELECT query_id, neighbor_id FROM cc JOIN qp USING (cell)
   WHERE query_id <> neighbor_id
-), scored AS (
+), scored AS (""")
+    return "".join(cte) + f"""
   SELECT query_id, neighbor_id,
          round({_FOLD.format(a='q.embedding', b='c.embedding')}
                / (sqrt({_FOLD.format(a='q.embedding', b='q.embedding')})
@@ -442,19 +479,24 @@ FROM ranked WHERE rank <= 5
 @register(
     "ann_cosine_ivf",
     _ivf_oracle(),
-    doc="IVF-bucketed approximate top-k: corpus vectors assigned to "
-        "their nearest centroid cell (integer fixed-point MIPS "
-        "quantizer — cross-engine exact), queries probe nprobe=2 cells, "
-        "exact cosine ranks the probed candidates. The inverted-file "
-        "scale path next to LSH: one assignment pass over the corpus + "
-        "an equi-join on the cell id; recall tuned by nprobe and "
+    doc="IVF-bucketed approximate top-k with a TRAINED codebook: 3 "
+        "Lloyd iterations in cross-engine-exact integer fixed-point "
+        "arithmetic (seeded by 16 fixed corpus ids), then corpus "
+        "vectors assigned to their nearest centroid cell, queries "
+        "probe nprobe=2 cells, exact cosine ranks the probed "
+        "candidates. The oracle unrolls the SAME k-means as CTEs, so "
+        "the training loop itself is hash-verified. One assignment "
+        "pass over the corpus + an equi-join on the cell id; recall "
         "measured in tests/test_similarity_recall.py",
 )
 def q_ann_cosine_ivf(spark, sf_dir):
+    from ..operators.similarity import ivf_codebook_df, ivf_train_codebook
+
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cb = ivf_train_codebook(emb, list(_CENTROID_IDS), iters=_IVF_TRAIN_ITERS)
     return cosine_topk_ivf(
-        emb.where(F.col("vec_id") < 10), emb, list(_CENTROID_IDS), k=5, nprobe=2,
-        queries_in_corpus=True,
+        emb.where(F.col("vec_id") < 10), emb, k=5, nprobe=2,
+        queries_in_corpus=True, centroids=ivf_codebook_df(spark, cb),
     )
 
 

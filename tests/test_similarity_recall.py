@@ -66,28 +66,50 @@ def test_ann_lsh_recall_vs_exact(emb, spark):
 
 
 def test_ann_ivf_recall_vs_exact(emb, spark):
+    from foxsec_pipeline_spark.operators.similarity import (
+        ivf_codebook_df,
+        ivf_train_codebook,
+    )
+
     queries = emb.where(F.col("vec_id") < 50)
     exact = _pair_set(
         cosine_topk(queries, emb, k=5), "query_id", "neighbor_id"
     )
-    recalls = {}
-    for nprobe in (1, 2, 4):
-        ivf = _pair_set(
+    cb = ivf_train_codebook(emb, list(_CENTROID_IDS), iters=3)
+    cents = ivf_codebook_df(spark, cb)
+    untrained, trained = {}, {}
+    for nprobe in (1, 2, 4, 8):
+        untrained[nprobe] = len(exact & _pair_set(
             cosine_topk_ivf(
                 queries, emb, list(_CENTROID_IDS), k=5, nprobe=nprobe
             ),
             "query_id", "neighbor_id",
-        )
-        recalls[nprobe] = len(exact & ivf) / len(exact)
-    print(f"ivf recall@5 by nprobe: "
-          + " ".join(f"{n}={r:.3f}" for n, r in recalls.items())
+        )) / len(exact)
+        trained[nprobe] = len(exact & _pair_set(
+            cosine_topk_ivf(queries, emb, k=5, nprobe=nprobe, centroids=cents),
+            "query_id", "neighbor_id",
+        )) / len(exact)
+    print("ivf recall@5 by nprobe: "
+          + " ".join(f"{n}:untrained={untrained[n]:.3f},trained={trained[n]:.3f}"
+                     for n in untrained)
           + f" (|exact|={len(exact)}, K=16 cells)")
     # probing more cells can only add candidates — recall must be
-    # monotone in nprobe; the floors record the measured operating
-    # point with the deterministic 16-id codebook
-    assert recalls[1] <= recalls[2] <= recalls[4]
-    assert recalls[2] >= 0.25
-    assert recalls[4] >= 0.4
+    # monotone in nprobe
+    assert untrained[1] <= untrained[2] <= untrained[4] <= untrained[8]
+    assert trained[1] <= trained[2] <= trained[4] <= trained[8]
+    # the k-means codebook must beat (or tie) the raw 16-id seeds at
+    # every probe width — the point of training
+    for n in untrained:
+        assert trained[n] >= untrained[n] - 0.02, (n, trained, untrained)
+    # measured operating points (synthetic embeddings are NEAR-UNIFORM
+    # on the sphere — top-5 cosine ~0.32 vs random-pair p90 ~0.16 — so
+    # cell structure is inherently weak and ~50% of the corpus must be
+    # probed for ~0.8 recall; on a genuinely clustered corpus the same
+    # codebook recovers the classic IVF sweet spot. The floors record
+    # the honest measured curve, not an aspiration.)
+    assert trained[2] >= 0.3
+    assert trained[4] >= 0.5
+    assert trained[8] >= 0.75
 
 
 def test_arrow_scorer_matches_fold_scorer(emb, spark):
