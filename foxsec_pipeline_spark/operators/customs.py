@@ -129,6 +129,8 @@ def account_creation_dist(
     max_distance: int | None = None,
     hot_group_cutoff: int = 100_000,
     n_blocks: int = 8,
+    hot_strategy: str = "minhash",
+    minhash_hashes: int = 12,
 ) -> DataFrame:
     """A10 CustomsAccountCreationDist: for each account, count other
     accounts in the same group whose name is within `max_ratio`
@@ -138,17 +140,29 @@ def account_creation_dist(
 
     The group key bounds the self-join (the reference groups by email
     domain + window). The 100 TB failure mode is a HOT group
-    (gmail.com in one window): its whole quadratic pair workload lands
-    on one reducer. Groups larger than `hot_group_cutoff` are
-    block-decomposed: the pair space is tiled into n_blocks² cells,
-    each row replicated n_blocks times on each side, and the join key
-    gains the cell coordinates — every pair still meets exactly once
-    (in cell (block(a), block(b))) so the OUTPUT IS IDENTICAL, but the
-    quadratic work spreads over n_blocks² reducers instead of one.
-    Shuffle volume grows ×n_blocks for hot groups only; the exactness
-    (vs MinHash candidate pruning) is deliberate — at this ratio
-    threshold most pairs genuinely qualify, so a sound filter cannot
-    shrink the output, only balance it (see SCALE.md).
+    (gmail.com in one window): exact all-pairs is O(n²) COMPUTE no
+    matter how it's balanced. Groups under `hot_group_cutoff` stay
+    exact all-pairs; hot groups take `hot_strategy`:
+
+    - "minhash" (default): (1) compress to DISTINCT-NAME classes —
+      identical names (the reason real groups are hot) collapse to one
+      node, and per-account counts are recovered EXACTLY by arithmetic
+      over class sizes and per-(name, addr) counts: n_similar(a) =
+      Σ_{class c similar to name(a)} (|c| - |{b ∈ c : addr_b =
+      addr_a}|), which reproduces the id≠/addr≠ pair predicate
+      verbatim (a's own class included — ratio 0 — with a itself
+      cancelled by the addr term). (2) cross-class candidate pairs
+      come from char-bigram MinHash banding (band_size 1, OR over
+      `minhash_hashes` bands) over distinct names only, each candidate
+      then checked with the EXACT ratio predicate. Work is
+      candidates + linear joins, never n²; the only approximation is
+      a missed borderline cross-name candidate (same-name mass is
+      exact) — recall is measured on a skewed fixture in
+      tests/test_detectors.py.
+    - "block": exact pair space tiled into n_blocks² cells (every
+      pair meets exactly once, output identical) — quadratic work
+      balanced across reducers, for when exactness is mandatory and
+      the group still fits the compute budget.
     """
     # hot-group detection: aggregate to (group, count) — map-side
     # partial combine means only #groups rows shuffle — keep groups
@@ -202,36 +216,137 @@ def account_creation_dist(
             F.col("addr").alias(f"addr_{suffix}"),
         )
 
+    def _counts(pairs):
+        return pairs.groupBy(
+            F.col("g").alias(group_col), F.col("id_a").alias(id_col)
+        ).agg(F.count(F.lit(1)).alias("n_similar"))
+
     small = base.where(F.col("__gsz") <= int(hot_group_cutoff))
-    small_pairs = _pairs(_side(small, "a"), _side(small, "b"), [])
+    small_counts = _counts(_pairs(_side(small, "a"), _side(small, "b"), []))
 
     hot = base.where(F.col("__gsz") > int(hot_group_cutoff))
-    blk = F.pmod(F.hash("id"), F.lit(int(n_blocks)))
-    cells = F.sequence(F.lit(0), F.lit(int(n_blocks) - 1))
-    hot_a = (
-        hot.withColumn("ci", blk)
-        .withColumn("cj", F.explode(cells))
-        .select(
-            "g", "ci", "cj",
-            F.col("id").alias("id_a"), F.col("name").alias("name_a"),
-            F.col("addr").alias("addr_a"),
+    if hot_strategy == "block":
+        blk = F.pmod(F.hash("id"), F.lit(int(n_blocks)))
+        cells = F.sequence(F.lit(0), F.lit(int(n_blocks) - 1))
+        hot_a = (
+            hot.withColumn("ci", blk)
+            .withColumn("cj", F.explode(cells))
+            .select(
+                "g", "ci", "cj",
+                F.col("id").alias("id_a"), F.col("name").alias("name_a"),
+                F.col("addr").alias("addr_a"),
+            )
         )
-    )
-    hot_b = (
-        hot.withColumn("cj", blk)
-        .withColumn("ci", F.explode(cells))
-        .select(
-            "g", "ci", "cj",
-            F.col("id").alias("id_b"), F.col("name").alias("name_b"),
-            F.col("addr").alias("addr_b"),
+        hot_b = (
+            hot.withColumn("cj", blk)
+            .withColumn("ci", F.explode(cells))
+            .select(
+                "g", "ci", "cj",
+                F.col("id").alias("id_b"), F.col("name").alias("name_b"),
+                F.col("addr").alias("addr_b"),
+            )
         )
-    )
-    hot_pairs = _pairs(hot_a, hot_b, ["ci", "cj"]).drop("ci", "cj")
+        hot_counts = _counts(_pairs(hot_a, hot_b, ["ci", "cj"]).drop("ci", "cj"))
+    elif hot_strategy == "minhash":
+        hot_counts = _hot_minhash_counts(
+            hot, group_col, id_col, _sim, int(minhash_hashes)
+        )
+    else:
+        raise ValueError(f"unknown hot_strategy: {hot_strategy!r}")
 
-    pairs = small_pairs.unionByName(hot_pairs)
+    # a group is either hot or not, so the count frames are disjoint
+    return small_counts.unionByName(hot_counts)
+
+
+def _hot_minhash_counts(hot, group_col, id_col, sim, minhash_hashes):
+    """Hot-group branch of `account_creation_dist`: distinct-name
+    compression + char-bigram MinHash candidates + exact arithmetic
+    expansion (see the operator docstring). `hot` has columns
+    (g, id, name, addr); returns (group_col, id_col, n_similar)."""
+    from ..functions.text import MINHASH_A, MINHASH_B, MINHASH_P, md5_bucket
+
+    nc = hot.groupBy("g", "name").agg(F.count(F.lit(1)).alias("__csz"))
+    ca = hot.groupBy("g", "name", "addr").agg(F.count(F.lit(1)).alias("__acnt"))
+    # char-bigram shingles of each DISTINCT name (len-1 names yield the
+    # single char; len<=2 cross-pairs can never pass ratio<=0.35 against
+    # anything but their own class, which is handled exactly below)
+    shingles = nc.select(
+        "g", "name",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("name") - 1, F.lit(1))),
+                lambda i: F.col("name").substr(i, F.lit(2)),
+            )
+        ).alias("__s"),
+    )
+    sig = (
+        shingles.select(
+            "g", "name", (md5_bucket(F.col("__s")) % F.lit(MINHASH_P)).alias("__h")
+        )
+        .groupBy("g", "name")
+        .agg(*[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("__h") + F.lit(MINHASH_B[i]))
+                % F.lit(MINHASH_P)
+            ).alias(f"__m{i}")
+            for i in range(minhash_hashes)
+        ])
+    )
+    # band_size 1: a pair is a candidate on ANY shared minimum — the
+    # high-recall operating point for short strings (measured in
+    # tests/test_detectors.py); bucket-local ordered combinations, same
+    # shape as dedup.minhash_lsh_pairs
+    bands = sig.select(
+        "g", "name",
+        F.posexplode(
+            F.array(*[F.col(f"__m{i}") for i in range(minhash_hashes)])
+        ).alias("__band", "__mv"),
+    )
+    grouped = (
+        bands.groupBy("g", "__band", "__mv")
+        .agg(F.sort_array(F.collect_list("name")).alias("__names"))
+        .where(F.size("__names") >= 2)
+    )
+    par = hot.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        grouped.repartition(par)
+        .select("g", "__names", F.explode("__names").alias("name_a"))
+        .select("g", "name_a", F.explode("__names").alias("name_b"))
+        .where(F.col("name_a") < F.col("name_b"))
+        .distinct()
+    )
+    simp = cand.where(sim(F.col("name_a"), F.col("name_b")))
+    sim_all = (
+        simp.select("g", F.col("name_a").alias("__d"), F.col("name_b").alias("__c"))
+        .unionByName(
+            simp.select("g", F.col("name_b").alias("__d"), F.col("name_a").alias("__c"))
+        )
+        .unionByName(
+            nc.select("g", F.col("name").alias("__d"), F.col("name").alias("__c"))
+        )
+    )
+    s_tot = (
+        sim_all.join(nc.select("g", F.col("name").alias("__c"), "__csz"), ["g", "__c"])
+        .groupBy("g", "__d")
+        .agg(F.sum("__csz").alias("__S"))
+    )
+    corr = (
+        sim_all.join(
+            ca.select("g", F.col("name").alias("__c"), "addr", "__acnt"), ["g", "__c"]
+        )
+        .groupBy("g", "__d", "addr")
+        .agg(F.sum("__acnt").alias("__corr"))
+    )
     return (
-        pairs.groupBy(F.col("g").alias(group_col), F.col("id_a").alias(id_col))
-        .agg(F.count(F.lit(1)).alias("n_similar"))
+        hot.select("g", "id", "name", "addr")
+        .join(s_tot.withColumnRenamed("__d", "name"), ["g", "name"])
+        .join(corr.withColumnRenamed("__d", "name"), ["g", "name", "addr"], "left")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("id").alias(id_col),
+            (F.col("__S") - F.coalesce(F.col("__corr"), F.lit(0))).alias("n_similar"),
+        )
+        .where(F.col("n_similar") > 0)
     )
 
 

@@ -133,7 +133,90 @@ def test_account_creation_dist_block_decomposition_identical(spark):
     kw = dict(group_col="g", id_col="id", name_col="name", addr_col="addr",
               max_ratio=0.5)
     plain = account_creation_dist(df, hot_group_cutoff=100_000, **kw)
-    blocked = account_creation_dist(df, hot_group_cutoff=10, n_blocks=4, **kw)
+    blocked = account_creation_dist(
+        df, hot_group_cutoff=10, n_blocks=4, hot_strategy="block", **kw
+    )
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, blocked.collect()))
     assert a == b and len(a) > 0
+
+
+def _skewed_account_fixture():
+    """Realistically-skewed account fixture: one hot domain dominated
+    by POPULAR names (why real groups are hot) plus typo-variant
+    clusters and unique tails, smaller cold domains alongside.
+    Deterministic — no RNG."""
+    popular = ["john.smith", "maria.garcia", "wei.zhang", "anna.mueller"]
+    rows = []
+    i = 0
+    # popular-name mass: 4 names x 150 accounts each, addresses cycling
+    # with collisions (same machine re-registrations)
+    for p, pname in enumerate(popular):
+        for r in range(150):
+            rows.append(("gmail.com", i, pname, f"198.51.{p}.{r % 37}"))
+            i += 1
+    # typo clusters: 30 seeds, each with 4 single-char variants
+    for s in range(30):
+        seed = f"account{s:02d}holder"
+        variants = [seed, seed.replace("o", "0", 1), seed[:-1] + "x",
+                    seed[0] + "_" + seed[2:]]
+        for v, name in enumerate(variants):
+            rows.append(("gmail.com", i, name, f"203.0.{s}.{v}"))
+            i += 1
+    # unique tail: clearly dissimilar names
+    for u in range(300):
+        rows.append(("gmail.com", i, f"zq{u:03d}-{u * 7919 % 997:03d}xj", f"192.0.2.{u % 251}"))
+        i += 1
+    # cold domains stay on the exact path
+    for d in range(3):
+        for u in range(20):
+            rows.append((f"cold{d}.org", i, f"user{u % 5}x{u}", f"10.{d}.0.{u % 7}"))
+            i += 1
+    return rows
+
+
+def test_account_creation_dist_minhash_hot_path_recall(spark):
+    """The default hot-group strategy (distinct-name compression +
+    char-bigram MinHash candidates + exact arithmetic expansion) is
+    measured against the exact all-pairs path on a skewed fixture.
+    Same-name mass is EXACT by construction; only borderline
+    cross-name candidates depend on MinHash recall."""
+    import time
+
+    from foxsec_pipeline_spark.operators.customs import account_creation_dist
+
+    df = spark.createDataFrame(
+        _skewed_account_fixture(), "g string, id long, name string, addr string"
+    )
+    kw = dict(group_col="g", id_col="id", name_col="name", addr_col="addr",
+              max_ratio=0.35)
+    t0 = time.monotonic()
+    exact = {(r.g, r.id): r.n_similar
+             for r in account_creation_dist(df, hot_group_cutoff=10**9, **kw).collect()}
+    t_exact = time.monotonic() - t0
+    t0 = time.monotonic()
+    approx = {(r.g, r.id): r.n_similar
+              for r in account_creation_dist(df, hot_group_cutoff=500, **kw).collect()}
+    t_minhash = time.monotonic() - t0
+
+    # no spurious counts: the hot path checks candidates with the exact
+    # predicate, so it can only UNDERcount (missed candidates), never
+    # overcount — and cold domains are byte-identical (exact path)
+    assert set(approx) <= set(exact)
+    assert all(approx[k] <= exact[k] for k in approx)
+    cold_exact = {k: v for k, v in exact.items() if not k[0].startswith("gmail")}
+    cold_approx = {k: v for k, v in approx.items() if not k[0].startswith("gmail")}
+    assert cold_exact == cold_approx and len(cold_exact) > 0
+
+    # similar-pair mass recall on the hot domain
+    mass_exact = sum(v for (g, _), v in exact.items() if g == "gmail.com")
+    mass_got = sum(v for (g, _), v in approx.items() if g == "gmail.com")
+    recall = mass_got / mass_exact
+    rows_matched = sum(
+        1 for k, v in exact.items() if k[0] == "gmail.com" and approx.get(k) == v
+    ) / sum(1 for k in exact if k[0] == "gmail.com")
+    print(f"acd hot-path: mass recall={recall:.4f} "
+          f"exact-row fraction={rows_matched:.4f} "
+          f"t_exact={t_exact:.2f}s t_minhash={t_minhash:.2f}s")
+    assert recall >= 0.95
+    assert rows_matched >= 0.9
