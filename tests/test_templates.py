@@ -106,3 +106,147 @@ def test_email_body(spark):
         "test summary\n\nalert id: id-1\ncategory: authprofile\n"
         "severity: critical\n"
     )
+
+
+# --- byte-parity with the reference's OWN template files + goldens --------
+#
+# compile_ftlh loads the reference's actual FreeMarker sources
+# (src/main/resources/alert/templates/) and must reproduce the
+# reference's recorded render outputs
+# (src/test/resources/testdata/templateoutput/) byte for byte —
+# mirroring how TestAuthProfile/TestCritObject call renderTestTemplate.
+# The goldens embed the literal tokens DATESTAMP / DATELOCALSTAMP /
+# ALERTID where the reference test substitutes live values, so the
+# scenarios below set those literals as the metadata values.
+
+import os
+
+import pytest
+
+_REF = "/root/reference/src/main"
+_TPL = f"{_REF}/resources/alert/templates"
+_GOLD = "/root/reference/src/test/resources/testdata/templateoutput"
+
+_BASE_META = {
+    "auth_alert_type": "auth",
+    "username": "riker",
+    "object": "emit-bastion",
+    "sourceaddress": "216.160.83.56",
+    "sourceaddress_city": "Milton",
+    "sourceaddress_country": "US",
+    "event_timestamp": "DATESTAMP",
+    "event_timestamp_source_local": "DATELOCALSTAMP",
+    "doc_link": "https://localhost",
+    "email_contact": "test@localhost",
+}
+
+# golden file -> metadata overlay (category defaults to state_analyze)
+_SLACK_SCENARIOS = {
+    "authprof_state_new.txt": {
+        "alert_notification_type": "slack_confirmation",
+    },
+    "authprof_state_new_anon.txt": {
+        "state_action_type": "unknown_ip_anon_network",
+        "alert_notification_type": "slack_confirmation",
+    },
+    "authprof_state_new_hosting.txt": {
+        "state_action_type": "unknown_ip_hosting_provider",
+        "alert_notification_type": "slack_confirmation",
+    },
+    "authprof_state_new_outside_geo.txt": {
+        "state_action_type": "unknown_ip_outside_geo",
+        "alert_notification_type": "slack_confirmation",
+    },
+    "authprof_state_new_within_geo.txt": {
+        "state_action_type": "unknown_ip_within_geo",
+        "alert_notification_type": "slack_notification",
+    },
+}
+
+_EMAIL_SCENARIOS = {
+    "authprof_state_known.html": {"state_action_type": "known_ip"},
+    "authprof_state_new.html": {"state_action_type": "unknown_ip"},
+    "authprof_state_new_anon.html": {
+        "state_action_type": "unknown_ip_anon_network"
+    },
+    "authprof_state_new_hosting.html": {
+        "state_action_type": "unknown_ip_hosting_provider"
+    },
+    "authprof_state_new_outside_geo.html": {
+        "state_action_type": "unknown_ip_outside_geo"
+    },
+    "authprof_state_new_within_geo.html": {
+        "state_action_type": "unknown_ip_within_geo"
+    },
+    "authprof_critobj.html": {
+        "__category": "critical_object_analyze",
+        "username": "laforge@mozilla.com",
+        "object": "projects/test",
+    },
+}
+
+_need_ref = pytest.mark.skipif(
+    not os.path.isdir(_TPL), reason="reference templates not available"
+)
+
+
+def _render_ref(spark, tpl_path, overlay):
+    from foxsec_pipeline_spark.alert.templates import render_ftlh
+
+    meta = dict(_BASE_META)
+    category = overlay.pop("__category", "state_analyze") if overlay else (
+        "state_analyze"
+    )
+    meta.update(overlay or {})
+    with open(tpl_path, encoding="utf-8") as f:
+        src = f.read()
+    a = _alert(spark, alert_id="ALERTID", category=category, metadata=meta)
+    return render_ftlh(a, src).collect()[0].body
+
+
+@_need_ref
+@pytest.mark.parametrize("golden", sorted(_SLACK_SCENARIOS))
+def test_ftlh_slack_authprofile_golden(spark, golden):
+    got = _render_ref(
+        spark, f"{_TPL}/slack/authprofile.ftlh", dict(_SLACK_SCENARIOS[golden])
+    )
+    with open(f"{_GOLD}/slack/{golden}", encoding="utf-8") as f:
+        assert got == f.read()
+
+
+@_need_ref
+@pytest.mark.parametrize("golden", sorted(_EMAIL_SCENARIOS))
+def test_ftlh_email_authprofile_golden(spark, golden):
+    got = _render_ref(
+        spark, f"{_TPL}/email/authprofile.ftlh", dict(_EMAIL_SCENARIOS[golden])
+    )
+    with open(f"{_GOLD}/email/{golden}", encoding="utf-8") as f:
+        assert got == f.read()
+
+
+@_need_ref
+def test_ftlh_slack_catchall_amo(spark):
+    """slack/catchall/amo.ftlh has no recorded golden in the reference;
+    assert both branches against the template's own literal text."""
+    from foxsec_pipeline_spark.alert.templates import render_ftlh
+
+    with open(f"{_TPL}/slack/catchall/amo.ftlh", encoding="utf-8") as f:
+        src = f.read()
+    cloud = _alert(
+        spark,
+        category="amo_cloud_submission",
+        metadata={
+            "monitored_resource": "amo",
+            "sourceaddress": "10.1.2.3",
+            "addon_guid": "guid-9",
+            "addon_from_api": "true",
+            "addon_user_id": "42",
+        },
+    )
+    got = render_ftlh(cloud, src).collect()[0].body
+    assert "amo cloud provider addon submission from 10.1.2.3" in got
+    assert "|guid-9>" in got and "|42>" in got and "(id-1)" in got
+    assert "test summary" not in got
+    other = _alert(spark, category="amo_restriction")
+    got2 = render_ftlh(other, src).collect()[0].body
+    assert got2 == "test summary\n"
