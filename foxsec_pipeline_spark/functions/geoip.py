@@ -31,6 +31,7 @@ GEO_SCHEMA_FIELDS = [
     T.StructField("geo_lat", T.DoubleType()),
     T.StructField("geo_lon", T.DoubleType()),
     T.StructField("geo_city", T.StringType()),
+    T.StructField("geo_country", T.StringType()),
     T.StructField("geo_isp", T.StringType()),
 ]
 
@@ -57,7 +58,8 @@ class _FakeReader:
                 "longitude": round((n * 73 % 36000) / 100.0 - 180.0, 4),
             },
             "city": {"names": {"en": f"city-{n % 256}"}},
-            "traits": {"isp": f"isp-{n % 32}"},
+            "country": {"iso_code": f"X{n % 26 + 65:c}"},
+            "isp": f"isp-{n % 32}",
         }
 
     def close(self) -> None:
@@ -76,20 +78,33 @@ def _open_reader(mmdb_path: str | None):
 
 
 def enrich_geoip(
-    df: DataFrame, ip_col: str = "source_address", mmdb_path: str | None = None
+    df: DataFrame,
+    ip_col: str = "source_address",
+    mmdb_path: str | None = None,
+    isp_mmdb_path: str | None = None,
 ) -> DataFrame:
     """Append geo columns to a DataFrame by mmdb lookup on `ip_col`.
 
-    Place AFTER filters (deferred-resolution parity). One reader per
-    Arrow batch iterator = per partition.
+    Mirrors `parser/GeoIP.java`'s two-database split: the city db
+    supplies location/city/country, the (optional) ISP db supplies the
+    isp string. Place AFTER filters (deferred-resolution parity). One
+    reader pair per Arrow batch iterator = per partition.
     """
     out_schema = T.StructType(list(df.schema.fields) + GEO_SCHEMA_FIELDS)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         reader = _open_reader(mmdb_path)
+        isp_reader = _open_reader(isp_mmdb_path) if (
+            isp_mmdb_path or mmdb_path is None
+        ) else None
         try:
             for pdf in batches:
                 recs = [reader.get(ip) for ip in pdf[ip_col]]
+                isp_recs = (
+                    [isp_reader.get(ip) for ip in pdf[ip_col]]
+                    if isp_reader is not None
+                    else [None] * len(recs)
+                )
                 pdf = pdf.copy()
                 pdf["geo_lat"] = [
                     (r or {}).get("location", {}).get("latitude") for r in recs
@@ -100,9 +115,14 @@ def enrich_geoip(
                 pdf["geo_city"] = [
                     (r or {}).get("city", {}).get("names", {}).get("en") for r in recs
                 ]
-                pdf["geo_isp"] = [(r or {}).get("traits", {}).get("isp") for r in recs]
+                pdf["geo_country"] = [
+                    (r or {}).get("country", {}).get("iso_code") for r in recs
+                ]
+                pdf["geo_isp"] = [(r or {}).get("isp") for r in isp_recs]
                 yield pdf
         finally:
             reader.close()
+            if isp_reader is not None:
+                isp_reader.close()
 
     return df.mapInPandas(op, out_schema)

@@ -28,6 +28,37 @@ def test_enrich_geoip_deterministic_fake(spark):
     assert out[3].geo_lat is None and out[3].geo_city is None
 
 
+def test_enrich_geoip_real_mmdb_reference_parity(spark):
+    """If the `maxminddb` lib is available, run the SAME mapInPandas
+    plumbing against the reference's MaxMind test databases and assert
+    the documented lookups (`parser/ParserTest.java:264-337`:
+    216.160.83.56 -> Milton / US / Century Link). Skip-marked where the
+    lib is absent — the deterministic fake covers the plumbing there."""
+    import pytest
+
+    city = "/root/reference/src/test/resources/testdata/GeoIP2-City-Test.mmdb"
+    isp = "/root/reference/src/test/resources/testdata/GeoIP2-ISP-Test.mmdb"
+    try:
+        import maxminddb  # noqa: F401
+    except ImportError:
+        pytest.skip("maxminddb not installed in this container")
+    if not (os.path.isfile(city) and os.path.isfile(isp)):
+        pytest.skip("reference mmdb test databases not available")
+    df = spark.createDataFrame(
+        [Row(id=1, source_address="216.160.83.56"),
+         Row(id=2, source_address="10.0.0.1")],  # private: not in test db
+    )
+    out = {
+        r.id: r
+        for r in enrich_geoip(df, mmdb_path=city, isp_mmdb_path=isp).collect()
+    }
+    assert out[1].geo_city == "Milton"
+    assert out[1].geo_country == "US"
+    assert out[1].geo_isp == "Century Link"
+    assert out[1].geo_lat is not None and out[1].geo_lon is not None
+    assert out[2].geo_city is None
+
+
 def test_geoip_after_filter_is_deferred(spark):
     """Deferred-resolution parity (ParserCfg.deferGeoIpResolution):
     enrichment placed after the filter never evaluates for dropped

@@ -350,3 +350,89 @@ def test_etd_suppression_streaming_matches_batch(spark, tmpdir):
                      r.handling_severity)
     assert {key(r) for r in batch} == {key(r) for r in got}
     assert len(batch) == len(got) == 2
+
+
+def test_streaming_aws_behavior_matches_batch(spark, tmpdir):
+    """AwsBehavior parity under readStream: the matcher fan-out is a
+    stateless projection+explode, so the same plan runs append-mode on
+    a stream and must emit exactly the batch rows (the reference runs
+    its Matcher transforms over streaming input natively)."""
+    from foxsec_pipeline_spark.operators.detectors import aws_behavior_match
+
+    matchers = [
+        {"description": "console login without mfa",
+         "fields": [["event_name", "ConsoleLogin"], ["mfa", "false"]],
+         "resource": "user_name"},
+        {"description": "access key created",
+         "fields": [["event_name", "CreateAccessKey"]],
+         "resource": "user_name"},
+    ]
+    rows = [
+        Row(ts=datetime.fromisoformat("2024-01-01 00:00:00"), event_id=1,
+            user_name="u1", event_name="ConsoleLogin", mfa="false"),
+        Row(ts=datetime.fromisoformat("2024-01-01 00:01:00"), event_id=2,
+            user_name="u2", event_name="ConsoleLogin", mfa="true"),
+        Row(ts=datetime.fromisoformat("2024-01-01 00:02:00"), event_id=3,
+            user_name="u3", event_name="CreateAccessKey", mfa="false"),
+        Row(ts=datetime.fromisoformat("2024-01-01 00:03:00"), event_id=4,
+            user_name="u4", event_name="DescribeInstances", mfa="false"),
+    ]
+    schema = ("ts timestamp, event_id int, user_name string, "
+              "event_name string, mfa string")
+    field_cols = {"event_name": "event_name", "mfa": "mfa",
+                  "user_name": "user_name"}
+    src = _stream_from_rows(spark, rows, schema, tmpdir)
+    name = f"awsb_{uuid.uuid4().hex[:8]}"
+    _run_stream(aws_behavior_match(src, matchers, field_cols), name)
+    key = lambda r: (r.event_id, r.matcher_description, r.matched_resource)
+    got = {key(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    batch = {
+        key(r)
+        for r in aws_behavior_match(
+            spark.createDataFrame(rows, schema), matchers, field_cols
+        ).collect()
+    }
+    assert got == batch
+    assert len(got) == 2  # u1 no-mfa login, u3 access key
+
+
+def test_streaming_amo_multi_submit_matches_batch(spark, tmpdir):
+    """AMO AddonMultiSubmit parity under readStream: distinct
+    (rounded-size, email) + grouped count runs as a streaming
+    aggregation in complete mode and must agree with the batch twin on
+    the same input (AddonMultiSubmit.java's windowed combiner)."""
+    from foxsec_pipeline_spark.operators.detectors import addon_multi_submit
+
+    rows = (
+        # size bucket 10000: 5 distinct submitters (one duplicated row)
+        [Row(ts=datetime.fromisoformat("2024-01-01 00:00:00"),
+             email=f"u{i}@x", bytes=4_000 + i) for i in range(5)]
+        + [Row(ts=datetime.fromisoformat("2024-01-01 00:05:00"),
+               email="u0@x", bytes=4_000)]
+        # size bucket 20000: only 2 submitters -> below threshold
+        + [Row(ts=datetime.fromisoformat("2024-01-01 00:06:00"),
+               email=f"v{i}@x", bytes=15_000) for i in range(2)]
+        # under min_bytes: ignored
+        + [Row(ts=datetime.fromisoformat("2024-01-01 00:07:00"),
+               email="w@x", bytes=2_000)]
+    )
+    schema = "ts timestamp, email string, bytes long"
+    src = _stream_from_rows(spark, rows, schema, tmpdir)
+    agg = addon_multi_submit(src, min_bytes=3000, alert_on=5)
+    name = f"amoms_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    key = lambda r: (r.rounded_size, r.n_submitters, r.emails, r.subcategory)
+    got = {key(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    batch = {
+        key(r)
+        for r in addon_multi_submit(
+            spark.createDataFrame(rows, schema), min_bytes=3000, alert_on=5
+        ).collect()
+    }
+    assert got == batch
+    assert len(got) == 1 and next(iter(got))[1] == 5
