@@ -32,38 +32,34 @@ from foxsec_pipeline_spark.plans.catalog import registry  # noqa: E402
 # everything, order is irrelevant; if it checks a prefix, the union of
 # rounds converges to full coverage.
 _VERIFY_FIRST = [
-    # unchecked in r01 (bench-only then) —
-    "parse_normalize", "xff_client_select", "pricing_summary",
-    "segment_revenue", "priority_semijoin", "topk_per_group",
-    "events_dim_join", "language_id", "doc_fingerprint",
-    "multimodal_metadata", "alert_pipeline",
-    # new this round —
-    "customs_prefilter_split", "etd_finding_matcher", "aws_behavior_match",
-    "amo_addon_matcher", "amo_multi_submit", "amo_cloud_submission",
-    "amo_fxa_ban_pattern", "amo_report_restriction",
-    "source_login_failure_dist", "content_server_variance",
-    "customs_activity_monitor", "login_failure_at_risk_account",
-    "customs_alert_fanout", "dedup_clusters", "postprocessing_pipeline",
-    "ann_cosine_lsh_multiprobe", "ann_cosine_ivf", "token_count_bpe",
-    "auth_state_decision", "violation_projection", "notify_merge",
-    "text_repetition", "quality_filter_pipeline", "authprofile_pipeline",
-    "customs_pipeline", "pii_scrub", "decontaminate", "stratified_sample",
-    "sequence_packing", "alert_summary_rollup", "regional_revenue",
-    # the r01 hash failure, now fixed —
-    "global_stats",
-    # formerly 0-row-vacuous, retuned —
-    "session_limit_analysis", "per_endpoint_error_rate",
-    "threshold_with_nat_exclusion", "salted_hard_limit",
-    "status_comparator", "source_login_failure", "password_reset_abuse",
-    "account_enumeration", "dedup_embedding_cosine",
-    # implementations changed this round —
+    # round-2 VERDICT gap: green locally but no driver row for their
+    # CURRENT implementation — these four lead so CORRECTNESS_r03
+    # closes the gate (VERDICT "Next round" #1)
     "account_creation_dist", "dedup_ngram_jaccard",
-    # representative green coverage of the remaining families —
-    "threshold_analysis", "session_analysis", "detect_nat",
-    "endpoint_sequence_abuse", "alert_summary_delta", "source_correlation",
-    "event_filter_dsl", "cidr_exclusion", "geo_velocity",
-    "identity_resolution", "customs_features", "alert_suppression",
-    "dedup_minhash_lsh",
+    "account_enumeration", "dedup_embedding_cosine",
+    # changed in round 3 (trained IVF codebook) —
+    "ann_cosine_ivf",
+    # new in round 3 —
+    "kmeans_codebook", "passage_dedup", "ngram_corpus_stats",
+    "shipping_priority", "customer_order_distribution",
+    "dedup_simhash_pairs", "tfidf_top_terms",
+    # oldest driver evidence next: these were green in r1 and were NOT
+    # re-checked by r2's 50-query prefix (r1 ∪ r2 ∪ r3 stays total)
+    "threshold_analysis", "hard_limit_analysis", "error_rate_analysis",
+    "status_code_rate_analysis", "detect_nat", "endpoint_sequence_abuse",
+    "session_analysis", "endpoint_abuse_analysis", "alert_summary_delta",
+    "alert_summary_sliding", "source_correlation", "event_filter_dsl",
+    "cidr_exclusion", "geo_velocity", "levenshtein_similarity",
+    "ua_blocklist", "alert_suppression", "authprofile_parse_filters",
+    "crit_object_analyze", "identity_resolution", "customs_features",
+    "multi_ip_login", "assume_role_correlate", "private_relay_forward",
+    "watchlist_match", "guardduty_finding_matcher", "addon_multi_match",
+    "fxa_alias_abuse", "pioneer_exfil_sessions", "customs_summary",
+    "email_normalize", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "ann_cosine_topk", "ann_cosine_lsh",
+    "text_stats", "text_quality",
+    # representative r2-green coverage fills the remainder
+    "parse_normalize", "global_stats",
 ]
 
 

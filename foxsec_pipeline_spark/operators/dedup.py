@@ -424,3 +424,113 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
+
+
+def passage_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+) -> DataFrame:
+    """Inter-document PASSAGE dedup stats (RefinedWeb-style): each doc
+    splits into non-overlapping `window`-word chunks; a chunk whose
+    text occurs anywhere else in the corpus (any doc, any position,
+    including elsewhere in the same doc) is "duplicated". Returns
+    (id, n_passages, n_dup_passages, dup_ratio) — the keep/trim signal
+    a training-data pipeline acts on before exact/near dedup of whole
+    documents catches reformatted copies.
+
+    Scale shape: relational chunking (posexplode + one ordered
+    group-concat per (doc, chunk)), global passage frequencies by one
+    hash-agg on the passage, then an equi-join back on the passage
+    string — two shuffles on uniformly-hashed keys, no pair explode
+    anywhere. At 100 TB the passage join is the standard dedup-join;
+    frequency skew (boilerplate passages) stays ONE ROW per passage on
+    the agg side, so no hot reducer.
+    """
+    ex = spread(df).select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "__w")
+    )
+    ch = (
+        ex.groupBy(id_col, (F.col("pos") / int(window)).cast("long").alias("__chunk"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "__w"))),
+                    lambda x: x["__w"],
+                ),
+                " ",
+            ).alias("__passage")
+        )
+    )
+    gc = ch.groupBy("__passage").agg(F.count(F.lit(1)).alias("__g"))
+    return (
+        ch.join(gc, "__passage")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.count(F.when(F.col("__g") > 1, 1)).alias("n_dup_passages"),
+            F.round(
+                F.count(F.when(F.col("__g") > 1, 1)) / F.count(F.lit(1)), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 2,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """EXACT near-dup pairs by SimHash hamming distance <= max_hamming,
+    found via band blocking: the fingerprint splits into `bands` equal
+    bit-slices, and by pigeonhole any pair within hamming
+    <= bands - 1 matches exactly on at least one slice — so for
+    max_hamming <= bands - 1 the banded equi-join is COMPLETE, and the
+    exact bit_count(xor) post-filter makes the output identical to the
+    all-pairs scan (no recall question, unlike MinHash banding).
+
+    Returns (doc_a, doc_b, hamming). Scale shape: fingerprints are
+    map-side (see `simhash`); candidates are generated bucket-locally
+    per (band, slice-value) — one shuffle on the slice key, pair
+    volume = sum of bucket^2, never corpus^2.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("completeness needs max_hamming <= bands - 1")
+    assert bits % bands == 0
+    bw = bits // bands
+    fp = simhash(df, id_col, text_col, bits)
+    slices = F.array(*[
+        F.shiftright(F.col("simhash"), bw * i).bitwiseAND(F.lit(2 ** bw - 1))
+        for i in range(bands)
+    ])
+    banded = fp.select(
+        F.col(id_col), F.posexplode(slices).alias("__band", "__sv")
+    )
+    grouped = (
+        banded.groupBy("__band", "__sv")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+        .where(F.size("__ids") >= 2)
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        grouped.repartition(par)
+        .select("__ids", F.explode("__ids").alias("doc_a"))
+        .select("doc_a", F.explode("__ids").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("__ha"))
+    fb = fp.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("__hb"))
+    return (
+        cand.join(fa, "doc_a").join(fb, "doc_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("long"),
+        )
+        .where(F.col("hamming") <= int(max_hamming))
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -405,14 +405,11 @@ _IDOT = (
 _IVF_TRAIN_ITERS = 3
 
 
-def _ivf_oracle() -> str:
-    """Unrolled-k-means IVF oracle: reproduces `ivf_train_codebook`'s
-    3 Lloyd iterations as chained CTEs in the SAME integer fixed-point
-    arithmetic (int64 MIPS dots — order-independent; re-center =
-    floor(exact-double sum / count) — IEEE-identical across engines),
-    then the assignment/probe/exact-rank pipeline on the trained
-    codebook. Proves the TRAINED ann path end-to-end cross-engine,
-    training loop included."""
+def _kmeans_cte() -> str:
+    """WITH-prefix reproducing `ivf_train_codebook`'s Lloyd loop:
+    exploded fixed-point corpus (ex), seed codebook (c0), and one
+    (assign d_i / argmax a_i / re-center m_i / coalesce c_i) block per
+    iteration — ending at c{_IVF_TRAIN_ITERS}, the trained codebook."""
     ids = ", ".join(str(i) for i in _CENTROID_IDS)
     cte = [f"""
 WITH ex AS (
@@ -442,6 +439,18 @@ WITH ex AS (
   SELECT c.cid, c.j, COALESCE(m.cs, c.cs) AS cs
   FROM c{i - 1} c LEFT JOIN m{i} m ON m.cid = c.cid AND m.j = c.j
 )""")
+    return "".join(cte)
+
+
+def _ivf_oracle() -> str:
+    """Unrolled-k-means IVF oracle: reproduces `ivf_train_codebook`'s
+    3 Lloyd iterations as chained CTEs in the SAME integer fixed-point
+    arithmetic (int64 MIPS dots — order-independent; re-center =
+    floor(exact-double sum / count) — IEEE-identical across engines),
+    then the assignment/probe/exact-rank pipeline on the trained
+    codebook. Proves the TRAINED ann path end-to-end cross-engine,
+    training loop included."""
+    cte = [_kmeans_cte()]
     cte.append(f""", cd AS (
   SELECT ex.vid, c.cid, sum(ex.xs * c.cs) AS d
   FROM ex JOIN c{_IVF_TRAIN_ITERS} c ON ex.j = c.j GROUP BY ex.vid, c.cid
@@ -1217,4 +1226,276 @@ def q_xff_select(spark, sf_dir):
     return x.select(
         "event_id", "xff",
         xff_select_client(F.col("xff"), ["10.0.0.0/8", "192.168.0.0/16"]).alias("client_ip"),
+    )
+
+
+@register(
+    "kmeans_codebook",
+    _kmeans_cte() + f"""
+SELECT cid, j - 1 AS j, cs FROM c{_IVF_TRAIN_ITERS}
+""",
+    doc="the trained IVF codebook itself as a first-class result: 3 "
+        "Lloyd iterations in cross-engine-exact integer fixed-point "
+        "arithmetic (ivf_train_codebook); the oracle unrolls the same "
+        "loop as CTEs, so every trained component is hash-verified. "
+        "K x dim rows regardless of corpus size — training cost is two "
+        "shuffles per iteration over the partial-agged exploded sample",
+)
+def q_kmeans_codebook(spark, sf_dir):
+    from ..operators.similarity import LSH_SCALE, ivf_train_codebook
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cb = ivf_train_codebook(emb, list(_CENTROID_IDS), iters=_IVF_TRAIN_ITERS)
+    rows = [
+        (cid, j, int(comp * LSH_SCALE))
+        for cid, comps in cb.items()
+        for j, comp in enumerate(comps)
+    ]
+    return spark.createDataFrame(rows, "cid long, j long, cs long")
+
+
+@register(
+    "passage_dedup",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), ex AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+), ch AS (
+  SELECT doc_id, (i - 1) // 3 AS chunk,
+         string_agg(w, ' ' ORDER BY i) AS passage
+  FROM ex GROUP BY doc_id, (i - 1) // 3
+), gc AS (
+  SELECT passage, count(*) AS g FROM ch GROUP BY passage
+)
+SELECT doc_id, count(*) AS n_passages,
+       count(*) FILTER (g > 1) AS n_dup_passages,
+       round(count(*) FILTER (g > 1) * 1.0 / count(*), 6) AS dup_ratio
+FROM ch JOIN gc USING (passage) GROUP BY doc_id
+""",
+    doc="inter-document passage dedup (RefinedWeb-style): "
+        "non-overlapping 3-word chunks, corpus-wide duplicate passage "
+        "frequencies, per-doc duplicated-passage ratio. Two shuffles on "
+        "uniformly-hashed keys (chunk group, passage group+join), no "
+        "pair explode — boilerplate skew stays one row per passage on "
+        "the agg side",
+)
+def q_passage_dedup(spark, sf_dir):
+    from ..operators.dedup import passage_dedup_stats
+
+    return passage_dedup_stats(_docs(spark, sf_dir), window=3)
+
+
+@register(
+    "ngram_corpus_stats",
+    """
+WITH toks AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT list_transform(range(1, len(t) - 1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
+  FROM toks WHERE len(t) >= 3
+), ex AS (
+  SELECT unnest(shingles) AS shingle FROM sh
+)
+SELECT shingle, count(*) AS n
+FROM ex GROUP BY shingle ORDER BY n DESC, shingle LIMIT 100
+""",
+    doc="corpus heavy-hitters: top-100 word-3-grams by frequency with "
+        "total (n DESC, shingle) order — the boilerplate diagnostic a "
+        "pipeline runs before choosing dedup thresholds. Relational "
+        "shingling + hash-agg + distributed top-k "
+        "(TakeOrderedAndProject), never a single-partition sort",
+)
+def q_ngram_corpus_stats(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.where(F.size(tokens(F.col("text"))) >= 3).select(
+        F.posexplode(tokens(F.col("text"))).alias("pos", "__t"),
+        F.col("doc_id"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("__t"), F.lead("__t", 1).over(w), F.lead("__t", 2).over(w)]
+    sh = (
+        tok.select(F.concat_ws(" ", *parts).alias("shingle"),
+                   parts[-1].alias("__last"))
+        .where(F.col("__last").isNotNull())
+    )
+    return (
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("shingle"))
+        .limit(100)
+    )
+
+
+@register(
+    "shipping_priority",
+    """
+WITH r AS (
+  SELECT l_orderkey, o_orderdate,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+           / 10000.0 AS revenue
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_orderkey, o_orderdate
+)
+SELECT l_orderkey, revenue, o_orderdate
+FROM r ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+    doc="TPC-H Q3-shaped shipping priority: segment-filtered "
+        "customer/orders/lineitem join, revenue per unshipped order, "
+        "top-10 by (revenue, orderkey) total order. Customer side "
+        "prunes early (segment filter pushed to scan), the orders/"
+        "lineitem join shuffles on the order key, top-k is distributed "
+        "TakeOrdered; money in exact integer basis points",
+)
+def q_shipping_priority(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    return (
+        t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < cut)
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > cut)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "customer_order_distribution",
+    """
+WITH co AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM co GROUP BY c_count
+""",
+    doc="TPC-H Q13-shaped customer order distribution: left outer join "
+        "keeps zero-order customers, double aggregation (per-customer "
+        "count, then histogram). The outer join shuffles on the "
+        "customer key; the histogram agg is tiny after the first "
+        "map-side combine",
+)
+def q_customer_order_distribution(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+_SIMHASH_FP_CTE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 4) AS BIGINT) AS th FROM tok
+), bits AS (
+  SELECT doc_id, i,
+         CASE WHEN sum(CASE WHEN (th // (1 << i)) % 2 = 1 THEN 1 ELSE -1 END) > 0
+              THEN (1 << i) ELSE 0 END AS bitval
+  FROM h CROSS JOIN range(0, 16) r(i)
+  GROUP BY doc_id, i
+), fp AS (
+  SELECT doc_id, sum(bitval)::BIGINT AS sh FROM bits GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    _SIMHASH_FP_CTE + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 1
+""",
+    doc="SimHash near-dup pairs, EXACT by construction: 2-band "
+        "blocking is pigeonhole-complete for hamming <= 1, and the "
+        "bit_count(xor) post-filter makes the banded output identical "
+        "to the all-pairs scan the oracle runs. One shuffle on the "
+        "band-slice key; pair volume is sum-of-bucket-squares, never "
+        "corpus^2",
+)
+def q_dedup_simhash_pairs(spark, sf_dir):
+    from ..operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        _docs(spark, sf_dir), bits=16, bands=2, max_hamming=1
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * 1.0 * (SELECT count(*) FROM documents) / df.df, 6)
+           AS score
+  FROM tf JOIN df USING (term)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+    doc="per-doc top-3 TF-IDF terms — the keyword/topic signal a "
+        "training-data pipeline uses for domain tagging. IDF is the "
+        "log-free rational tf*N/df (IEEE division is identically "
+        "rounded in both engines; ln() is NOT guaranteed bit-equal "
+        "across libms, so the ranking statistic avoids it — same "
+        "ordering for fixed N). Shapes: (doc,term) hash-agg, vocab "
+        "hash-agg, one equi-join on the term, per-doc rank prune",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfq, "term").select(
+        "doc_id", "term", "tf",
+        F.round(F.col("tf") * float(n_docs) / F.col("df"), 6).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "score", "rank")
     )

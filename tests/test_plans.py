@@ -244,3 +244,12 @@ def test_postprocessing_watchlist_broadcasts(spark, reg):
     alert stream never reshuffles for watchlist matching."""
     plan = plan_of(reg["postprocessing_pipeline"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_global_topk_is_take_ordered(spark, reg):
+    """shipping_priority / ngram_corpus_stats: a global ORDER BY +
+    LIMIT must plan as TakeOrderedAndProject (distributed per-partition
+    heaps), never a full global Sort before the limit."""
+    for name in ("shipping_priority", "ngram_corpus_stats"):
+        plan = plan_of(reg[name].fn(spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, (name, plan)
