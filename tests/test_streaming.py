@@ -436,3 +436,50 @@ def test_streaming_amo_multi_submit_matches_batch(spark, tmpdir):
     }
     assert got == batch
     assert len(got) == 1 and next(iter(got))[1] == 5
+
+
+def test_streaming_update_mode_early_panes(spark, tmpdir):
+    """W2 latency parity: Beam's early-firing ACCUMULATING panes
+    (CustomsWindow.java:26-37 — emit partial counts before the
+    watermark closes the window) map to Spark's update output mode,
+    where each micro-batch re-emits the updated per-window aggregate.
+    With maxFilesPerTrigger=1 the memory sink records the pane
+    HISTORY: a window must appear more than once with non-decreasing
+    counts, and the last pane must equal the batch (final-window)
+    result — early visibility without changing the final answer."""
+    path = os.path.join(tmpdir, "in")
+    rows1 = [Row(ts=datetime.fromisoformat("2024-01-01 00:01:00"), k="a")] * 3
+    rows2 = [Row(ts=datetime.fromisoformat("2024-01-01 00:02:00"), k="a")] * 2
+    schema = "ts timestamp, k string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    src = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    agg = (
+        src.groupBy(F.window("ts", "10 minutes"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "k", "n")
+    )
+    name = f"panes_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    panes = [
+        r.n for r in spark.sql(
+            f"SELECT n FROM {name} ORDER BY n"
+        ).collect()
+    ]
+    # accumulating pane history: an early partial pane AND the final
+    assert len(panes) >= 2, panes
+    assert panes == sorted(panes)
+    assert panes[-1] == 5  # final pane == batch total for the window
