@@ -440,6 +440,84 @@ def _ivf_dots(vectors, centroids, id_col, vec_col):
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell): each vector's IVF cell — argmax integer MIPS dot,
+    ties to the lowest centroid id, via max_by hash-agg (no rank
+    window). The assignment half of `cosine_topk_ivf`, exposed for
+    clustering / cluster-summary consumers."""
+    dots = _ivf_dots(corpus, centroids, id_col, vec_col)
+    return (
+        dots.groupBy("__vid")
+        .agg(F.expr("max_by(cid, struct(__d, -cid))").alias("cell"))
+        .select(F.col("__vid").alias(id_col), "cell")
+    )
+
+
+def int8_quantize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the storage-compression op every 100 TB vector corpus applies
+    before anything else (4x smaller than float32; int8 dot kernels).
+
+    Per vector: scale by max|component|, code = floor(x / max * 127)
+    (floor, not round — round half-cases tie-break differently across
+    engines). Emits the quality evidence a pipeline thresholds on:
+    reconstruction cosine vs the original and the max absolute
+    reconstruction error, plus an md5 of the code bytes so the
+    compressed corpus itself is hash-checkable. Every expression is
+    per-row (map-side, zero shuffles at any scale); folds are
+    sequential so the DuckDB oracle reproduces them bit-for-bit.
+    Zero vectors (max = 0) quantize to all-zero codes with cosine 0.0,
+    not NaN (Spark sorts NaN above every value — the advice-file
+    lesson from cosine_topk_arrow)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    m = F.array_max(F.transform(v, F.abs))
+    codes = F.when(
+        m > 0,
+        F.transform(v, lambda x: F.floor(x / m * 127).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    base = spread(df).select(
+        F.col(id_col), v.alias("__v"), m.alias("__m"), codes.alias("__codes")
+    )
+    recon = F.transform(
+        F.col("__codes"), lambda c: c.cast("double") / 127 * F.col("__m")
+    )
+    scored = base.select(
+        F.col(id_col),
+        F.col("__v"),
+        F.col("__m"),
+        F.col("__codes"),
+        recon.alias("__recon"),
+    )
+    return scored.select(
+        F.col(id_col),
+        F.round(F.col("__m"), 6).alias("max_abs"),
+        F.md5(
+            F.array_join(F.transform(F.col("__codes"), lambda c: c.cast("string")), ",")
+        ).alias("codes_hash"),
+        F.round(
+            F.when(
+                F.col("__m") > 0,
+                dot(F.col("__v"), F.col("__recon"))
+                / (l2_norm(F.col("__v")) * l2_norm(F.col("__recon"))),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("recon_cosine"),
+        F.round(
+            F.array_max(
+                F.zip_with(F.col("__v"), F.col("__recon"), lambda a, b: F.abs(a - b))
+            ),
+            6,
+        ).alias("max_abs_err"),
+    )
+
+
 def ivf_train_codebook(
     corpus: DataFrame,
     init_ids: list[int],
@@ -616,5 +694,256 @@ def cosine_topk_ivf(
         corpus_cells.join(F.broadcast(query_cells), "__cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
+    )
+    return _score_candidates(cand, queries, corpus, id_col, vec_col, k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression ANN path. A dim-D
+# float corpus (4D bytes/vector) is stored as M sub-space code ids
+# (M bytes at K<=256) — 32x smaller at D=64, M=8 — and queries score
+# the compressed corpus via an ADC lookup-table join instead of
+# touching the raw vectors. At 100 TB of embeddings this is the
+# difference between a corpus that fits in cluster memory and one
+# that doesn't (Jegou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011).
+# ---------------------------------------------------------------------------
+
+
+def _int_exploded_sub(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, sub_dim: int
+) -> DataFrame:
+    """(out_id, __m, __jj, __xs): fixed-point components keyed by
+    subspace index __m = j div sub_dim and in-subspace position __jj —
+    the exploded currency of every PQ step (one posexplode pass; the
+    subspace split is arithmetic on the position, not a second
+    explode)."""
+    return _int_exploded(df, id_col, vec_col, out_id).select(
+        out_id,
+        F.expr(f"__j DIV {int(sub_dim)}").cast("int").alias("__m"),
+        F.expr(f"__j % {int(sub_dim)}").cast("int").alias("__jj"),
+        "__xs",
+    )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    seed_ids: list[int],
+    n_sub: int = 4,
+    dim: int = 64,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[tuple[int, int], list[int]]:
+    """Per-subspace k-means codebooks in the same CROSS-ENGINE-EXACT
+    integer arithmetic as `ivf_train_codebook`, with two deltas that
+    make it PQ (and keep it oracle-reproducible):
+
+    - assignment is squared L2 distance sum((xs-cs)^2) per subspace
+      (argmin, ties to the lowest code id) — PQ quantizes *position*,
+      so MIPS would collapse every cell onto the largest-norm
+      codeword; the squared difference of fixed-point int64s is still
+      order-independent, so shuffled partial aggs and DuckDB's
+      sequential fold agree bit-for-bit. Overflow: |diff| <= 2B*2^20
+      with B = INT_COMPONENT_BOUND, so a subspace dot sums sub_dim *
+      (2B)^2 * 2^40 — safe for sub_dim <= 16 at B = 300 (5.8e18 <
+      2^63), asserted below;
+    - ALL subspaces train in one loop over a (m, cid)-composite-keyed
+      codebook: one assignment job and one re-center job per Lloyd
+      iteration regardless of M (not M loops), so driver rounds don't
+      scale with the number of subspaces.
+
+    Seeds are corpus vectors by id; subspace m of seed s initializes
+    code (m, s). Empty cells keep their previous centroid. Returns
+    {(m, cid): [int components, len sub_dim]} — already in fixed-point
+    integer space (PQ never needs the float form back).
+    """
+    import math
+
+    sub_dim = dim // int(n_sub)
+    if sub_dim * (2 * INT_COMPONENT_BOUND) ** 2 * float(LSH_SCALE) ** 2 >= 2.0**63:
+        raise ValueError(
+            f"sub_dim {sub_dim} too wide for the int64 squared-L2 bound "
+            f"at |x| <= {INT_COMPONENT_BOUND}; raise n_sub"
+        )
+    spark = corpus.sparkSession
+    seed_rows = (
+        corpus.where(F.col(id_col).isin([int(i) for i in seed_ids]))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cents: dict[tuple[int, int], list[int]] = {}
+    for r in seed_rows:
+        comps = [float(x) for x in r[1]]
+        for x in comps:
+            if abs(x) > INT_COMPONENT_BOUND:
+                raise ValueError(
+                    f"component {x} outside |x| <= {INT_COMPONENT_BOUND}"
+                )
+        scaled = [math.floor(x * float(LSH_SCALE)) for x in comps]
+        for m in range(int(n_sub)):
+            cents[(m, int(r[0]))] = scaled[m * sub_dim:(m + 1) * sub_dim]
+    ex = _int_exploded_sub(corpus, id_col, vec_col, "__vid", sub_dim).persist()
+    try:
+        for _ in range(int(iters)):
+            cb = spark.createDataFrame(
+                [
+                    (m, cid, jj, cs)
+                    for (m, cid), comps in cents.items()
+                    for jj, cs in enumerate(comps)
+                ],
+                "__m integer, cid long, __jj integer, __cs long",
+            )
+            assign = (
+                ex.join(F.broadcast(cb), ["__m", "__jj"])
+                .groupBy("__vid", "__m", "cid")
+                .agg(
+                    F.sum(
+                        (F.col("__xs") - F.col("__cs"))
+                        * (F.col("__xs") - F.col("__cs"))
+                    ).alias("__d")
+                )
+                .groupBy("__vid", "__m")
+                .agg(F.expr("min_by(cid, struct(__d, cid))").alias("cid"))
+            )
+            newc = (
+                ex.join(assign, ["__vid", "__m"])
+                .groupBy("__m", "cid", "__jj")
+                .agg(
+                    F.floor(
+                        F.sum("__xs").cast("double") / F.count(F.lit(1))
+                    ).cast("long").alias("__cs")
+                )
+            )
+            got: dict[tuple[int, int], dict[int, int]] = {}
+            for r in newc.collect():
+                got.setdefault((int(r["__m"]), int(r["cid"])), {})[
+                    int(r["__jj"])
+                ] = int(r["__cs"])
+            for key, byj in got.items():
+                cents[key] = [
+                    byj.get(jj, cents[key][jj]) for jj in range(sub_dim)
+                ]
+    finally:
+        ex.unpersist()
+    return {k: v for k, v in sorted(cents.items())}
+
+
+def pq_codebook_df(spark, codebooks: dict[tuple[int, int], list[int]]) -> DataFrame:
+    """Trained codebooks as the exploded (m, cid, jj, cs) frame the
+    encode/LUT steps consume — M*K*sub_dim rows, always broadcast."""
+    return spark.createDataFrame(
+        [
+            (m, cid, jj, cs)
+            for (m, cid), comps in sorted(codebooks.items())
+            for jj, cs in enumerate(comps)
+        ],
+        "__m integer, cid long, __jj integer, __cs long",
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, __m, code): each vector's nearest codeword per subspace
+    (squared-L2 argmin, ties to the lowest code id). One pass over the
+    corpus: posexplode map-side, broadcast-join the M*K*sub_dim
+    codebook, partial-agg back to |corpus| x M x K score rows before
+    the one shuffle, min_by hash-agg (no rank window). The output IS
+    the compressed corpus — M small ints per vector."""
+    ex = _int_exploded_sub(corpus, id_col, vec_col, "__vid", sub_dim)
+    return (
+        ex.join(F.broadcast(codebook), ["__m", "__jj"])
+        .groupBy("__vid", "__m", "cid")
+        .agg(
+            F.sum(
+                (F.col("__xs") - F.col("__cs"))
+                * (F.col("__xs") - F.col("__cs"))
+            ).alias("__d")
+        )
+        .groupBy("__vid", "__m")
+        .agg(F.expr("min_by(cid, struct(__d, cid))").alias("code"))
+        .select(F.col("__vid").alias(id_col), "__m", "code")
+    )
+
+
+def cosine_topk_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    seed_ids: list[int],
+    n_sub: int = 4,
+    dim: int = 64,
+    iters: int = 2,
+    k: int = 5,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: dict[tuple[int, int], list[int]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance computation (ADC)
+    with exact re-rank:
+
+    1. train per-subspace codebooks (`pq_train_codebooks`) — or take
+       them precomputed;
+    2. encode the corpus to (id, m, code) — the compressed form;
+    3. build the ADC lookup table: integer dot of every query SUBvector
+       with every codeword (|Q| x M x K rows — tiny, broadcast);
+    4. approximate score = sum over m of LUT[q, m, code_m(v)] — an
+       equi-join of the code table against the broadcast LUT plus one
+       sum, never touching raw corpus vectors;
+    5. keep the top `rerank` per query by approximate score (integer,
+       so cross-engine-exact), then exact-cosine rank the survivors
+       (`_score_candidates`).
+
+    Scale shape: the raw corpus is read twice (encode; re-rank
+    candidate fetch) but never shuffled; the ADC scan moves only
+    |corpus| x M code rows. LUT sums M subspace dots of int64 products
+    bounded by sub_dim * (B*2^20)^2 each — n_sub * that stays < 2^63
+    for dim <= 64 at B = 300. Recall vs the exact baseline is
+    measured in tests/test_similarity_recall.py.
+    """
+    sub_dim = dim // int(n_sub)
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            corpus, seed_ids, n_sub=n_sub, dim=dim, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    cb = pq_codebook_df(corpus.sparkSession, codebooks)
+    codes = pq_encode(corpus, cb, sub_dim, id_col=id_col, vec_col=vec_col)
+    q_ex = _int_exploded_sub(queries, id_col, vec_col, "__qid", sub_dim)
+    lut = (
+        q_ex.join(F.broadcast(cb), ["__m", "__jj"])
+        .groupBy("__qid", "__m", "cid")
+        .agg(F.sum(F.col("__xs") * F.col("__cs")).alias("__l"))
+        .select(
+            "__qid",
+            F.col("__m").alias("__lm"),
+            F.col("cid").alias("__lc"),
+            "__l",
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("__m") == F.col("__lm")) & (F.col("code") == F.col("__lc")),
+        )
+        .where(F.col("__qid") != F.col(id_col))
+        .groupBy(F.col("__qid"), F.col(id_col))
+        .agg(F.sum("__l").alias("__approx"))
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__approx").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        adc.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.lit(int(rerank)))
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+        )
     )
     return _score_candidates(cand, queries, corpus, id_col, vec_col, k)

@@ -509,6 +509,134 @@ def q_ann_cosine_ivf(spark, sf_dir):
     )
 
 
+# PQ operating point (recall curve measured in
+# tests/test_similarity_recall.py): 16 codewords per subspace seeded
+# from the same fixed-id family as the IVF codebook, 8 subspaces x
+# 8 dims (16 bytes/vector = 32x compression of the float32 corpus),
+# 2 Lloyd iterations, ADC prerank to 64 candidates before the exact
+# re-rank — recall 0.76 vs exact on the near-uniform synthetic
+# corpus (0.93 at 16 subspaces; rerank=32 measures 0.55)
+_PQ_SEED_IDS = tuple(13 * i + 7 for i in range(16))
+_PQ_N_SUB = 8
+_PQ_SUB_DIM = 64 // _PQ_N_SUB
+_PQ_TRAIN_ITERS = 2
+_PQ_RERANK = 64
+
+
+def _pq_cte() -> str:
+    """WITH-prefix reproducing `pq_train_codebooks`: the exploded
+    corpus keyed by (subspace m, in-subspace position jj), the seed
+    codebooks p0, and one (distance pd_i / argmin pa_i / re-center
+    pm_i / coalesce p_i) block per Lloyd iteration — squared-L2
+    assignment (ties to the lowest code id) instead of the IVF MIPS
+    dot, all in the same order-independent int64 fixed-point space."""
+    ids = ", ".join(str(i) for i in _PQ_SEED_IDS)
+    sd = _PQ_SUB_DIM
+    cte = [f"""
+WITH ex AS (
+  SELECT vec_id AS vid, (j - 1) // {sd} AS m, (j - 1) % {sd} AS jj,
+         CAST(floor(embedding[j]::DOUBLE * 1048576) AS BIGINT) AS xs
+  FROM embeddings, range(1, 65) AS t(j)
+), p0 AS (
+  SELECT vec_id AS cid, (j - 1) // {sd} AS m, (j - 1) % {sd} AS jj,
+         CAST(floor(embedding[j]::DOUBLE * 1048576) AS BIGINT) AS cs
+  FROM embeddings, range(1, 65) AS t(j)
+  WHERE vec_id IN ({ids})
+)"""]
+    for i in range(1, _PQ_TRAIN_ITERS + 1):
+        cte.append(f""", pd{i} AS (
+  SELECT ex.vid, ex.m, c.cid, sum((ex.xs - c.cs) * (ex.xs - c.cs)) AS d
+  FROM ex JOIN p{i - 1} c ON ex.m = c.m AND ex.jj = c.jj
+  GROUP BY ex.vid, ex.m, c.cid
+), pa{i} AS (
+  SELECT vid, m, cid FROM (
+    SELECT vid, m, cid,
+           row_number() OVER (PARTITION BY vid, m ORDER BY d, cid) AS rn
+    FROM pd{i}) WHERE rn = 1
+), pm{i} AS (
+  SELECT a.m, a.cid, ex.jj,
+         CAST(floor(sum(ex.xs)::DOUBLE / count(*)) AS BIGINT) AS cs
+  FROM pa{i} a JOIN ex ON ex.vid = a.vid AND ex.m = a.m
+  GROUP BY a.m, a.cid, ex.jj
+), p{i} AS (
+  SELECT c.m, c.cid, c.jj, COALESCE(n.cs, c.cs) AS cs
+  FROM p{i - 1} c
+  LEFT JOIN pm{i} n ON n.m = c.m AND n.cid = c.cid AND n.jj = c.jj
+)""")
+    return "".join(cte)
+
+
+def _pq_oracle() -> str:
+    n = _PQ_TRAIN_ITERS
+    return _pq_cte() + f""", cdm AS (
+  SELECT ex.vid, ex.m, c.cid, sum((ex.xs - c.cs) * (ex.xs - c.cs)) AS d
+  FROM ex JOIN p{n} c ON ex.m = c.m AND ex.jj = c.jj
+  GROUP BY ex.vid, ex.m, c.cid
+), codes AS (
+  SELECT vid, m, cid AS code FROM (
+    SELECT vid, m, cid,
+           row_number() OVER (PARTITION BY vid, m ORDER BY d, cid) AS rn
+    FROM cdm) WHERE rn = 1
+), lut AS (
+  SELECT ex.vid AS qid, ex.m, c.cid, sum(ex.xs * c.cs) AS l
+  FROM ex JOIN p{n} c ON ex.m = c.m AND ex.jj = c.jj
+  WHERE ex.vid < 10
+  GROUP BY ex.vid, ex.m, c.cid
+), adc AS (
+  SELECT l.qid AS query_id, co.vid AS neighbor_id, sum(l.l) AS approx
+  FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.cid
+  WHERE l.qid <> co.vid
+  GROUP BY 1, 2
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx DESC, neighbor_id) AS rn
+    FROM adc) WHERE rn <= {_PQ_RERANK}
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round({_FOLD.format(a='q.embedding', b='c.embedding')}
+               / (sqrt({_FOLD.format(a='q.embedding', b='q.embedding')})
+                  * sqrt({_FOLD.format(a='c.embedding', b='c.embedding')})),
+               6) AS cosine
+  FROM cand JOIN embeddings q ON q.vec_id = query_id
+  JOIN embeddings c ON c.vec_id = neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_cosine_pq",
+    _pq_oracle(),
+    doc="PQ-compressed approximate top-k (IVFADC's compression half, "
+        "Jegou et al. 2011): per-subspace integer k-means codebooks "
+        "(8 subspaces x 8 dims, 16 codes, 2 Lloyd iterations — squared-"
+        "L2 assignment, one composite-keyed loop for all subspaces), "
+        "corpus encoded to 8 code ids per vector (32x smaller than the "
+        "raw floats), queries score the COMPRESSED corpus via a "
+        "broadcast ADC lookup-table join, top-64 per query re-ranked "
+        "by exact cosine. The oracle unrolls the training, encoding, "
+        "LUT, and ADC stages as CTEs in the same int64 fixed-point "
+        "arithmetic, so the whole compressed path is hash-verified. "
+        "Recall vs exact (0.76 here) measured in "
+        "tests/test_similarity_recall.py",
+)
+def q_ann_cosine_pq(spark, sf_dir):
+    from ..operators.similarity import cosine_topk_pq
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return cosine_topk_pq(
+        emb.where(F.col("vec_id") < 10), emb, seed_ids=list(_PQ_SEED_IDS),
+        n_sub=_PQ_N_SUB, iters=_PQ_TRAIN_ITERS, k=5, rerank=_PQ_RERANK,
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     f"""

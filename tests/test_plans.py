@@ -212,6 +212,18 @@ def test_ivf_no_cartesian_and_broadcast_centroids(spark, reg):
     assert "__cell" in plan, plan
 
 
+def test_pq_no_cartesian_and_broadcast_codebook(spark, reg):
+    """PQ: encoding joins the BROADCAST codebook on (subspace,
+    position); ADC joins the code table against the BROADCAST lookup
+    table — the raw corpus must never self-join, shuffle its vectors
+    on a score key, or plan a cartesian."""
+    plan = plan_of(reg["ann_cosine_pq"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "__approx" in plan, plan
+
+
 def test_quality_filter_pipeline_no_cartesian(spark, reg):
     """The composed keep/drop pipeline is four 1:1 legs joined on
     doc_id/content-hash — every join must stay an equi-join (language

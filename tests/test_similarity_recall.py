@@ -112,6 +112,49 @@ def test_ann_ivf_recall_vs_exact(emb, spark):
     assert trained[8] >= 0.75
 
 
+def test_ann_pq_recall_vs_exact(emb, spark):
+    from foxsec_pipeline_spark.operators.similarity import (
+        cosine_topk_pq,
+        pq_train_codebooks,
+    )
+    from foxsec_pipeline_spark.plans.catalog_data import (
+        _PQ_N_SUB,
+        _PQ_SEED_IDS,
+        _PQ_TRAIN_ITERS,
+    )
+
+    queries = emb.where(F.col("vec_id") < 50)
+    exact = _pair_set(
+        cosine_topk(queries, emb, k=5), "query_id", "neighbor_id"
+    )
+    cb = pq_train_codebooks(
+        emb, list(_PQ_SEED_IDS), n_sub=_PQ_N_SUB, iters=_PQ_TRAIN_ITERS
+    )
+    recall = {}
+    for rerank in (16, 32, 64):
+        got = _pair_set(
+            cosine_topk_pq(
+                queries, emb, list(_PQ_SEED_IDS), n_sub=_PQ_N_SUB,
+                rerank=rerank, codebooks=cb,
+            ),
+            "query_id", "neighbor_id",
+        )
+        recall[rerank] = len(exact & got) / len(exact)
+    print("pq recall@5 by rerank: "
+          + " ".join(f"{r}:{recall[r]:.3f}" for r in recall)
+          + f" (|exact|={len(exact)}, M={_PQ_N_SUB} K={len(_PQ_SEED_IDS)})")
+    # widening the exact re-rank can only add true neighbors
+    assert recall[16] <= recall[32] <= recall[64]
+    # measured curve at the catalog operating point (M=8, K=16, 32x
+    # compression) on the near-uniform synthetic corpus: 0.40 / 0.55 /
+    # 0.76 — same caveat as IVF above: uniform-sphere data is the
+    # hard case for space-partitioning quantizers, and the deeper
+    # M=16 codebook measures 0.93 at rerank=64 (16x compression).
+    # Floors are conservative snapshots of the measured points.
+    assert recall[32] >= 0.45
+    assert recall[64] >= 0.65
+
+
 def test_arrow_scorer_matches_fold_scorer(emb, spark):
     """The Arrow/numpy brute-force scorer returns the same top-k sets
     as the built-in fold scorer (values allclose — summation order
