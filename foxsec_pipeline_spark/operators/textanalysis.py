@@ -154,6 +154,82 @@ def repetition_stats(
     )
 
 
+def topgram_char_fractions(
+    df: DataFrame,
+    ns: tuple[int, ...] = (2, 3, 4),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fraction of a document's characters covered by its most common
+    word n-gram, for each n — the other half of the Gopher repetition
+    gates (`repetition_stats` measures the duplicate-shingle tail;
+    this measures the SINGLE dominant phrase: boilerplate banners and
+    looping generations concentrate mass on one n-gram). Fraction =
+    top count x n-gram char length / doc char length, per Gopher's
+    published definition.
+
+    One tokenize/lead-window pass builds the n-grams for every n
+    (shingles for n come from the first n lead columns — no per-n
+    re-scan); one partial-agged shuffle counts (doc, n, shingle); the
+    per-(doc, n) top-1 window runs over those ~distinct-shingle-sized
+    groups, then a pivot back to one row per doc. Docs shorter than n
+    words have a NULL fraction for that n (no n-gram exists), matching
+    the oracle."""
+    from pyspark.sql import Window
+
+    nmax = max(ns)
+    tok = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.length(F.col(text_col)).alias("__nch"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "__w"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # lead columns materialize in their own projection first — a
+    # generator (explode) can't host window expressions in the same
+    # operator
+    led = tok.select(
+        id_col, "__nch", "__w",
+        *[F.lead("__w", i).over(w).alias(f"__w{i}") for i in range(1, nmax)],
+    )
+    parts = [F.col("__w")] + [F.col(f"__w{i}") for i in range(1, nmax)]
+    shingle_structs = F.array(*[
+        F.struct(
+            F.lit(n).alias("n"),
+            F.when(
+                parts[n - 1].isNotNull(), F.concat_ws(" ", *parts[:n])
+            ).alias("shingle"),
+        )
+        for n in ns
+    ])
+    ex = (
+        led.select(id_col, "__nch", F.explode(shingle_structs).alias("__s"))
+        .select(
+            id_col, "__nch",
+            F.col("__s.n").alias("n"), F.col("__s.shingle").alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+    )
+    cnt = ex.groupBy(id_col, "__nch", "n", "shingle").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top_w = Window.partitionBy(id_col, "n").orderBy(
+        F.col("c").desc(), F.col("shingle").asc()
+    )
+    top = cnt.withColumn("__rn", F.row_number().over(top_w)).where(
+        F.col("__rn") == 1
+    )
+    frac = (F.col("c") * F.length("shingle")).cast("double") / F.col("__nch")
+    return top.groupBy(id_col).agg(*[
+        F.round(
+            F.max(F.when(F.col("n") == n, frac)), 6
+        ).alias(f"top{n}_char_frac")
+        for n in ns
+    ])
+
+
 # GPT-2-style pretokenizer regex, restricted to constructs shared by
 # Java regex (Spark) and RE2 (DuckDB): contraction suffixes, then
 # space-prefixed letter runs / digit runs / punctuation runs, then

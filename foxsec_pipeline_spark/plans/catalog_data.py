@@ -638,6 +638,157 @@ def q_ann_cosine_pq(spark, sf_dir):
 
 
 @register(
+    "embedding_int8_quantize",
+    f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
+  FROM embeddings
+), c AS (
+  SELECT vec_id, v, m,
+         CASE WHEN m > 0
+              THEN list_transform(v, x -> CAST(floor(x / m * 127) AS INT))
+              ELSE list_transform(v, x -> 0) END AS codes
+  FROM q
+), r AS (
+  SELECT vec_id, v, m, codes,
+         list_transform(codes, cc -> cc::DOUBLE / 127 * m) AS recon
+  FROM c
+)
+SELECT vec_id,
+       round(m, 6) AS max_abs,
+       md5(array_to_string(list_transform(codes, cc -> cc::VARCHAR), ','))
+         AS codes_hash,
+       round(CASE WHEN m > 0 THEN
+         {_FOLD.format(a='v', b='recon')}
+         / (sqrt({_FOLD.format(a='v', b='v')})
+            * sqrt({_FOLD.format(a='recon', b='recon')}))
+         ELSE 0 END, 6) AS recon_cosine,
+       round(list_max(list_transform(range(1, 65),
+                                     i -> abs(v[i] - recon[i]))), 6)
+         AS max_abs_err
+FROM r
+""",
+    doc="symmetric per-vector int8 quantization of the embedding "
+        "column (4x storage cut — the first compression every 100 TB "
+        "vector corpus applies): code = floor(x / max|x| * 127), with "
+        "reconstruction cosine + max abs error as the quality evidence "
+        "and an md5 over the code bytes so the compressed corpus itself "
+        "is hash-verified. Pure map-side projection, zero shuffles",
+)
+def q_embedding_int8_quantize(spark, sf_dir):
+    from ..operators.similarity import int8_quantize
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return int8_quantize(emb)
+
+
+@register(
+    "embedding_cluster_summary",
+    _kmeans_cte() + f""", cd AS (
+  SELECT ex.vid, c.cid, sum(ex.xs * c.cs) AS d
+  FROM ex JOIN c{_IVF_TRAIN_ITERS} c ON ex.j = c.j GROUP BY ex.vid, c.cid
+), cells AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid,
+           row_number() OVER (PARTITION BY vid ORDER BY d DESC, cid) AS rn
+    FROM cd) WHERE rn = 1
+), lab AS (
+  SELECT cells.cid AS cell, e.label, count(*) AS c
+  FROM cells JOIN embeddings e ON e.vec_id = cells.vid
+  GROUP BY 1, 2
+), top AS (
+  SELECT cell, label, c,
+         row_number() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rn,
+         sum(c) OVER (PARTITION BY cell) AS n_vecs
+  FROM lab
+)
+SELECT cell, n_vecs, label AS top_label, c AS top_label_n,
+       round(c::DOUBLE / n_vecs, 6) AS purity
+FROM top WHERE rn = 1
+""",
+    doc="document clustering over the trained k-means codebook: every "
+        "embedding assigned to its cell (broadcast centroids, one "
+        "corpus pass, max_by hash-agg), then per-cluster size + "
+        "majority label + purity — the topic-clustering / "
+        "cluster-balancing step of a training-data pipeline, and a "
+        "label-based quality readout for the codebook itself. Oracle "
+        "unrolls the same integer Lloyd training",
+)
+def q_embedding_cluster_summary(spark, sf_dir):
+    from ..operators.similarity import (
+        ivf_assign,
+        ivf_codebook_df,
+        ivf_train_codebook,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cb = ivf_train_codebook(emb, list(_CENTROID_IDS), iters=_IVF_TRAIN_ITERS)
+    cells = ivf_assign(emb, ivf_codebook_df(spark, cb))
+    lab = cells.join(emb.select("vec_id", "label"), "vec_id")
+    per = lab.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("cell").agg(
+        F.sum("c").alias("n_vecs"),
+        F.expr("max_by(label, struct(c, -label))").alias("top_label"),
+        F.max("c").alias("top_label_n"),
+    )
+    return agg.select(
+        "cell", "n_vecs", "top_label", "top_label_n",
+        F.round(
+            F.col("top_label_n").cast("double") / F.col("n_vecs"), 6
+        ).alias("purity"),
+    )
+
+
+@register(
+    "gopher_topngram",
+    """
+WITH toks AS (
+  SELECT doc_id, length(text) AS n_ch,
+         string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, n_ch, n,
+         list_transform(range(1, len(t) - n + 2),
+                        i -> array_to_string(t[i:i+n-1], ' ')) AS shingles
+  FROM toks, (VALUES (2), (3), (4)) v(n) WHERE len(t) >= n
+), ex AS (
+  SELECT doc_id, n_ch, n, unnest(shingles) AS shingle FROM sh
+), cnt AS (
+  SELECT doc_id, n_ch, n, shingle, count(*) AS c
+  FROM ex GROUP BY doc_id, n_ch, n, shingle
+), top AS (
+  SELECT doc_id, n_ch, n, shingle, c,
+         row_number() OVER (PARTITION BY doc_id, n
+                            ORDER BY c DESC, shingle) AS rn
+  FROM cnt
+)
+SELECT doc_id,
+       round(max(CASE WHEN n = 2
+                 THEN (c * length(shingle))::DOUBLE / n_ch END), 6)
+         AS top2_char_frac,
+       round(max(CASE WHEN n = 3
+                 THEN (c * length(shingle))::DOUBLE / n_ch END), 6)
+         AS top3_char_frac,
+       round(max(CASE WHEN n = 4
+                 THEN (c * length(shingle))::DOUBLE / n_ch END), 6)
+         AS top4_char_frac
+FROM top WHERE rn = 1 GROUP BY doc_id
+""",
+    doc="Gopher repetition gate, dominant-phrase half: fraction of doc "
+        "characters covered by the most common word n-gram for "
+        "n=2,3,4 — one tokenize/lead-window pass builds all three "
+        "n-gram widths (no per-n re-scan), one partial-agged count "
+        "shuffle, per-(doc,n) top-1 window, pivot to one row per doc",
+)
+def q_gopher_topngram(spark, sf_dir):
+    from ..operators.textanalysis import topgram_char_fractions
+
+    return topgram_char_fractions(_docs(spark, sf_dir))
+
+
+@register(
     "dedup_embedding_cosine",
     f"""
 WITH b AS (
