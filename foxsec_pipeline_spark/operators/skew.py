@@ -39,6 +39,27 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+    # big-input short circuit from Catalyst's own size estimate: an
+    # input whose optimized-plan sizeInBytes already exceeds target x
+    # maxPartitionBytes scans at least `target` splits, so spread is a
+    # no-op — decided WITHOUT the plan-to-RDD conversion that
+    # df.rdd.getNumPartitions() forces (driver-side planning cost that
+    # repeats per call site and grows with plan width at 100 TB).
+    # Small inputs fall through to the exact partition-count check,
+    # where the RDD conversion is cheap.
+    try:
+        raw_size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = int(raw_size if isinstance(raw_size, int) else raw_size.toString())
+        raw = str(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728b"
+            )
+        )
+        max_part = int("".join(c for c in raw if c.isdigit()) or "134217728")
+        if size >= target * max_part:
+            return df
+    except Exception:
+        pass  # estimate unavailable -> exact check below
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
