@@ -224,6 +224,21 @@ def test_pq_no_cartesian_and_broadcast_codebook(spark, reg):
     assert "__approx" in plan, plan
 
 
+def test_timeseries_joins_never_plan_nested_loop(spark, reg):
+    """The as-of join must be a window pass (no join of points against
+    snapshots at all) and the interval join must be an EQUI-join on
+    (key, bucket) — a naive non-equi formulation of either plans as
+    BroadcastNestedLoopJoin/cartesian, the classic 100 TB killer."""
+    asof = plan_of(reg["asof_join_purchase"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in asof, asof
+    assert "CartesianProduct" not in asof, asof
+    assert "SortMergeJoin" not in asof, asof  # union+window, no join at all
+    iv = plan_of(reg["interval_error_click_count"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in iv, iv
+    assert "CartesianProduct" not in iv, iv
+    assert "__bkt" in iv, iv
+
+
 def test_quality_filter_pipeline_no_cartesian(spark, reg):
     """The composed keep/drop pipeline is four 1:1 legs joined on
     doc_id/content-hash — every join must stay an equi-join (language
