@@ -1453,6 +1453,95 @@ def q_priority_semijoin(spark, sf_dir):
 
 
 @register(
+    "part_supplier_stats",
+    """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 2, 3, 4, 5)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+""",
+    doc="TPC-H Q16-shaped: NOT IN subquery -> broadcast LEFT ANTI join "
+        "(exact equivalent because s_suppkey is never NULL), selective "
+        "dim filters pushed to the part scan, count-distinct grouped "
+        "agg (partial distinct map-side). lineitem stands in for "
+        "partsupp (testdata has no partsupp table)",
+)
+def q_part_supplier_stats(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "part", "supplier", "lineitem")
+    part = t["part"].where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    bad_supp = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "supplier_return_candidates",
+    """
+SELECT s_name, s_acctbal FROM supplier WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%a%' AND l_returnflag = 'R'
+  GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 60)
+""",
+    doc="TPC-H Q20-shaped: nested IN over a grouped HAVING subquery -> "
+        "aggregate once on (supp, part), then LEFT SEMI join the "
+        "supplier dim against the qualifying key set (no row "
+        "duplication, no distinct). Quantity sums stay exact (integer "
+        "units in the data)",
+)
+def q_supplier_return_candidates(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "supplier", "lineitem", "part")
+    parts = t["part"].where(F.col("p_name").like("%a%")).select("p_partkey")
+    qualifying = (
+        t["lineitem"]
+        .where(F.col("l_returnflag") == "R")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .where(F.col("__q") > 60)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@register(
+    "sketch_distinct_users",
+    None,
+    doc="HLL++/KLL sketch family — the only way distinct counts and "
+        "quantiles fit in memory at 100 TB: per event_type, exact "
+        "distinct users (the ground truth), approx_count_distinct "
+        "(HLL++, rsd=0.02), and approx median value "
+        "(percentile_approx). Sketch outputs are engine-specific by "
+        "nature, so there is deliberately NO DuckDB oracle (driver "
+        "records the rows-only check); tests/test_sketches.py asserts "
+        "the approx columns against the exact ones within the "
+        "documented error bounds, and the exact columns against "
+        "DuckDB. At scale the exact column is dropped and the sketch "
+        "IS the answer; sketches also merge across partitions "
+        "(map-side partials), unlike exact distinct",
+)
+def q_sketch_distinct_users(spark, sf_dir):
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+        F.percentile_approx("value", 0.5, 10000).alias("median_value_approx"),
+    )
+
+
+@register(
     "topk_per_group",
     """
 WITH ranked AS (

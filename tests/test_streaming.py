@@ -483,3 +483,73 @@ def test_streaming_update_mode_early_panes(spark, tmpdir):
     assert len(panes) >= 2, panes
     assert panes == sorted(panes)
     assert panes[-1] == 5  # final pane == batch total for the window
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmpdir):
+    """Stream-stream self-join with watermarks + a time-range condition
+    (the streaming twin of the batch bucketized interval join): every
+    (error, click-within-30min) pair the batch non-equi join produces
+    must come out of the streaming join, exactly once. Watermarks on
+    BOTH sides plus the range condition bound the join state — without
+    them Spark would buffer both streams forever."""
+    from foxsec_pipeline_spark.session import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001", "events")["events"]
+    path = os.path.join(tmpdir, "ssj")
+    ev.write.mode("overwrite").parquet(path)
+    sev = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    errors = (
+        sev.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    clicks = (
+        sev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts"))
+        & (F.col("c_ts") < F.col("e_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("e_id", "c_id")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream_pairs = {
+        (r.e_id, r.c_id) for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    e_b = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    c_b = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch_pairs = {
+        (r.e_id, r.c_id)
+        for r in e_b.join(
+            c_b,
+            (F.col("e_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("e_ts"))
+            & (F.col("c_ts") < F.col("e_ts") + F.expr("INTERVAL 30 MINUTES")),
+        ).select("e_id", "c_id").collect()
+    }
+    assert batch_pairs, "fixture produced no (error, click) pairs"
+    assert stream_pairs == batch_pairs
