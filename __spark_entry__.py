@@ -47,7 +47,7 @@ _VERIFY_FIRST = [
     "gopher_topngram", "asof_join_purchase",
     "interval_error_click_count", "rolling_user_value",
     "part_supplier_stats", "supplier_return_candidates",
-    "sketch_distinct_users",
+    "sketch_distinct_users", "user_event_pivot", "value_deciles",
     # oldest driver evidence next: these were green in r1 and were NOT
     # re-checked by r2's 50-query prefix (r1 ∪ r2 ∪ r3 stays total)
     "threshold_analysis", "hard_limit_analysis", "error_rate_analysis",

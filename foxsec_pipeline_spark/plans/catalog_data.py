@@ -1542,6 +1542,73 @@ def q_sketch_distinct_users(spark, sf_dir):
 
 
 @register(
+    "user_event_pivot",
+    """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'signup') AS n_signup
+FROM events GROUP BY user_id
+""",
+    doc="pivot (long->wide): per-user event counts fanned to one "
+        "column per type. Explicit value list so the plan is a single "
+        "grouped aggregation of conditional counts — the two-pass "
+        "value-discovery collect a bare pivot() needs is the "
+        "anti-pattern at scale; absent combinations coalesce to 0 to "
+        "match SQL FILTER counts",
+)
+def q_user_event_pivot(spark, sf_dir):
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    types = ["click", "view", "purchase", "error", "signup"]
+    wide = ev.groupBy("user_id").pivot("event_type", types).agg(
+        F.count(F.lit(1))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+@register(
+    "value_deciles",
+    """
+WITH r AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_type, CAST(decile AS INT) AS decile, count(*) AS n,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+FROM r GROUP BY 1, 2
+""",
+    doc="ntile decile analytics: ANSI bucket-split (sizes differ by at "
+        "most 1, earlier buckets larger) made cross-engine "
+        "deterministic by a unique (value, event_id) sort key; money "
+        "sums through integer cents. One window pass + one grouped agg",
+)
+def q_value_deciles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select("event_type", "value", "event_id",
+                  F.ntile(10).over(w).alias("decile"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(cents) / 100.0, 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
     "topk_per_group",
     """
 WITH ranked AS (
