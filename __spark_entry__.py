@@ -40,6 +40,9 @@ _VERIFY_FIRST = [
     # changed in round 3 (trained IVF codebook) —
     "ann_cosine_ivf",
     # new in round 3 —
+    "small_lot_revenue", "large_order_customers",
+    "dormant_customer_balance", "funnel_conversion",
+    "retention_cohorts", "timeseries_resample",
     "kmeans_codebook", "passage_dedup", "ngram_corpus_stats",
     "shipping_priority", "customer_order_distribution",
     "dedup_simhash_pairs", "tfidf_top_terms", "ann_cosine_pq",

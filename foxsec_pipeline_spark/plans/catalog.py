@@ -78,6 +78,7 @@ def registry() -> dict[str, QuerySpec]:
         catalog_data,
         catalog_detectors,
         catalog_pipeline,
+        catalog_relational,
         catalog_timeseries,
     )
 
