@@ -518,6 +518,40 @@ def int8_quantize(
     )
 
 
+# Above this many corpus vectors the trainers keep the fully
+# distributed Lloyd loop; at or below it they collect the fixed-point
+# sample and run the SAME integer arithmetic in numpy on the driver —
+# bit-identical results (int64 dots/sums are exact and
+# order-independent; double division + floor are IEEE-identical), but
+# milliseconds instead of one Spark job per iteration. 500k x 64-dim
+# int64 is ~256 MB: well inside driver memory, and collecting a
+# bounded TRAINING SAMPLE driver-side is how production ANN builds
+# train (FAISS trains codebooks on a sample; the corpus-side
+# assign/encode passes stay distributed regardless).
+TRAIN_DRIVER_ROWS = 500_000
+
+
+def _collect_fixed_point(corpus, id_col, vec_col):
+    """Corpus as (ids int64[n], X int64[n, d]) in LSH_SCALE fixed
+    point, replicating `_int_exploded`'s floor(x_double * 2^20) scaling
+    (float64 multiply + floor — IEEE-identical to the JVM) and its
+    |x| <= INT_COMPONENT_BOUND guard."""
+    import numpy as np
+
+    pdf = corpus.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    ).toPandas()
+    ids = pdf["id"].to_numpy(dtype="int64")
+    X = np.stack([np.asarray(v, dtype="float64") for v in pdf["v"]])
+    if np.abs(X).max(initial=0.0) > INT_COMPONENT_BOUND:
+        raise ValueError(
+            "fixed-point component out of range "
+            f"(|x| > {INT_COMPONENT_BOUND}): normalize the corpus "
+            "before the bucketed similarity paths"
+        )
+    return ids, np.floor(X * float(LSH_SCALE)).astype("int64")
+
+
 def ivf_train_codebook(
     corpus: DataFrame,
     init_ids: list[int],
@@ -550,6 +584,9 @@ def ivf_train_codebook(
     trained integers losslessly.
     """
     import math
+
+    if corpus.count() <= TRAIN_DRIVER_ROWS:
+        return _ivf_train_numpy(corpus, init_ids, iters, id_col, vec_col)
 
     spark = corpus.sparkSession
     seed_rows = (
@@ -607,6 +644,62 @@ def ivf_train_codebook(
         cid: [cs / float(LSH_SCALE) for cs in comps]
         for cid, comps in sorted(cents.items())
     }
+
+
+def _ivf_train_numpy(corpus, init_ids, iters, id_col, vec_col):
+    """Driver-side twin of `ivf_train_codebook`'s distributed loop,
+    bit-identical by construction: int64 MIPS dots (exact, so argmax
+    equals the shuffled-agg max), argmax ties to the LOWEST cid
+    (centroid columns ordered by cid ascending; np.argmax takes the
+    first max), re-center = floor(exact-int64-sum as double / count),
+    empty cells keep their centroid."""
+    import numpy as np
+
+    ids, X = _collect_fixed_point(corpus, id_col, vec_col)
+    by_id = {int(i): row for i, row in zip(ids, X)}
+    cids = sorted(int(i) for i in init_ids)
+    C = np.stack([by_id[c] for c in cids])  # (k, d) int64
+    for _ in range(int(iters)):
+        best = np.argmax(X @ C.T, axis=1)
+        for idx in range(len(cids)):
+            mask = best == idx
+            if mask.any():
+                s = X[mask].sum(axis=0, dtype="int64")
+                C[idx] = np.floor(s.astype("float64") / int(mask.sum())).astype(
+                    "int64"
+                )
+    return {
+        cid: [int(cs) / float(LSH_SCALE) for cs in C[idx]]
+        for idx, cid in enumerate(cids)
+    }
+
+
+def _pq_train_numpy(corpus, seed_ids, n_sub, dim, iters, id_col, vec_col):
+    """Driver-side twin of `pq_train_codebooks`: squared-L2 argmin per
+    subspace, ties to the lowest code id, same re-center rule."""
+    import numpy as np
+
+    sub_dim = dim // int(n_sub)
+    ids, X = _collect_fixed_point(corpus, id_col, vec_col)
+    by_id = {int(i): row for i, row in zip(ids, X)}
+    cids = sorted(int(i) for i in seed_ids)
+    out: dict[tuple[int, int], list[int]] = {}
+    for m in range(int(n_sub)):
+        Xm = X[:, m * sub_dim:(m + 1) * sub_dim]
+        C = np.stack([by_id[c][m * sub_dim:(m + 1) * sub_dim] for c in cids])
+        for _ in range(int(iters)):
+            d = Xm[:, None, :] - C[None, :, :]
+            best = np.argmin((d * d).sum(axis=2, dtype="int64"), axis=1)
+            for idx in range(len(cids)):
+                mask = best == idx
+                if mask.any():
+                    s = Xm[mask].sum(axis=0, dtype="int64")
+                    C[idx] = np.floor(
+                        s.astype("float64") / int(mask.sum())
+                    ).astype("int64")
+        for idx, cid in enumerate(cids):
+            out[(m, cid)] = [int(v) for v in C[idx]]
+    return {k: v for k, v in sorted(out.items())}
 
 
 def ivf_codebook_df(
@@ -765,6 +858,10 @@ def pq_train_codebooks(
         raise ValueError(
             f"sub_dim {sub_dim} too wide for the int64 squared-L2 bound "
             f"at |x| <= {INT_COMPONENT_BOUND}; raise n_sub"
+        )
+    if corpus.count() <= TRAIN_DRIVER_ROWS:
+        return _pq_train_numpy(
+            corpus, seed_ids, n_sub, dim, iters, id_col, vec_col
         )
     spark = corpus.sparkSession
     seed_rows = (
