@@ -280,3 +280,33 @@ def test_global_topk_is_take_ordered(spark, reg):
     for name in ("shipping_priority", "ngram_corpus_stats"):
         plan = plan_of(reg[name].fn(spark, SF_DIR))
         assert "TakeOrderedAndProject" in plan, (name, plan)
+
+
+def test_relational_subquery_shapes(spark, reg):
+    """Q17/Q18/Q22 shapes: decorrelated scalar thresholds must
+    broadcast and anti joins must stay anti — a shuffled join on the
+    big side would re-shuffle the fact scan at 100 TB."""
+    p17 = plan_of(reg["small_lot_revenue"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p17, p17
+    assert "SortMergeJoin" not in p17, f"Q17 shuffled a join:\n{p17}"
+    p18 = plan_of(reg["large_order_customers"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p18, p18
+    assert "SortMergeJoin" not in p18, f"Q18 shuffled a join:\n{p18}"
+    p22 = plan_of(reg["dormant_customer_balance"].fn(spark, SF_DIR))
+    assert "LeftAnti" in p22, p22
+    assert "BroadcastNestedLoopJoin" in p22 or "BroadcastHashJoin" in p22, p22
+
+
+def test_retention_firsts_broadcasts(spark, reg):
+    """The per-user firsts table is one row per user — it must
+    broadcast into events, never shuffle the event stream."""
+    plan = plan_of(reg["retention_cohorts"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_resample_no_nested_loop(spark, reg):
+    """Grid-to-bucket is an equi-join on (user, hour); a range
+    formulation would plan BroadcastNestedLoopJoin and explode."""
+    plan = plan_of(reg["timeseries_resample"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
