@@ -37,8 +37,9 @@ _VERIFY_FIRST = [
     # closes the gate (VERDICT "Next round" #1)
     "account_creation_dist", "dedup_ngram_jaccard",
     "account_enumeration", "dedup_embedding_cosine",
-    # changed in round 3 (trained IVF codebook) —
-    "ann_cosine_ivf",
+    # changed in round 3 (trained IVF codebook; simhash
+    # materialization rework) —
+    "ann_cosine_ivf", "dedup_simhash",
     # new in round 3 —
     "small_lot_revenue", "large_order_customers",
     "dormant_customer_balance", "funnel_conversion",
