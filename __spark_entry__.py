@@ -41,6 +41,11 @@ _VERIFY_FIRST = [
     # materialization rework) —
     "ann_cosine_ivf", "dedup_simhash",
     # new in round 3 —
+    "min_cost_supplier", "nation_volume_shipping",
+    "nation_market_share", "product_type_profit",
+    "returned_item_customers", "important_parts_value",
+    "promo_revenue_ratio", "top_revenue_supplier",
+    "disjunctive_quantity_revenue", "waiting_orders_suppliers",
     "small_lot_revenue", "large_order_customers",
     "dormant_customer_balance", "funnel_conversion",
     "retention_cohorts", "timeseries_resample",

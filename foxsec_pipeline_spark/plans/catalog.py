@@ -79,6 +79,7 @@ def registry() -> dict[str, QuerySpec]:
         catalog_detectors,
         catalog_pipeline,
         catalog_relational,
+        catalog_relational2,
         catalog_timeseries,
     )
 

@@ -151,3 +151,92 @@ def suppress_session_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def suppress_count_stream_tws(
+    alerts: DataFrame,
+    key_cols: list[str],
+    count_col: str = "count",
+    ts_col: str = "timestamp",
+    expiry: str = "15 minutes",
+) -> DataFrame:
+    """T2 AlertSuppressorCount on the `transformWithState` API
+    (Spark 4's successor to `applyInPandasWithState`): same
+    count-change re-emit semantics as `suppress_count_stream`, held
+    to it by a parity test on the shared fixture.
+
+    Why a second implementation exists: transformWithState is the
+    scale path forward — typed state variables (ValueState) instead
+    of one flat state row, first-class event-time timers instead of
+    the single timeoutTimestamp slot, per-state TTL, and state
+    schema evolution on a live checkpoint, all on the RocksDB state
+    store provider. The reference's ValueState + expiry-timer pair
+    (`alert/AlertSuppressorCount.java:26-36`) maps 1:1 onto
+    getValueState + registerTimer, closer than the GroupState
+    emulation above.
+
+    Environment note: the transformWithState Python protocol speaks
+    protobuf (`pyspark/sql/streaming/proto/StateMessage_pb2`), so
+    running this operator needs `google.protobuf` AND the RocksDB
+    state store provider
+    (`spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider`).
+    The parity test (`test_suppress_count_tws_parity`) skips where
+    protobuf is absent; `suppress_count_stream` is the
+    dependency-free twin with identical semantics.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    num, unit = expiry.split()
+    ttl_ms = int(num) * {"seconds": 1000, "minutes": 60_000, "hours": 3_600_000}[unit]
+    out_schema = alerts.schema
+
+    class _CountReemit(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._last = handle.getValueState("last_count", "c LONG")
+
+        def handleInputRows(self, key, rows, timer_values):
+            last = self._last.get()
+            last_count = None if last is None else int(last[0])
+            newest_ms = 0
+            for pdf in rows:
+                pdf = pdf.sort_values(ts_col)
+                keep = []
+                for i, c in enumerate(pdf[count_col]):
+                    c = int(c)
+                    if last_count is None or c != last_count:
+                        keep.append(i)
+                        last_count = c
+                newest_ms = max(
+                    newest_ms, int(pdf[ts_col].max().value // 1_000_000)
+                )
+                if keep:
+                    yield pdf.iloc[keep]
+            self._last.update((last_count,))
+            # the reference arms one expiry timer per key
+            # (AlertSuppressorCount.java: state TTL); re-arming replaces
+            # the old timer so the TTL slides with the newest event
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(newest_ms + ttl_ms)
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            self._last.clear()
+            return iter([])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        alerts.withWatermark(ts_col, expiry)
+        .groupBy(*key_cols)
+        .transformWithStateInPandas(
+            _CountReemit(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="EventTime",
+        )
+    )

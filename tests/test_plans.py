@@ -310,3 +310,48 @@ def test_resample_no_nested_loop(spark, reg):
     plan = plan_of(reg["timeseries_resample"].fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_relational2_no_pathological_joins(spark, reg):
+    """The Q2/Q7/Q8/Q9/Q10/Q11/Q14/Q15/Q19/Q21 tranche: no plan may
+    contain a cartesian product or nested-loop join except the
+    single-row broadcast scalars (Q11/Q15), and every dimension join
+    must be a broadcast hash join — a SortMergeJoin against part/
+    supplier/nation/customer means the fact table re-shuffled for a
+    dimension lookup."""
+    scalar_ok = {"important_parts_value", "top_revenue_supplier"}
+    for name in (
+        "min_cost_supplier", "nation_volume_shipping",
+        "nation_market_share", "product_type_profit",
+        "returned_item_customers", "important_parts_value",
+        "promo_revenue_ratio", "top_revenue_supplier",
+        "disjunctive_quantity_revenue", "waiting_orders_suppliers",
+    ):
+        plan = plan_of(reg[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+        if name in scalar_ok:
+            # the only join is the single-row scalar broadcast
+            assert "BroadcastExchange" in plan, f"{name}:\n{plan}"
+        else:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name}:\n{plan}"
+            assert "BroadcastHashJoin" in plan, (
+                f"{name} has no broadcast join:\n{plan}"
+            )
+
+
+def test_relational2_fact_scans_keep_pushed_filters(spark, reg):
+    """Date/flag predicates must reach the lineitem/orders parquet
+    scans (PushedFilters) — at 100 TB the difference between scanning
+    a month and scanning the table."""
+    p10 = plan_of(reg["returned_item_customers"].fn(spark, SF_DIR))
+    assert "l_returnflag" in p10.split("PushedFilters", 1)[1][:2000], p10
+    p14 = plan_of(reg["promo_revenue_ratio"].fn(spark, SF_DIR))
+    assert "l_shipdate" in p14.split("PushedFilters", 1)[1][:2000], p14
+
+
+def test_waiting_orders_single_fact_join(spark, reg):
+    """Q21's textbook plan joins lineitem three times (self-exists +
+    self-not-exists); the decorrelated per-order aggregate form must
+    touch lineitem ONCE."""
+    plan = plan_of(reg["waiting_orders_suppliers"].fn(spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, plan

@@ -553,3 +553,51 @@ def test_stream_stream_interval_join_matches_batch(spark, tmpdir):
     }
     assert batch_pairs, "fixture produced no (error, click) pairs"
     assert stream_pairs == batch_pairs
+
+
+def test_suppress_count_tws_parity(spark, tmpdir):
+    """The transformWithState implementation (Spark 4 state API) must
+    make the same emit/suppress decisions as the GroupState one on
+    the shared count-change fixture, including cross-key isolation.
+
+    Skips where google.protobuf is missing: the transformWithState
+    Python worker protocol imports StateMessage_pb2 at startup, so
+    without protobuf the driver worker cannot even initialize (the
+    same environment-seam pattern as the real-mmdb GeoIP test)."""
+    pytest.importorskip("google.protobuf")
+    from foxsec_pipeline_spark.streaming.suppress import suppress_count_stream_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    rows = [
+        Row(timestamp=datetime.fromisoformat("2024-01-01 00:00:00"), key="a", count=5),
+        Row(timestamp=datetime.fromisoformat("2024-01-01 00:01:00"), key="a", count=5),
+        Row(timestamp=datetime.fromisoformat("2024-01-01 00:02:00"), key="a", count=9),
+        Row(timestamp=datetime.fromisoformat("2024-01-01 00:03:00"), key="a", count=9),
+        Row(timestamp=datetime.fromisoformat("2024-01-01 00:00:30"), key="b", count=5),
+        Row(timestamp=datetime.fromisoformat("2024-01-01 00:01:30"), key="b", count=5),
+    ]
+    src = _stream_from_rows(
+        spark, rows, "timestamp timestamp, key string, count long", tmpdir
+    )
+    name = f"suptws_{uuid.uuid4().hex[:8]}"
+    _run_stream(
+        suppress_count_stream_tws(src, ["key"], count_col="count", expiry="15 minutes"),
+        name,
+    )
+    got = [
+        (r["key"], r["count"])
+        for r in spark.sql(f"SELECT * FROM {name} ORDER BY key, timestamp").collect()
+    ]
+    # same decisions as test_suppress_count_reemit_on_change: dup 5s
+    # suppressed per key, change to 9 re-emitted
+    if prev is None:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    else:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert got == [("a", 5), ("a", 9), ("b", 5)]
