@@ -437,17 +437,21 @@ WITH per_part AS (
   SELECT l_partkey, sum({rev}) AS cents
   FROM lineitem GROUP BY 1
 ), total AS (
-  SELECT sum(cents) AS t FROM per_part
+  SELECT sum(cents) AS t, count(*) AS c FROM per_part
 )
 SELECT l_partkey, cents / 10000.0 AS part_value
 FROM per_part, total
-WHERE cents * 1600 > t
+WHERE cents * c * 2 > 3 * t
 """.format(rev=_REV),
     doc="TPC-H Q11-shaped important stock: parts whose revenue "
-        "exceeds 1/1600 of the corpus total (top ~12% of parts at sf0.01). The global total is a "
-        "single broadcast-scalar row and the HAVING threshold is an "
-        "exact integer cross-multiply (cents * 1600 > total) — no "
-        "float fraction can flip a boundary part between engines. "
+        "exceeds 1.5x the average part's (Q11's fixed fraction made "
+        "scale-invariant: a threshold tied to the corpus total alone "
+        "goes vacuous as the part count grows — measured 242 rows at "
+        "sf0.01 but 0 at sf0.1 — so the cut is against the mean). "
+        "The global (total, count) is a single broadcast-scalar row "
+        "and the HAVING threshold is an exact integer cross-multiply "
+        "(cents * count * 2 > 3 * total) — no float fraction can "
+        "flip a boundary part between engines. "
         "One shuffle (the per-part agg); the scalar never shuffles "
         "anything",
 )
@@ -458,10 +462,12 @@ def q_important_parts_value(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum(_rev_cents()).alias("cents"))
     )
-    total = per_part.agg(F.sum("cents").alias("__t"))
+    total = per_part.agg(
+        F.sum("cents").alias("__t"), F.count(F.lit(1)).alias("__c")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("cents") * 1600 > F.col("__t"))
+        .where(F.col("cents") * F.col("__c") * 2 > F.col("__t") * 3)
         .select("l_partkey", (F.col("cents") / 10000.0).alias("part_value"))
     )
 
