@@ -81,6 +81,7 @@ def registry() -> dict[str, QuerySpec]:
         catalog_relational,
         catalog_relational2,
         catalog_timeseries,
+        catalog_warehouse,
     )
 
     return dict(_REGISTRY)

@@ -355,3 +355,32 @@ def test_waiting_orders_single_fact_join(spark, reg):
     touch lineitem ONCE."""
     plan = plan_of(reg["waiting_orders_suppliers"].fn(spark, SF_DIR))
     assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_scd2_single_user_shuffle(spark, reg):
+    """SCD2's lag pass and lead/version pass share the user_id
+    partitioning — exactly ONE exchange on user_id may appear; a
+    second means Catalyst failed to reuse the sort order."""
+    plan = plan_of(reg["scd2_user_segment"].fn(spark, SF_DIR))
+    import re
+    n_ex = _exchange_nodes(plan)
+    n_user = len(re.findall(r"hashpartitioning\(user_id", plan))
+    assert n_ex == 1 and n_user >= 1, (
+        f"expected exactly 1 exchange (on user_id), saw {n_ex}:\n{plan}"
+    )
+
+
+def test_mad_statistics_broadcast_back(spark, reg):
+    """The per-type median/MAD rows (5 rows) must broadcast onto the
+    event scan, and the rank passes must not plan a nested loop."""
+    plan = plan_of(reg["robust_outlier_mad"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_attribution_is_joinless(spark, reg):
+    """Last-touch attribution is the union+window as-of shape — no
+    join may appear at all (a range join would explode)."""
+    plan = plan_of(reg["last_touch_attribution"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
