@@ -41,6 +41,7 @@ _VERIFY_FIRST = [
     # materialization rework) —
     "ann_cosine_ivf", "dedup_simhash",
     # new in round 3 —
+    "training_data_pipeline",
     "scd2_user_segment", "robust_outlier_mad", "last_touch_attribution",
     "min_cost_supplier", "nation_volume_shipping",
     "nation_market_share", "product_type_profit",

@@ -1958,3 +1958,126 @@ def q_tfidf_top_terms(spark, sf_dir):
         .where(F.col("rank") <= 3)
         .select("doc_id", "term", "tf", "score", "rank")
     )
+
+
+@register(
+    "training_data_pipeline",
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents
+), q AS (
+  SELECT doc_id,
+         round(0.4 * (CASE WHEN len(tok) BETWEEN 10 AND 10000
+                           THEN 1.0 ELSE 0.0 END)
+               + 0.3 * least(len(list_distinct(tok))
+                             / greatest(len(tok), 1) * 2, 1.0)
+               + 0.3 * least(len(list_filter(tok,
+                   s -> s IN ('the','a','of','and','is','to','in')))
+                   / greatest(len(tok), 1) * 10, 1.0), 6) AS quality
+  FROM t
+), scores AS (
+  SELECT doc_id, l.lang,
+         round(len(list_filter(tok, s -> list_contains(l.words, s)))
+               / greatest(len(tok), 1), 6) AS score
+  FROM t CROSS JOIN (
+    SELECT * FROM (VALUES
+      ('de', ['der','die','das','und','ist','ein','zu']),
+      ('en', ['the','a','of','and','is','to','in']),
+      ('es', ['el','la','de','y','es','en','un']),
+      ('fr', ['le','la','de','et','est','en','un'])
+    ) AS v(lang, words)) l
+), lid AS (
+  SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang
+  FROM (SELECT doc_id, lang, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang DESC) AS rn
+        FROM scores) WHERE rn = 1
+), sh AS (
+  SELECT doc_id, list_transform(range(1, len(tok) - 1),
+                 i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) AS shingles
+  FROM t WHERE len(tok) >= 3
+), rep AS (
+  SELECT doc_id, round(1.0 - len(list_distinct(shingles)) * 1.0
+                       / len(shingles), 6) AS dup_shingle_ratio
+  FROM sh
+), h AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS ch
+  FROM documents
+), keepers AS (
+  SELECT ch, min(doc_id) AS keeper_id FROM h GROUP BY ch
+), decisions AS (
+  SELECT q.doc_id,
+         h.doc_id = k.keeper_id
+           AND lid.pred_lang = 'en' AND q.quality >= 0.5
+           AND coalesce(rep.dup_shingle_ratio, 0.0) <= 0.6 AS keep
+  FROM q JOIN lid USING (doc_id)
+  LEFT JOIN rep USING (doc_id)
+  JOIN h ON h.doc_id = q.doc_id
+  JOIN keepers k ON k.ch = h.ch
+), decon_ex AS (
+  SELECT doc_id, unnest(list_distinct(shingles)) AS shingle FROM sh
+), evals AS (
+  SELECT DISTINCT shingle FROM decon_ex WHERE doc_id % 50 = 0
+), contaminated AS (
+  SELECT DISTINCT e.doc_id FROM decon_ex e JOIN evals USING (shingle)
+  WHERE e.doc_id % 50 <> 0
+), sampled AS (
+  SELECT doc_id FROM documents
+  WHERE CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 10000
+        < 10000 * (CASE source
+            WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25
+            WHEN 'src3' THEN 0.1 ELSE 0.02 END)
+), survivors AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d
+  JOIN decisions USING (doc_id)
+  JOIN sampled USING (doc_id)
+  WHERE decisions.keep AND d.doc_id % 50 <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT doc_id, source,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       CAST(floor((sum(len(string_split_regex(trim(text), '\\s+')))
+                     OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING)
+                   - len(string_split_regex(trim(text), '\\s+')))
+                  / 512.0) AS BIGINT) AS seq_id
+FROM survivors
+""",
+    doc="the WHOLE training-data pipeline as ONE declarative plan: "
+        "quality + language-id + repetition gates and the exact-dedup "
+        "keeper (the quality_filter_pipeline composition), then "
+        "eval-set exclusion + n-gram decontamination (flagged docs "
+        "anti-joined out), deterministic stratified domain sampling, "
+        "and per-shard sequence packing of the survivors. Every stage "
+        "shares the ONE documents scan Catalyst caches; the gates are "
+        "semi/anti joins on doc_id (no row ever carries text through "
+        "a shuffle except into the final packing window); "
+        "decontamination probes broadcast; packing is one shuffle on "
+        "the shard key. This is the query a corpus team actually "
+        "ships — the composition proves the operator family composes "
+        "without materialization barriers between stages",
+)
+def q_training_data_pipeline(spark, sf_dir):
+    from ..operators.dedup import decontaminate
+    from ..operators.textanalysis import pack_sequences, stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    decisions = q_quality_filter_pipeline(spark, sf_dir)
+    kept = decisions.where(F.col("keep")).select("doc_id")
+    contaminated = decontaminate(
+        docs, probe_predicate=F.col("doc_id") % 50 == 0
+    ).select("doc_id")
+    sampled = stratified_sample(
+        docs,
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        default_rate=0.02,
+    ).select("doc_id")
+    survivors = (
+        docs.where(F.col("doc_id") % 50 != 0)
+        .join(kept, "doc_id", "left_semi")
+        .join(sampled, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    return pack_sequences(survivors, seq_len=512)
