@@ -601,3 +601,49 @@ def test_suppress_count_tws_parity(spark, tmpdir):
     else:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     assert got == [("a", 5), ("a", 9), ("b", 5)]
+
+
+def test_streaming_session_window_matches_batch(spark, tmpdir):
+    """W5-W8 under readStream: F.session_window gap-sessionization in
+    a streaming aggregation agrees with the batch session plan on
+    final (watermark-closed) sessions — the streaming half of the
+    session-window evidence (`session_analysis` is the batch half)."""
+    from foxsec_pipeline_spark.session import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001", "events")["events"]
+    path = os.path.join(tmpdir, "ev")
+    ev.write.mode("overwrite").parquet(path)
+    sev = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+
+    def sessions(df):
+        return (
+            df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                # distinct aggs are unsupported in streaming — use a
+                # deterministic additive stat instead
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            )
+            .select(
+                F.col("session_window.start").alias("session_start"),
+                "user_id", "n_events", "cents",
+            )
+        )
+
+    name = f"sw_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions(sev.withWatermark("ts", "1 hour"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream_rows = {
+        (str(r.session_start), r.user_id): (r.n_events, r.cents)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch_rows = {
+        (str(r.session_start), r.user_id): (r.n_events, r.cents)
+        for r in sessions(ev).collect()
+    }
+    assert stream_rows == batch_rows and len(batch_rows) > 0
