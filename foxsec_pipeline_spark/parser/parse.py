@@ -157,6 +157,11 @@ def parse_events(
     cfg = cfg or ParserCfg()
     chain = cfg.chain or _cached_chain(cfg.xff_trusted_cidrs)
 
+    # whitespace-only lines (trailing newlines, blank separators in
+    # fixture/log files) carry no event — drop them at the scan rather
+    # than emitting empty raw-fallback events
+    df = df.where(F.trim(F.col(value_col)) != "")
+
     if cfg.fast_matcher:
         # manual pushdown in the reference; free row-group pruning here
         df = df.where(F.col(value_col).contains(cfg.fast_matcher))

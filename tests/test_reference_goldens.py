@@ -1,0 +1,135 @@
+"""Golden end-to-end parity with the reference's own fixture tests:
+the ACTUAL fixture files under the reference's testdata corpus are fed
+through this engine's parse -> heuristic plans, and the documented
+alert expectations from the reference's JUnit tests are asserted
+verbatim (counts, source addresses, means, window boundaries).
+
+This is the §5 test-strategy replication at its strongest: same input
+bytes, same expected outputs, different engine. Skips if the
+reference checkout is absent.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from foxsec_pipeline_spark.operators.heuristics import (
+    detect_nat,
+    error_rate_analysis,
+    hard_limit_analysis,
+    threshold_analysis,
+    windowed_counts,
+)
+from foxsec_pipeline_spark.parser.parse import ParserCfg, parse_events
+
+TESTDATA = "/root/reference/src/test/resources/testdata"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(TESTDATA), reason="reference testdata not available"
+)
+
+EPOCH = "1970-01-01 00:00:00"
+
+
+def _parsed(spark, fixture):
+    raw = spark.read.text(os.path.join(TESTDATA, fixture))
+    ev = parse_events(raw, ParserCfg())
+    # every line of these fixtures is a well-formed GLB entry — any raw
+    # fallback means the parser regressed against real reference bytes
+    assert ev.where(F.col("payload_type") == "raw").count() == 0
+    return ev
+
+
+def test_threshold_analysis_reference_golden(spark):
+    """TestThresholdAnalysis1.thresholdAnalysisTest (reference
+    `httprequest/TestThresholdAnalysis1.java:40-72`): exactly one
+    alert — 10.0.0.1, count 100, mean 10.90 +/- 0.1, window
+    [epoch, epoch+1min)."""
+    ev = _parsed(spark, "httpreq_thresholdanalysis1.txt")
+    out = threshold_analysis(
+        ev, key="source_address", ts="timestamp", duration="1 minute",
+        required_minimum_average=1.0, threshold_modifier=1.0, min_clients=1,
+    ).collect()
+    assert len(out) == 1
+    a = out[0]
+    assert a["source_address"] == "10.0.0.1"
+    assert a["count"] == 100
+    assert abs(a["mean"] - 10.90) <= 0.1
+    assert str(a["window_start"]) == EPOCH
+
+
+def test_threshold_nat_exclusion_reference_golden(spark):
+    """TestThresholdAnalysis1.thresholdAnalysisTestWithNatDetect
+    (`TestThresholdAnalysis1.java:74-129`): on the natdetect fixture,
+    plain threshold analysis would fire for both 10.0.0.1 and the
+    NATed 10.0.0.2 (multiple user agents behind one IP); with the NAT
+    view anti-joined in, only 10.0.0.1 remains."""
+    ev = _parsed(spark, "httpreq_thresholdanalysisnatdetect1.txt")
+    plain = threshold_analysis(
+        ev, key="source_address", ts="timestamp", duration="1 minute",
+        required_minimum_average=1.0, threshold_modifier=1.0, min_clients=1,
+    )
+    flagged = {r["source_address"] for r in plain.collect()}
+    assert flagged == {"10.0.0.1", "10.0.0.2"}
+    nat = detect_nat(
+        ev, key="source_address", diversity_col="user_agent",
+        ts="timestamp", duration="1 minute", min_distinct=2,
+    ).select("window_start", "source_address")
+    suppressed = plain.join(
+        F.broadcast(nat), ["window_start", "source_address"], "left_anti"
+    ).collect()
+    assert len(suppressed) == 1
+    assert suppressed[0]["source_address"] == "10.0.0.1"
+    assert str(suppressed[0]["window_start"]) == EPOCH
+
+
+def test_hard_limit_reference_golden(spark):
+    """TestHardLimit1.hardLimitTest (`TestHardLimit1.java:66-115`):
+    limit 10 -> exactly three alerts, 192.168.1.{2,4,5}, each with
+    count 11 in the epoch minute window."""
+    ev = _parsed(spark, "httpreq_hardlimit1.txt")
+    out = hard_limit_analysis(
+        ev, key="source_address", ts="timestamp",
+        duration="1 minute", max_count=10,
+    ).collect()
+    assert len(out) == 3
+    assert {r["source_address"] for r in out} == {
+        "192.168.1.2", "192.168.1.4", "192.168.1.5"
+    }
+    assert all(r["count"] == 11 for r in out)
+    assert all(str(r["window_start"]) == EPOCH for r in out)
+
+
+def test_error_rate_reference_golden(spark):
+    """TestErrorRate1 (`TestErrorRate1.java:30-75`): threshold 30 ->
+    one error_rate alert: 10.0.0.1 with 35 client errors in the epoch
+    minute window (the cfgtick config-event leg is separate)."""
+    ev = _parsed(spark, "httpreq_errorrate1.txt")
+    out = error_rate_analysis(
+        ev, key="source_address",
+        error_predicate=F.col("request_status").between(400, 499),
+        ts="timestamp", duration="1 minute", max_errors=30,
+    ).collect()
+    assert len(out) == 1
+    a = out[0]
+    assert a["source_address"] == "10.0.0.1"
+    assert a["error_count"] == 35
+    assert str(a["window_start"]) == EPOCH
+
+
+def test_useragent_blocklist_reference_golden(spark):
+    """TestUserAgentBlocklist1 (`httprequest/TestUserAgentBlocklist1.
+    java`): the uablocklist fixture's bad-agent requests match the
+    reference's blocklist pattern and alert per source."""
+    path = os.path.join(TESTDATA, "httpreq_useragentblocklist1.txt")
+    if not os.path.exists(path):
+        pytest.skip("fixture absent in this reference checkout")
+    ev = _parsed(spark, "httpreq_useragentblocklist1.txt")
+    bad = ev.where(F.col("user_agent").rlike("^curl.*"))
+    out = (
+        windowed_counts(bad, key="source_address", ts="timestamp",
+                        duration="1 minute")
+        .collect()
+    )
+    assert len(out) >= 1
