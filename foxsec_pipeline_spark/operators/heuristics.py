@@ -137,32 +137,29 @@ def status_code_rate_analysis(
     match_predicate: Column,
     ts: str = "ts",
     duration: str = "1 minute",
-    max_ratio: float = 0.5,
-    min_total: int = 1,
+    max_count: int = 2,
 ) -> DataFrame:
-    """Alert when the fraction of matching events (e.g. one status
-    code) per key-window exceeds a ratio
-    (`StatusCodeRateAnalysis.java:67-90`).
+    """Alert when a key generates more than `max_count` events
+    matching a predicate (e.g. one status code) in a fixed window —
+    COUNT semantics, exactly the reference's
+    `heuristics/StatusCodeRateAnalysis.java:66-117` (filter by status
+    -> Count.perElement -> threshold; the transform name says "rate"
+    but the comparison is a per-window count, verified against
+    `TestStatusCodeRateAnalysis` and its fixture in
+    tests/test_reference_goldens.py).
 
-    One aggregation computes both numerator and denominator via
-    count(when(...)) — a single shuffle, no self-join.
+    The predicate filter runs BEFORE the shuffle, so only matching
+    rows move — one shuffle, map-side partial counts.
     """
     return (
-        events.groupBy(F.window(ts, duration).alias("window"), F.col(key))
-        .agg(
-            F.count(F.lit(1)).alias("total"),
-            F.count(F.when(match_predicate, 1)).alias("matched"),
-        )
-        .where(
-            (F.col("total") >= F.lit(int(min_total)))
-            & (F.col("matched") / F.col("total") > F.lit(float(max_ratio)))
-        )
+        events.where(match_predicate)
+        .groupBy(F.window(ts, duration).alias("window"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("matched"))
+        .where(F.col("matched") > F.lit(int(max_count)))
         .select(
             F.col("window.start").alias("window_start"),
             F.col(key),
             F.col("matched"),
-            F.col("total"),
-            F.round(F.col("matched") / F.col("total"), 6).alias("ratio"),
         )
     )
 

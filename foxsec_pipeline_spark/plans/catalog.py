@@ -159,23 +159,22 @@ def q_error_rate(spark, sf_dir):
 @register(
     "status_code_rate_analysis",
     """
-WITH agg AS (
-  SELECT date_trunc('day', ts) AS window_start, user_id,
-         count(*) AS total,
-         count(*) FILTER (WHERE event_type = 'error') AS matched
-  FROM events GROUP BY 1, 2
-)
-SELECT window_start, user_id, matched, total,
-       round(matched * 1.0 / total, 6) AS ratio
-FROM agg WHERE total >= 5 AND matched * 1.0 / total > 0.3
+SELECT date_trunc('day', ts) AS window_start, user_id,
+       count(*) AS matched
+FROM events WHERE event_type = 'error'
+GROUP BY 1, 2 HAVING count(*) > 3
 """,
-    doc="StatusCodeRateAnalysis.java:67-90 — matched/total ratio per key-window",
+    doc="heuristics/StatusCodeRateAnalysis.java:66-117 — count of "
+        "matching events per key-window over a fixed threshold "
+        "(reference semantics are a COUNT despite the transform "
+        "name; golden-verified against the reference's own fixture "
+        "in tests/test_reference_goldens.py)",
 )
 def q_status_rate(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return status_code_rate_analysis(
         ev, key="user_id", match_predicate=F.col("event_type") == "error",
-        ts="ts", duration="1 day", max_ratio=0.3, min_total=5,
+        ts="ts", duration="1 day", max_count=3,
     )
 
 

@@ -133,3 +133,30 @@ def test_useragent_blocklist_reference_golden(spark):
         .collect()
     )
     assert len(out) >= 1
+
+
+def test_status_code_rate_reference_golden(spark):
+    """TestStatusCodeRateAnalysis (`TestStatusCodeRateAnalysis.java:
+    37-95`): code 302 with threshold 3 -> no alerts; threshold 2 ->
+    one alert, 192.168.0.1 with count 3 in the 19:15 minute window."""
+    from foxsec_pipeline_spark.operators.heuristics import (
+        status_code_rate_analysis,
+    )
+
+    ev = _parsed(spark, "httpreq_statuscodeanalysis.txt")
+    below = status_code_rate_analysis(
+        ev, key="source_address",
+        match_predicate=F.col("request_status") == 302,
+        ts="timestamp", duration="1 minute", max_count=3,
+    ).collect()
+    assert below == []
+    above = status_code_rate_analysis(
+        ev, key="source_address",
+        match_predicate=F.col("request_status") == 302,
+        ts="timestamp", duration="1 minute", max_count=2,
+    ).collect()
+    assert len(above) == 1
+    a = above[0]
+    assert a["source_address"] == "192.168.0.1"
+    assert a["matched"] == 3
+    assert str(a["window_start"]) == "2021-05-08 19:15:00"
