@@ -346,21 +346,26 @@ def q_source_login_failure(spark, sf_dir):
 @register(
     "password_reset_abuse",
     """
-SELECT date_trunc('day', ts) AS window_start, user_id, count(*) AS n_resets
+SELECT date_trunc('day', ts) AS window_start, user_id,
+       count(DISTINCT props) AS n_accounts
 FROM events WHERE event_type = 'view'
-GROUP BY 1, 2 HAVING count(*) > 2
+GROUP BY 1, 2 HAVING count(DISTINCT props) >= 3
 """,
-    doc="customs/PasswordResetAbuse (Customs.java:531-560): per-account "
-        "windowed password-forgot-send count threshold",
+    doc="customs/CustomsPasswordResetAbuse.java:37-115: one source "
+        "requesting password resets for >= N DISTINCT accounts in a "
+        "fixed window (distinct-account semantics, not a raw count — "
+        "golden-verified against customs_abuse_password_reset1.txt in "
+        "tests/test_reference_goldens.py: threshold 5 fires for "
+        "10.0.0.1 only)",
 )
 def q_password_reset_abuse(spark, sf_dir):
-    from ..operators import error_rate_analysis
+    from ..operators import detect_nat
 
-    return error_rate_analysis(
-        _events(spark, sf_dir), key="user_id",
-        error_predicate=F.col("event_type") == "view",
-        ts="ts", duration="1 day", max_errors=2,
-    ).withColumnRenamed("error_count", "n_resets")
+    ev = _events(spark, sf_dir)
+    return detect_nat(
+        ev.where(F.col("event_type") == "view"), key="user_id",
+        diversity_col="props", ts="ts", duration="1 day", min_distinct=3,
+    ).withColumnRenamed("n_distinct", "n_accounts")
 
 
 @register(
@@ -572,9 +577,10 @@ WITH slf AS (
   GROUP BY 1, 2 HAVING count(*) > 3
 ), pra AS (
   SELECT date_trunc('day', ts) AS window_start, user_id,
-         'password_reset_abuse' AS detector, count(*) AS n
+         'password_reset_abuse' AS detector,
+         count(DISTINCT props) AS n
   FROM events WHERE event_type = 'view'
-  GROUP BY 1, 2 HAVING count(*) > 2
+  GROUP BY 1, 2 HAVING count(DISTINCT props) >= 3
 ), enum AS (
   SELECT window_start, user_id, 'account_enumeration' AS detector,
          n_accounts AS n
@@ -608,13 +614,15 @@ def q_customs_pipeline(spark, sf_dir):
         F.lit("source_login_failure").alias("detector"),
         F.col("error_count").alias("n"),
     )
-    pra = error_rate_analysis(
-        ev, key="user_id", error_predicate=F.col("event_type") == "view",
-        ts="ts", duration="1 day", max_errors=2,
+    from ..operators import detect_nat
+
+    pra = detect_nat(
+        ev.where(F.col("event_type") == "view"), key="user_id",
+        diversity_col="props", ts="ts", duration="1 day", min_distinct=3,
     ).select(
         "window_start", "user_id",
         F.lit("password_reset_abuse").alias("detector"),
-        F.col("error_count").alias("n"),
+        F.col("n_distinct").alias("n"),
     )
     enum = (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "user_id")

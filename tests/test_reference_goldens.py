@@ -160,3 +160,27 @@ def test_status_code_rate_reference_golden(spark):
     assert a["source_address"] == "192.168.0.1"
     assert a["matched"] == 3
     assert str(a["window_start"]) == "2021-05-08 19:15:00"
+
+
+def test_password_reset_abuse_reference_golden(spark):
+    """TestCustoms.passwordResetAbuseTest (`customs/TestCustoms.java:
+    523-561`): with XFF selector 127.0.0.1/32, exactly one alert —
+    10.0.0.1 requested password resets for 5 distinct accounts in a
+    10-minute window; 10.0.0.2 stays below the threshold of 5."""
+    from foxsec_pipeline_spark.operators.heuristics import detect_nat
+
+    raw = spark.read.text(
+        os.path.join(TESTDATA, "customs_abuse_password_reset1.txt")
+    )
+    ev = parse_events(raw, ParserCfg(xff_trusted_cidrs=["127.0.0.1/32"]))
+    resets = ev.where(
+        (F.col("payload_type") == "fxaauth")
+        & (F.col("request_path") == "/v1/password/forgot/send_code")
+    )
+    out = detect_nat(
+        resets, key="source_address", diversity_col="subject_user",
+        ts="timestamp", duration="10 minutes", min_distinct=5,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["source_address"] == "10.0.0.1"
+    assert out[0]["n_distinct"] == 5
