@@ -117,6 +117,54 @@ def fxaauth_spec(xff_trusted_cidrs: list[str] | None = None) -> PayloadSpec:
     # proxies, LAST entry by default). One from_json over a tiny string.
     chain = F.from_json(f["remoteAddressChain"], "array<string>")
     selected = xff_select_from_array(chain, xff_trusted_cidrs)
+    # event_summary classification (`FxaAuth.java:174-414`
+    # discernEventSummary): the ordered discern* cascade over
+    # (path, method, status, errno). errno REQUEST_BLOCKED (125)
+    # suppresses classification entirely — the request was already
+    # rejected. Errno constants from models/fxaauth/FxaAuth.java:
+    # ACCOUNT_UNKNOWN=102, INCORRECT_PASSWORD=103,
+    # INVALID_VERIFICATION_CODE=105. (devicesListSuccess exists in
+    # the reference enum but its discern rule is never invoked in the
+    # cascade — mirrored here by omission.)
+    errno = f["errno"].cast("int")
+    method = F.lower(f["method"])
+    status = f["status"].cast("int")
+    path = f["path"]
+    _rules = [
+        ((path == "/v1/account/login") & (status == 400)
+         & errno.isin(102, 103), "loginFailure"),
+        ((path == "/v1/account/status") & (status == 200)
+         & method.isin("post", "get"), "accountStatusCheckSuccess"),
+        ((path == "/v1/recovery_email/verify_code") & (status == 400)
+         & (method == "post") & errno.isin(105, 102),
+         "recoveryEmailVerifyCodeFailure"),
+        ((path == "/v1/recovery_email") & (status == 200)
+         & (method == "post"), "sendRecoveryEmailSuccess"),
+        ((path == "/v1/sms") & (status == 200) & (method == "post"),
+         "sendSmsConnectDeviceSuccess"),
+        ((path == "/v1/account/create") & (status == 200)
+         & (method == "post"), "accountCreateSuccess"),
+        ((path == "/v1/account/login") & (status == 200)
+         & (method == "post"), "loginSuccess"),
+        ((path == "/v1/password/forgot/send_code") & (method == "post")
+         & (status == 200), "passwordForgotSendCodeSuccess"),
+        ((path == "/v1/password/forgot/send_code") & (method == "post")
+         & (status == 400), "passwordForgotSendCodeFailure"),
+        ((path == "/v1/certificate/sign") & (method == "post")
+         & (status == 200), "certificateSignSuccess"),
+        ((path == "/v1/session/verify_code") & (status == 200)
+         & (method == "post"), "sessionVerifyCodeSuccess"),
+        ((path == "/v1/account/status") & (status == 429)
+         & method.isin("post", "get"), "accountStatusCheckBlocked"),
+    ]
+    cascade = None
+    for cond, name in _rules:
+        cascade = F.when(cond, name) if cascade is None else cascade.when(cond, name)
+    guard = (
+        path.isNotNull() & f["method"].isNotNull() & status.isNotNull()
+        & (errno.isNull() | (errno != 125))
+    )
+    event_summary = F.when(guard, cascade).otherwise(F.lit(None).cast("string"))
     return PayloadSpec(
         name="fxaauth",
         matcher=(
@@ -132,6 +180,12 @@ def fxaauth_spec(xff_trusted_cidrs: list[str] | None = None) -> PayloadSpec:
             "request_path": f["path"],
             "request_status": f["status"].cast("int"),
             "user_agent": f["agent"],
+        },
+        extras={
+            "errno": errno,
+            "event_summary": event_summary,
+            "service": f["service"],
+            "uid": f["uid"],
         },
     )
 

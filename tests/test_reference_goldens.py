@@ -184,3 +184,40 @@ def test_password_reset_abuse_reference_golden(spark):
     assert len(out) == 1
     assert out[0]["source_address"] == "10.0.0.1"
     assert out[0]["n_distinct"] == 5
+
+
+def test_source_login_failure_reference_golden(spark):
+    """TestCustoms.sourceLoginFailureTest (`customs/TestCustoms.java:
+    196-280`): parser-level event_summary classification gates the
+    counts — errno 125 (REQUEST_BLOCKED) rows are never classified as
+    loginFailure. Per-source threshold 10 -> one alert for
+    216.160.83.56 with exactly 10 failures (12 rows minus 2 blocked);
+    the distributed variant finds kirk@mozilla.com failed from 10
+    DISTINCT addresses (12 events, one address repeated); the summary
+    total is 22 classified login failures."""
+    from foxsec_pipeline_spark.operators.heuristics import detect_nat
+
+    raw = spark.read.text(
+        os.path.join(TESTDATA, "customs_rl_badlogin_simple1.txt")
+    )
+    ev = parse_events(raw, ParserCfg(xff_trusted_cidrs=["127.0.0.1/32"]))
+    failures = ev.where(F.col("fields")["event_summary"] == "loginFailure")
+    assert failures.count() == 22  # summary leg total
+
+    per_source = (
+        failures.groupBy("source_address")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 9)
+        .collect()
+    )
+    assert len(per_source) == 1
+    assert per_source[0]["source_address"] == "216.160.83.56"
+    assert per_source[0]["n"] == 10
+
+    dist = detect_nat(
+        failures, key="subject_user", diversity_col="source_address",
+        ts="timestamp", duration="10 minutes", min_distinct=10,
+    ).collect()
+    assert len(dist) == 1
+    assert dist[0]["subject_user"] == "kirk@mozilla.com"
+    assert dist[0]["n_distinct"] == 10
