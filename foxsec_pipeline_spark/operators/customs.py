@@ -163,6 +163,16 @@ def account_creation_dist(
       pair meets exactly once, output identical) — quadratic work
       balanced across reducers, for when exactness is mandatory and
       the group still fits the compute budget.
+
+    Input contract: this operator references `df` in three roles
+    (hot-group scan + both self-join sides). Feed it a CHEAP plan —
+    a table scan or a materialization boundary (cache/checkpoint) —
+    not a deep projection pipeline: Catalyst re-analyzes the input
+    plan per role, and over the full parse projection that triples a
+    huge plan (measured 163 s optimizer time vs 4.5 s with a
+    localCheckpoint on the reference fixture). The reference has the
+    same boundary structurally: Customs materializes parsed events
+    through the CustomsFeatures GroupByKey before detector DoFns.
     """
     # hot-group detection: aggregate to (group, count) — map-side
     # partial combine means only #groups rows shuffle — keep groups

@@ -221,3 +221,44 @@ def test_source_login_failure_reference_golden(spark):
     assert len(dist) == 1
     assert dist[0]["subject_user"] == "kirk@mozilla.com"
     assert dist[0]["n_distinct"] == 10
+
+
+def test_account_creation_dist_reference_golden(spark):
+    """TestCustoms.accountCreationAbuseTestDist (`customs/TestCustoms.
+    java:143-195`): on the dist fixture, the six user*@mail.com
+    accounts (from six different addresses, local parts within the
+    similarity bound) each see 5 similar cross-address peers — the
+    reference alert is count 5+1=6 for 216.160.83.56 / user3. The six
+    user*@mailer.com accounts were all created from ONE address, so
+    the address-variance rule suppresses them entirely."""
+    from foxsec_pipeline_spark.operators.customs import account_creation_dist
+
+    raw = spark.read.text(
+        os.path.join(TESTDATA, "customs_createacctabuse_dist.txt")
+    )
+    ev = parse_events(raw, ParserCfg(xff_trusted_cidrs=["127.0.0.1/32"]))
+    created = ev.where(
+        F.col("fields")["event_summary"] == "accountCreateSuccess"
+    ).select(
+        F.split(F.col("subject_user"), "@")[1].alias("domain"),
+        F.col("subject_user").alias("email"),
+        F.split(F.col("subject_user"), "@")[0].alias("local"),
+        F.col("source_address"),
+    )
+    # materialization boundary: the operator references its input in
+    # three roles (hot-group scan, self-join both sides); over the
+    # full 22-spec parse projection that triples a huge analyzed plan
+    # and Catalyst optimization time explodes (measured 163 s -> 4.5 s
+    # with the checkpoint). The reference has the same boundary
+    # structurally: Customs materializes parsed events through the
+    # CustomsFeatures GroupByKey before the detector DoFns.
+    created = created.localCheckpoint()
+    out = account_creation_dist(
+        created, group_col="domain", id_col="email", name_col="local",
+        addr_col="source_address", max_ratio=0.35,
+    ).collect()
+    got = {r["email"]: r["n_similar"] for r in out}
+    assert got == {f"user{i}@mail.com": 5 for i in range(1, 7)}
+    # the reference alert: count = candidates + 1 = 6 for the
+    # 216.160.83.56 account (user3@mail.com)
+    assert got["user3@mail.com"] + 1 == 6
