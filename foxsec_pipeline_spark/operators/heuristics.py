@@ -270,24 +270,47 @@ def endpoint_abuse_analysis(
     ts: str = "ts",
     gap: str = "45 minutes",
     min_count: int = 5,
+    variance_suppress: bool = True,
 ) -> DataFrame:
     """Per-session counts of monitored endpoints; alert on the
     endpoint with the max count when it exceeds a threshold
     (`EndpointAbuseAnalysis.java:134-277`, top-endpoint pick
     `:203-225`).
 
+    `variance_suppress` is the reference's basic-variance rule
+    (`:157-201`): a session containing ANY request to a
+    non-monitored endpoint is assumed to be a real client (it loaded
+    supporting content) and is dropped entirely — abuse sessions are
+    the ones hammering ONLY the monitored endpoints. Golden-verified
+    against httpreq_endpointabuse1 in tests/test_reference_goldens.py
+    (192.168.1.3's 11-event session with one stray request is
+    suppressed; 192.168.1.2's pure 10x GET /test session alerts).
+
     The reference folds each group in a DoFn; here one session-window
     aggregation builds per-endpoint counts with count(when(...)), and
     `greatest`-style struct max picks the top endpoint — no
-    collect+loop, fully codegen.
+    collect+loop, fully codegen. `latest_ts` is the newest monitored
+    request (the reference's alert timestamp, latestEpaRequest).
     """
     per_ep = [
         F.count(F.when(F.col(endpoint_col) == ep, 1)).alias(f"__c{i}")
         for i, ep in enumerate(monitored)
     ]
+    monitored_pred = F.col(endpoint_col).isin(*monitored)
     agg = events.groupBy(
         F.session_window(ts, gap).alias("session"), F.col(key)
-    ).agg(*per_ep, F.min(ts).alias("first_ts"), F.count(F.lit(1)).alias("n_events"))
+    ).agg(
+        *per_ep,
+        F.min(ts).alias("first_ts"),
+        F.max(F.when(monitored_pred, F.col(ts))).alias("latest_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    monitored_total = None
+    for i in range(len(monitored)):
+        c = F.col(f"__c{i}")
+        monitored_total = c if monitored_total is None else monitored_total + c
+    if variance_suppress:
+        agg = agg.where(F.col("n_events") == monitored_total)
     # array of (count, endpoint) structs -> array_max picks top count,
     # ties broken by endpoint name (deterministic, unlike the
     # reference's "pick any" — canonicalized per SURVEY §7.4)
@@ -302,6 +325,7 @@ def endpoint_abuse_analysis(
         agg.select(
             F.col(key),
             F.col("first_ts"),
+            F.col("latest_ts"),
             F.col("n_events"),
             top["c"].alias("top_count"),
             top["ep"].alias("top_endpoint"),

@@ -263,22 +263,30 @@ WITH d AS (
                         ROWS UNBOUNDED PRECEDING) AS sid
   FROM d
 ), agg AS (
-  SELECT user_id, sid, min(ts) AS first_ts, count(*) AS n_events,
+  SELECT user_id, sid, min(ts) AS first_ts,
+         max(CASE WHEN event_type IN ('click', 'view') THEN ts END)
+           AS latest_ts,
+         count(*) AS n_events,
          count(*) FILTER (WHERE event_type = 'click') AS c_click,
          count(*) FILTER (WHERE event_type = 'view') AS c_view
   FROM s GROUP BY user_id, sid
 )
-SELECT user_id, first_ts, n_events,
+SELECT user_id, first_ts, latest_ts, n_events,
        greatest(c_click, c_view) AS top_count,
        CASE WHEN c_view >= c_click THEN 'view' ELSE 'click' END AS top_endpoint
-FROM agg WHERE greatest(c_click, c_view) >= 3
+FROM agg
+WHERE n_events = c_click + c_view AND greatest(c_click, c_view) >= 2
 """,
-    doc="EndpointAbuseAnalysis.java:134-277 — per-session endpoint counts, top pick",
+    doc="EndpointAbuseAnalysis.java:134-277 — per-session endpoint "
+        "counts + basic-variance suppression (sessions touching any "
+        "non-monitored endpoint are real clients and drop out, "
+        ":157-201) + top pick; golden-verified on the reference's "
+        "endpointabuse fixture",
 )
 def q_endpoint_abuse(spark, sf_dir):
     return endpoint_abuse_analysis(
         _events(spark, sf_dir), key="user_id", endpoint_col="event_type",
-        monitored=["click", "view"], ts="ts", gap="2 hours", min_count=3,
+        monitored=["click", "view"], ts="ts", gap="2 hours", min_count=2,
     )
 
 

@@ -120,19 +120,26 @@ def test_error_rate_reference_golden(spark):
 
 def test_useragent_blocklist_reference_golden(spark):
     """TestUserAgentBlocklist1 (`httprequest/TestUserAgentBlocklist1.
-    java`): the uablocklist fixture's bad-agent requests match the
-    reference's blocklist pattern and alert per source."""
-    path = os.path.join(TESTDATA, "httpreq_useragentblocklist1.txt")
-    if not os.path.exists(path):
-        pytest.skip("fixture absent in this reference checkout")
-    ev = _parsed(spark, "httpreq_useragentblocklist1.txt")
-    bad = ev.where(F.col("user_agent").rlike("^curl.*"))
-    out = (
-        windowed_counts(bad, key="source_address", ts="timestamp",
-                        duration="1 minute")
-        .collect()
+    java:40-70`): the ACTUAL uablocklist1.txt pattern file over the
+    hardlimit fixture -> exactly one alert, 192.168.1.4 (its agent
+    matches ^.*Variance.*$) in the epoch minute window."""
+    from foxsec_pipeline_spark.operators.heuristics import (
+        ua_blocklist_analysis,
     )
-    assert len(out) >= 1
+
+    patterns = [
+        line.strip()
+        for line in open(os.path.join(TESTDATA, "uablocklist1.txt"))
+        if line.strip()
+    ]
+    ev = _parsed(spark, "httpreq_hardlimit1.txt")
+    out = ua_blocklist_analysis(
+        ev, key="source_address", ua_col="user_agent",
+        patterns=patterns, ts="timestamp", duration="1 minute",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["source_address"] == "192.168.1.4"
+    assert str(out[0]["window_start"]) == EPOCH
 
 
 def test_status_code_rate_reference_golden(spark):
@@ -262,3 +269,42 @@ def test_account_creation_dist_reference_golden(spark):
     # the reference alert: count = candidates + 1 = 6 for the
     # 216.160.83.56 account (user3@mail.com)
     assert got["user3@mail.com"] + 1 == 6
+
+
+def test_endpoint_abuse_reference_golden(spark):
+    """TestEndpointAbuse1.endpointAbuseTestStream (`httprequest/
+    TestEndpointAbuse1.java:40-95`): config 8:GET:/test, session gap
+    20 min — one alert: 192.168.1.2 made 10 GET /test requests in a
+    session that began 1970-01-01T00:00:15 (the three TestStream
+    batches land in one session; batch mode sees the same final
+    sessions)."""
+    from foxsec_pipeline_spark.operators.heuristics import (
+        endpoint_abuse_analysis,
+    )
+
+    parts = [
+        os.path.join(TESTDATA, "httpreq_endpointabuse1", f)
+        for f in sorted(
+            os.listdir(os.path.join(TESTDATA, "httpreq_endpointabuse1"))
+        )
+    ]
+    raw = spark.read.text(parts)
+    ev = parse_events(raw, ParserCfg())
+    assert ev.where(F.col("payload_type") == "raw").count() == 0
+    ep = ev.withColumn(
+        "endpoint",
+        F.concat_ws(" ", F.col("request_method"), F.col("request_path")),
+    )
+    out = endpoint_abuse_analysis(
+        ep, key="source_address", endpoint_col="endpoint",
+        monitored=["GET /test"], ts="timestamp",
+        gap="20 minutes", min_count=8,
+    ).collect()
+    assert len(out) == 1
+    a = out[0]
+    assert a["source_address"] == "192.168.1.2"
+    assert a["top_count"] == 10
+    assert a["top_endpoint"] == "GET /test"
+    # the reference's alert timestamp is the latest monitored request
+    # (latestEpaRequest), 1970-01-01T00:00:15.000Z
+    assert str(a["latest_ts"]) == "1970-01-01 00:00:15"
