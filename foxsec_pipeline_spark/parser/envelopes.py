@@ -123,9 +123,13 @@ WIDE_SCHEMA = T.StructType(
             T.StructType(
                 [
                     _s("@type"),
-                    # nginx stackdriver variant (parser/Nginx.java)
+                    # nginx stackdriver variants (parser/Nginx.java:
+                    # variant1 k8s stdout = remote_addr/request_time/
+                    # bytes_sent; variant2 ec2 = remote_ip/code/agent)
                     _s("remote_ip"),
+                    _s("remote_addr"),
                     _s("request"),
+                    _s("request_time"),
                     _s("code"),
                     _s("status"),
                     _s("agent"),

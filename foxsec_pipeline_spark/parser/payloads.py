@@ -78,9 +78,15 @@ def glb_spec() -> PayloadSpec:
 
 
 def nginx_spec(xff_trusted_cidrs: list[str] | None = None) -> PayloadSpec:
-    """nginx access log via Stackdriver jsonPayload variant
-    (`parser/Nginx.java`, models/nginxstackdriver variant2;
-    FIXTURES.md F2): fields remote_ip, request, code, agent.
+    """nginx access log via Stackdriver jsonPayload, BOTH reference
+    variants (`parser/Nginx.java:40-55` matchesStackdriverVariant1/2;
+    FIXTURES.md F2):
+
+    - variant1 (GCP k8s stdout): remote_addr / request / bytes_sent /
+      request_time / user_agent / x_forwarded_for / status — the
+      sessionlimit/perendpointerrorrate fixture shape;
+    - variant2 (EC2): remote_ip / referrer / req_time / agent /
+      request / code.
 
     The XFF header goes through the client selector
     (`Parser.applyXffAddressSelector`, Parser.java:164-238) — a raw
@@ -88,14 +94,22 @@ def nginx_spec(xff_trusted_cidrs: list[str] | None = None) -> PayloadSpec:
     source_address (it would null ipv4 math downstream)."""
     p = F.col("j.jsonPayload")
     req = p["request"]
+    v1 = (
+        p["remote_addr"].isNotNull()
+        & req.isNotNull()
+        & p["bytes_sent"].isNotNull()
+        & p["request_time"].isNotNull()
+    )
+    v2 = p["remote_ip"].isNotNull() & req.isNotNull()
     return PayloadSpec(
         name="nginx",
-        matcher=p["remote_ip"].isNotNull() & req.isNotNull(),
+        matcher=v1 | v2,
         normalized_type=F.lit(NORMALIZED_HTTP_REQUEST),
         fields={
             "source_address": F.coalesce(
                 xff_select_client(p["x_forwarded_for"], xff_trusted_cidrs),
                 p["remote_ip"],
+                p["remote_addr"],
             ),
             "request_method": F.split(req, " ").getItem(0),
             "request_path": F.split(req, " ").getItem(1),

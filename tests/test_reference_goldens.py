@@ -308,3 +308,104 @@ def test_endpoint_abuse_reference_golden(spark):
     # the reference's alert timestamp is the latest monitored request
     # (latestEpaRequest), 1970-01-01T00:00:15.000Z
     assert str(a["latest_ts"]) == "1970-01-01 00:00:15"
+
+
+def test_endpoint_sequence_abuse_reference_golden(spark):
+    """TestEndpointSequenceAbuse.SingleViolationEventsReceivedInOrder
+    (`TestEndpointSequenceAbuse.java:36-75`): pattern
+    1:GET:/test:1000:GET:/test2 — one alert for 192.168.1.2 with one
+    qualifying GET /test -> GET /test2 pair inside 1000 ms. Fixture 2
+    delivers the same events out of order; event-time sorting makes
+    the result identical (our lag window sorts by event time, exactly
+    the reference's in-DoFn sort)."""
+    from foxsec_pipeline_spark.operators.heuristics import (
+        endpoint_sequence_abuse,
+    )
+
+    for fixture in (
+        "httpreq_endpointsequenceabuse1.txt",
+        "httpreq_endpointsequenceabuse2.txt",
+    ):
+        ev = _parsed(spark, fixture)
+        out = endpoint_sequence_abuse(
+            ev, key="source_address",
+            first_predicate=(F.col("request_method") == "GET")
+            & (F.col("request_path") == "/test"),
+            second_predicate=(F.col("request_method") == "GET")
+            & (F.col("request_path") == "/test2"),
+            ts="timestamp", max_delta_ms=1000, min_pairs=1,
+        ).collect()
+        assert len(out) == 1, fixture
+        assert out[0]["source_address"] == "192.168.1.2", fixture
+        assert out[0]["pair_count"] == 1, fixture
+
+
+def test_session_limit_reference_golden(spark):
+    """TestSessionLimitAnalysis.sessionLimitAnalysisMonitorOnly
+    (`TestSessionLimitAnalysis.java:46-122`): nginx-variant1 payloads
+    behind proxies (XFF '192.168.0.1, .2, .3'); monitored POST
+    ^/submit/click.* with limit 6 in 20-minute gap sessions -> one
+    alert: 192.168.0.1 made 7 monitored requests in the session
+    starting 2021-07-08T21:59:42."""
+    from foxsec_pipeline_spark.operators.heuristics import (
+        session_limit_analysis,
+    )
+
+    # the reference test loads parts _1/_2/_3 only — _0 in the same
+    # directory is a duplicate of _1 used elsewhere
+    parts = [
+        os.path.join(
+            TESTDATA, "httpreq_sessionlimitanalysis1",
+            f"httpreq_sessionlimitanalysis1_{i}.txt",
+        )
+        for i in (1, 2, 3)
+    ]
+    raw = spark.read.text(parts)
+    # trusted proxies cover the two intermediate XFF hops, so the
+    # selector walks right-to-left to the true client 192.168.0.1
+    ev = parse_events(raw, ParserCfg(xff_trusted_cidrs=["192.168.0.2/31"]))
+    assert ev.where(F.col("payload_type") == "raw").count() == 0
+    monitored = ev.where(
+        (F.col("request_method") == "POST")
+        & F.col("request_path").rlike("^/submit/click.*")
+    )
+    out = session_limit_analysis(
+        monitored, key="source_address", ts="timestamp",
+        gap="20 minutes", max_count=6,
+    ).collect()
+    assert len(out) == 1
+    a = out[0]
+    assert a["source_address"] == "192.168.0.1"
+    assert a["n_events"] == 7
+    assert str(a["first_ts"]) == "2021-07-08 21:59:42"
+
+
+def test_per_endpoint_error_rate_reference_golden(spark):
+    """TestPerEndpointErrorRateAnalysis (`TestPerEndpointErrorRate
+    Analysis.java:50-130`): 4:GET:/test — both 192.168.1.1 and
+    192.168.1.2 exceed 4 client errors against GET /test (5 each) in
+    their 5-minute-gap error sessions."""
+    from foxsec_pipeline_spark.operators.heuristics import (
+        per_endpoint_error_rate,
+    )
+
+    parts = [
+        os.path.join(TESTDATA, "httpreq_perendpointerrorrate1", f)
+        for f in sorted(
+            os.listdir(os.path.join(TESTDATA, "httpreq_perendpointerrorrate1"))
+        )
+    ]
+    raw = spark.read.text(parts)
+    ev = parse_events(raw, ParserCfg())
+    assert ev.where(F.col("payload_type") == "raw").count() == 0
+    ep = ev.withColumn(
+        "endpoint",
+        F.concat_ws(" ", F.col("request_method"), F.col("request_path")),
+    ).where(F.col("endpoint") == "GET /test")
+    out = per_endpoint_error_rate(
+        ep, key="source_address", endpoint_col="endpoint",
+        error_predicate=F.col("request_status").between(400, 499),
+        ts="timestamp", gap="5 minutes", max_errors=4,
+    ).collect()
+    got = {r["source_address"]: r["error_count"] for r in out}
+    assert got == {"192.168.1.1": 5, "192.168.1.2": 5}
