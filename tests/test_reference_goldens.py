@@ -409,3 +409,75 @@ def test_per_endpoint_error_rate_reference_golden(spark):
     ).collect()
     got = {r["source_address"]: r["error_count"] for r in out}
     assert got == {"192.168.1.1": 5, "192.168.1.2": 5}
+
+
+def test_detect_nat_reference_golden(spark):
+    """TestDetectNat.detectNatTransformTest (`TestDetectNat.java:
+    25-42`): over detectnat1.txt in 1-minute windows, exactly one
+    NAT gateway inferred by user-agent diversity — 192.168.1.1."""
+    ev = _parsed(spark, "detectnat1.txt")
+    out = detect_nat(
+        ev, key="source_address", diversity_col="user_agent",
+        ts="timestamp", duration="1 minute", min_distinct=2,
+    ).collect()
+    assert [(r["source_address"]) for r in out] == ["192.168.1.1"]
+
+
+def test_pioneer_exfiltration_reference_golden(spark):
+    """TestPioneer exfiltration1 (`pioneer/TestPioneer.java:34-90` +
+    `Pioneer.java:150-220`): VPC flow logs sessionized per source
+    (30-min gap), then a forward 30-minute scan from each event; the
+    earliest span reaching 1 GB alerts. Expected: one alert for
+    192.168.1.1 with 1,000,009,000 bytes over [00:02:00, 00:18:00];
+    the lone 00:48 event is a separate session and 192.168.1.2 stays
+    under threshold."""
+    from pyspark.sql import Window
+
+    raw = spark.read.text(
+        os.path.join(TESTDATA, "pioneer", "exfiltration1.txt")
+    )
+    # the fixture has '#' comment lines (the reference's TestUtil
+    # strips them before the pipeline sees input)
+    raw = raw.where(~F.col("value").startswith("#"))
+    ev = parse_events(raw, ParserCfg())
+    flows = ev.where(F.col("payload_type") == "gcpvpcflow").select(
+        "source_address", "timestamp",
+        F.col("fields")["bytes_sent"].cast("long").alias("bytes"),
+    )
+    w_ord = Window.partitionBy("source_address").orderBy("timestamp")
+    sess = flows.withColumn(
+        "__brk",
+        F.when(
+            F.unix_timestamp("timestamp")
+            - F.unix_timestamp(F.lag("timestamp").over(w_ord)) >= 1800,
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__sid",
+        F.sum("__brk").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_fwd = (
+        Window.partitionBy("source_address", "__sid")
+        .orderBy(F.unix_timestamp("timestamp"))
+        .rangeBetween(0, 1800)
+    )
+    scanned = sess.select(
+        "source_address", "timestamp",
+        F.sum("bytes").over(w_fwd).alias("span_bytes"),
+        F.max("timestamp").over(w_fwd).alias("span_end"),
+        F.col("__sid"),
+    ).where(F.col("span_bytes") >= 1_000_000_000)
+    w_first = Window.partitionBy("source_address", "__sid").orderBy("timestamp")
+    out = (
+        scanned.withColumn("__rn", F.row_number().over(w_first))
+        .where(F.col("__rn") == 1)
+        .collect()
+    )
+    assert len(out) == 1
+    a = out[0]
+    assert a["source_address"] == "192.168.1.1"
+    assert a["span_bytes"] == 1_000_009_000
+    assert str(a["timestamp"]) == "2020-01-01 00:02:00"
+    assert str(a["span_end"]) == "2020-01-01 00:18:00"
