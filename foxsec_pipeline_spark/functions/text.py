@@ -135,3 +135,20 @@ def minhash_signature_universal(shingle_hashes: Column, num_hashes: int = 8) -> 
         return F.array_min(F.transform(shingle_hashes, h))
 
     return F.array(*[_perm_min(i) for i in range(num_hashes)])
+
+
+def normalize_email_plus_dot_strip(email: Column) -> Column:
+    """Strip the +alias AND all dots from the local part
+    (`MiscUtil.java:61-76` normalizeEmailPlusDotStrip — the
+    gmail-style normalization the AMO alias-abuse detector keys on;
+    the reference warns it is provider-specific, so it is a separate
+    function from `normalize_email`). Dots survive in the domain."""
+    plus_stripped = F.regexp_replace(email, r"\+[^@]*@", "@")
+    local = F.regexp_extract(plus_stripped, r"^([^@]*)@", 1)
+    domain = F.regexp_extract(plus_stripped, r"@(.*)$", 1)
+    normalized = F.concat(F.regexp_replace(local, r"\.", ""), F.lit("@"), domain)
+    # degenerate forms (no @, empty local after strip) pass through
+    return F.when(
+        plus_stripped.rlike("^[^@]*@.+") & (F.regexp_replace(local, r"\.", "") != ""),
+        normalized,
+    ).otherwise(plus_stripped)

@@ -481,3 +481,44 @@ def test_pioneer_exfiltration_reference_golden(spark):
     assert a["span_bytes"] == 1_000_009_000
     assert str(a["timestamp"]) == "2020-01-01 00:02:00"
     assert str(a["span_end"]) == "2020-01-01 00:18:00"
+
+
+def test_amo_alias_abuse_dot_normalization_reference_golden(spark):
+    """TestAmo.testFxaAliasAbuseDotNormalization (+NonDistinct)
+    (`amo/TestAmo.java:513-640`): FXALOGIN events normalize via
+    plus-strip + local-part dot-strip; events already in normal form
+    are excluded; alert when DISTINCT alias forms exceed 5. Fixture 1:
+    six distinct dotted aliases of test12345@example-email.com -> one
+    alert with count 6. Fixture 2: the same alias repeated -> only
+    one distinct form, no alert (despite 7 matched events both
+    times)."""
+    from foxsec_pipeline_spark.functions.text import (
+        normalize_email_plus_dot_strip,
+    )
+
+    def aliases(fixture):
+        raw = spark.read.text(
+            os.path.join(TESTDATA, "amo_fxaaliasabuse", fixture)
+        )
+        ev = parse_events(raw, ParserCfg())
+        fxalogin = ev.where(
+            F.col("fields")["amo_event_type"] == "fxalogin"
+        ).select(F.col("fields")["email"].alias("email")).localCheckpoint()
+        assert fxalogin.count() == 7  # EVENT_TYPE_MATCH metric parity
+        norm = fxalogin.select(
+            normalize_email_plus_dot_strip(F.col("email")).alias("norm"),
+            "email",
+        ).where(F.col("norm") != F.col("email"))
+        return (
+            norm.groupBy("norm")
+            .agg(F.countDistinct("email").alias("n_aliases"))
+            .where(F.col("n_aliases") > 5)
+            .collect()
+        )
+
+    out1 = aliases("dotnormalizationabuse.txt")
+    assert len(out1) == 1
+    assert out1[0]["norm"] == "test12345@example-email.com"
+    assert out1[0]["n_aliases"] == 6
+
+    assert aliases("dotnormalizationabuse2.txt") == []
