@@ -493,22 +493,54 @@ def private_relay_forward_mismatch(
     forward_col: str,
     ts: str = "ts",
     order_col: str = "event_id",
+    hash_input: bool = True,
+    rp_predicate: Column | None = None,
 ) -> DataFrame:
     """T7 PrivateRelayForward: the first-seen forward address per key
-    establishes the expected sha256; later events whose hashed forward
-    differs are mismatches (`customs/PrivateRelayForward.java:115-200`
+    establishes the expected hash; later events whose hashed forward
+    differs are mismatches (`customs/PrivateRelayForward.java:115-245`
     — state holds the hash, never the raw address).
+
+    `hash_input=False` for feeds where the column is ALREADY a hash —
+    the relay service hashes client-side, so the reference's
+    real_address field arrives pre-hashed and its state compares the
+    strings directly (`:232-241`); golden-verified on the
+    privaterelay fixtures in tests/test_reference_goldens.py.
+
+    `rp_predicate` marks RP (profile-change) events, which UPDATE the
+    expected state and never alert (`:205-215`). EVERY event leaves
+    the state equal to its own address — RP events set it, a forward
+    against null state seeds it (`:221-231`), a matching forward
+    trivially equals it, and a MISMATCHING forward alerts and then
+    updates it (`:247-256`) — so the expected value for any event is
+    simply the previous event's address, and the whole stateful
+    machine collapses to one lag() pass per uid. With no rp_predicate
+    the operator keeps first-seen semantics (the state is never
+    reset; every mismatch compares against the first value).
     """
-    h = F.sha2(F.col(forward_col), 256)
-    w = (
-        Window.partitionBy(key)
-        .orderBy(ts, order_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    h = F.sha2(F.col(forward_col), 256) if hash_input else F.col(forward_col)
+    if rp_predicate is None:
+        w = (
+            Window.partitionBy(key)
+            .orderBy(ts, order_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            df.withColumn("expected_hash", F.first(h).over(w))
+            .withColumn("got_hash", h)
+            .where(F.col("got_hash") != F.col("expected_hash"))
+            .select(key, ts, order_col, "expected_hash", "got_hash")
+        )
+    w_ord = Window.partitionBy(key).orderBy(ts, order_col)
+    expected = F.lag(h).over(w_ord)
     return (
-        df.withColumn("expected_hash", F.first(h).over(w))
+        df.withColumn("expected_hash", expected)
         .withColumn("got_hash", h)
-        .where(F.col("got_hash") != F.col("expected_hash"))
+        .where(
+            ~rp_predicate
+            & F.col("expected_hash").isNotNull()
+            & (F.col("got_hash") != F.col("expected_hash"))
+        )
         .select(key, ts, order_col, "expected_hash", "got_hash")
     )
 

@@ -399,9 +399,23 @@ def strip_envelopes(df: DataFrame, value_col: str = "value") -> DataFrame:
         )
         .withColumn(
             "moz_ts_ns",
+            # integer ns normally, but bmoaudit emits the ns count in
+            # scientific notation ('1.548956727E18') which Jackson
+            # reads as a double — try the exact integer parse first,
+            # fall through to the double form, never throw (ANSI-safe)
             F.coalesce(
-                F.col("m.Timestamp"), F.col("j.jsonPayload.Timestamp")
-            ).cast("long"),
+                F.try_to_number(
+                    F.coalesce(
+                        F.col("m.Timestamp"), F.col("j.jsonPayload.Timestamp")
+                    ),
+                    F.lit("S" + "9" * 19),
+                ).cast("long"),
+                F.coalesce(
+                    F.col("m.Timestamp"), F.col("j.jsonPayload.Timestamp")
+                )
+                .try_cast("double")
+                .cast("long"),
+            ),
         )
         .withColumn(
             "sd_project",
@@ -411,9 +425,16 @@ def strip_envelopes(df: DataFrame, value_col: str = "value") -> DataFrame:
             "payload_text", F.coalesce(F.col("j.textPayload"), F.col(value_col))
         )
     )
+    # mozlog ns Timestamp WINS over the Stackdriver envelope ts when
+    # both are present: Parser.java:424-446 strips the Stackdriver
+    # envelope first (setting ts from LogEntry.timestamp) and then
+    # setMozlog OVERRIDES it (Event.java:127-135 "if the mozlog entry
+    # has a timestamp value, this timestamp will be used") — fixture
+    # timestamps (e.g. privaterelay's 0/120s/240s mozlog clock under a
+    # constant envelope ts) depend on this order. Integer div: ns
+    # epoch values overflow the double mantissa.
     envelope_ts = F.coalesce(
-        F.to_timestamp(F.col("j.timestamp")),
-        # integer div: ns epoch values overflow double mantissa
         F.timestamp_micros(F.expr("moz_ts_ns div 1000")),
+        F.to_timestamp(F.col("j.timestamp")),
     )
     return out.withColumn("envelope_ts", envelope_ts)

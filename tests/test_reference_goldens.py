@@ -522,3 +522,73 @@ def test_amo_alias_abuse_dot_normalization_reference_golden(spark):
     assert out1[0]["n_aliases"] == 6
 
     assert aliases("dotnormalizationabuse2.txt") == []
+
+
+def test_amo_multi_match_reference_golden(spark):
+    """TestAmo.testMultiMatch (`amo/TestAmo.java:469-511`): distinct
+    (upload_hash, email) pairs from FILEUPLOADMNT events, alert when
+    one hash was submitted by >= 10 distinct accounts — the fixture's
+    identical-content uploads (the empty-string sha256) trip it with
+    count exactly 10."""
+    raw = spark.read.text(
+        os.path.join(TESTDATA, "amo_multimatch", "block1.txt")
+    ).where(~F.col("value").startswith("#"))
+    ev = parse_events(raw, ParserCfg())
+    ups = ev.where(
+        (F.col("fields")["amo_event_type"] == "fileuploadmnt")
+        & F.col("fields")["email"].isNotNull()
+        & F.col("fields")["upload_hash"].isNotNull()
+    ).select(
+        F.col("fields")["upload_hash"].alias("upload_hash"),
+        F.col("fields")["email"].alias("email"),
+    )
+    out = (
+        ups.groupBy("upload_hash")
+        .agg(F.countDistinct("email").alias("n"))
+        .where(F.col("n") >= 10)
+        .collect()
+    )
+    assert len(out) == 1
+    assert out[0]["upload_hash"] == (
+        "sha256:e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+    )
+    assert out[0]["n"] == 10
+
+
+def test_private_relay_forward_reference_golden(spark):
+    """TestCustoms.privateRelayForwardTest (`customs/TestCustoms.java:
+    692-755`): across the two fixture batches, each uid's first-seen
+    (pre-hashed) real_address is the expected state; the later
+    differing hash raises exactly one mismatch per uid with the
+    expected/actual pair from the reference assertions."""
+    from foxsec_pipeline_spark.operators.customs import (
+        private_relay_forward_mismatch,
+    )
+
+    raw = spark.read.text([
+        os.path.join(TESTDATA, "privaterelay", "privaterelay1.txt"),
+        os.path.join(TESTDATA, "privaterelay", "privaterelay2.txt"),
+    ]).where(~F.col("value").startswith("#"))
+    ev = parse_events(raw, ParserCfg())
+    relay = ev.where(
+        (F.col("payload_type") == "private_relay")
+        & F.col("fields")["real_address"].isNotNull()
+    ).select(
+        F.col("fields")["fxa_uid"].alias("uid"),
+        F.col("fields")["real_address"].alias("real_address"),
+        (F.col("fields")["relay_event_type"] == "fxa_rp_event").alias("is_rp"),
+        "timestamp", "event_id",
+    ).localCheckpoint()
+    out = private_relay_forward_mismatch(
+        relay, key="uid", forward_col="real_address",
+        ts="timestamp", order_col="event_id", hash_input=False,
+        rp_predicate=F.col("is_rp"),
+    ).collect()
+    got = {
+        r["uid"]: (r["expected_hash"], r["got_hash"]) for r in out
+    }
+    assert got == {
+        "00000000000000000000000000000000": ("a" * 64, "b" * 64),
+        "11111111111111111111111111111111": ("c" * 64, "d" * 64),
+    }
+    assert len(out) == 2
