@@ -592,3 +592,64 @@ def test_private_relay_forward_reference_golden(spark):
         "11111111111111111111111111111111": ("c" * 64, "d" * 64),
     }
     assert len(out) == 2
+
+
+def test_account_enumeration_reference_golden(spark):
+    """TestCustoms.accountEnumerationWithoutContentServerVarianceTest
+    + WithContentServerVariance (`customs/TestCustoms.java:757-905`):
+    per source in 10-minute windows — total status checks >= 3, ONLY
+    the status endpoint requested, >= 3 distinct accounts probed.
+    Without variance: 10.0.0.1 (mixed success/blocked) and 10.0.0.3
+    (all success) alert with count 3; .2 under threshold, .4 too few
+    distinct accounts, .5 touched other endpoints. With the content
+    server variance view ({10.0.0.2, 10.0.0.3} seen as real browsers),
+    10.0.0.3 is suppressed and only 10.0.0.1 remains."""
+    raw = spark.read.text(
+        os.path.join(TESTDATA, "customs_account_status_abuse1.txt")
+    )
+    ev = parse_events(raw, ParserCfg(xff_trusted_cidrs=["127.0.0.1/32"]))
+    auth = ev.where(F.col("payload_type") == "fxaauth").select(
+        "source_address", "subject_user", "request_path",
+        F.col("fields")["event_summary"].alias("summary"),
+    ).localCheckpoint()
+    status = F.col("summary").isin(
+        "accountStatusCheckSuccess", "accountStatusCheckBlocked"
+    )
+    per_source = (
+        auth.groupBy("source_address")
+        .agg(
+            F.count(F.when(status, 1)).alias("n_status"),
+            F.countDistinct("request_path").alias("n_paths"),
+            F.countDistinct(
+                F.when(status, F.col("subject_user"))
+            ).alias("n_accounts"),
+        )
+        .where(
+            (F.col("n_status") >= 3)
+            & (F.col("n_paths") == 1)
+            & (F.col("n_accounts") >= 3)
+        )
+    )
+    got = {
+        r["source_address"]: r["n_accounts"] for r in per_source.collect()
+    }
+    assert got == {"10.0.0.1": 3, "10.0.0.3": 3}
+
+    # content-server variance leg: IPs seen in fxacontent logs are
+    # real browsers; anti-join suppresses them
+    craw = spark.read.text(
+        os.path.join(TESTDATA, "customs_contentserver.txt")
+    )
+    cev = parse_events(craw, ParserCfg(xff_trusted_cidrs=["127.0.0.1/32"]))
+    variance = (
+        cev.where(F.col("payload_type") == "fxacontent")
+        .select("source_address").distinct()
+    )
+    vset = {r["source_address"] for r in variance.collect()}
+    # the view also carries unrelated browser IPs (192.168.0.x); the
+    # load-bearing members are .2/.3 present and .1 absent
+    assert {"10.0.0.2", "10.0.0.3"} <= vset and "10.0.0.1" not in vset
+    suppressed = per_source.join(
+        F.broadcast(variance), "source_address", "left_anti"
+    ).collect()
+    assert [r["source_address"] for r in suppressed] == ["10.0.0.1"]
