@@ -653,3 +653,110 @@ def test_account_enumeration_reference_golden(spark):
         F.broadcast(variance), "source_address", "left_anti"
     ).collect()
     assert [r["source_address"] for r in suppressed] == ["10.0.0.1"]
+
+
+def test_status_comparator_at_risk_reference_golden(spark):
+    """TestCustoms.statusComparatorTest (`customs/TestCustoms.java:
+    566-633`): an account-status check from a watchlisted address
+    (3.3.3.3) raises the comparator alert for spock and marks the
+    account at-risk; the later login failure for that account (from
+    10.0.1.11) raises login_failure_at_risk_account. uhura's checks
+    come from a non-listed proxy address and kirk was never scanned."""
+    from foxsec_pipeline_spark.operators.detectors import (
+        login_failure_for_at_risk_account,
+        status_comparator_state,
+    )
+
+    addrlist = [
+        line.strip()
+        for line in open(
+            os.path.join(TESTDATA, "customs_status_comparator_address_list.txt")
+        )
+        if line.strip()
+    ]
+    raw = spark.read.text([
+        os.path.join(TESTDATA, "customs_status_comparator1.txt"),
+        os.path.join(TESTDATA, "customs_status_comparator2.txt"),
+    ])
+    ev = parse_events(raw, ParserCfg(xff_trusted_cidrs=["127.0.0.1/32"]))
+    auth = ev.where(F.col("payload_type") == "fxaauth").select(
+        "source_address", "subject_user", "timestamp", "event_id",
+        F.col("fields")["event_summary"].alias("summary"),
+    ).localCheckpoint()
+    comparator_hits = (
+        auth.where(
+            (F.col("summary") == "accountStatusCheckSuccess")
+            & F.col("source_address").isin(addrlist)
+        )
+        .select("source_address", "subject_user", "timestamp")
+        .distinct()
+    )
+    hits = comparator_hits.collect()
+    assert [(r["source_address"], r["subject_user"]) for r in hits] == [
+        ("3.3.3.3", "spock@mozilla.com")
+    ]
+
+    state = status_comparator_state(
+        comparator_hits.select(
+            F.col("subject_user").alias("email"),
+            F.col("source_address").alias("addr"),
+            F.col("timestamp").alias("window_start"),
+        ),
+        account_col="email", addr_col="addr",
+    )
+    failures = auth.where(F.col("summary") == "loginFailure").select(
+        "event_id", F.col("subject_user").alias("email"),
+        "source_address", F.col("timestamp").alias("ts"),
+    )
+    out = login_failure_for_at_risk_account(
+        failures, state, account_col="email",
+        failure_predicate=F.lit(True), ts="ts",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["email"] == "spock@mozilla.com"
+    assert out[0]["source_address"] == "10.0.1.11"
+    assert out[0]["scanned_by"] == "3.3.3.3"
+
+
+def test_activity_monitor_reference_golden(spark):
+    """TestCustoms.activityMonitorTest (`customs/TestCustoms.java:
+    634-690`): all auth activity for accounts on the monitored list
+    alerts, keyed by the classified action — spock@mozilla.com shows
+    1 loginSuccess and 2 loginFailure events across the two fixture
+    batches."""
+    monitored = [
+        line.strip()
+        for line in open(
+            os.path.join(
+                TESTDATA, "customs_activity_for_monitored_accounts_account_list.txt"
+            )
+        )
+        if line.strip()
+    ]
+    raw = spark.read.text([
+        os.path.join(TESTDATA, "customs_activity_for_monitored_accounts1.txt"),
+        os.path.join(TESTDATA, "customs_activity_for_monitored_accounts2.txt"),
+    ])
+    ev = parse_events(raw, ParserCfg())
+    acts = (
+        ev.where(
+            (F.col("payload_type") == "fxaauth")
+            & F.col("subject_user").isin(monitored)
+            # the monitor covers only login activity
+            # (CustomsActivityForMonitoredAccounts.java:63-67)
+            & F.col("fields")["event_summary"].isin(
+                "loginSuccess", "loginFailure"
+            )
+        )
+        .groupBy(
+            F.col("subject_user").alias("email"),
+            F.col("fields")["event_summary"].alias("action"),
+        )
+        .count()
+        .collect()
+    )
+    got = {(r["email"], r["action"]): r["count"] for r in acts}
+    assert got == {
+        ("spock@mozilla.com", "loginSuccess"): 1,
+        ("spock@mozilla.com", "loginFailure"): 2,
+    }
