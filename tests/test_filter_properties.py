@@ -182,16 +182,20 @@ _JUNK_LINES = st.lists(
 )
 @given(lines=_JUNK_LINES)
 def test_parser_total_on_arbitrary_input(spark, lines):
-    """Parse is TOTAL: any junk line lands in the raw fallback (or a
-    real payload if it happens to match a probe) — never an exception,
-    never a dropped row (Parser.java's Raw payload terminates the probe
-    chain the same way). Property-based because the probe cascade has
-    22 branches of regex/JSON paths that hand-written goldens can't
+    """Parse is TOTAL on non-blank input: any junk line lands in the
+    raw fallback (or a real payload if it happens to match a probe) —
+    never an exception, never a dropped row (Parser.java's Raw payload
+    terminates the probe chain the same way). Whitespace-only lines
+    are the one deliberate exception: they carry no event and are
+    dropped at the scan (blank separators / trailing newlines in real
+    log files). Property-based because the probe cascade has 22
+    branches of regex/JSON paths that hand-written goldens can't
     sweep."""
     from foxsec_pipeline_spark.parser.parse import ParserCfg, parse_events
 
     df = spark.createDataFrame([(ln,) for ln in lines], "value string")
     out = parse_events(df, ParserCfg())
     rows = out.select("payload_type").collect()
-    assert len(rows) == len(lines)
+    n_nonblank = sum(1 for ln in lines if ln.strip())
+    assert len(rows) == n_nonblank
     assert all(r.payload_type is not None for r in rows)
