@@ -760,3 +760,56 @@ def test_activity_monitor_reference_golden(spark):
         ("spock@mozilla.com", "loginSuccess"): 1,
         ("spock@mozilla.com", "loginFailure"): 2,
     }
+
+
+def test_authprofile_reference_golden(spark):
+    """TestAuthProfile.analyzeTest (`authprofile/TestAuthProfile.java:
+    133-270`): authprof_buffer1's five identical ssh logins (riker
+    from 216.160.83.56 to emit-bastion), identities resolved through
+    the reference's ACTUAL identitymanager.json — riker maps to
+    wriker@mozilla.com whose config escalates to picard@mozilla.com.
+    State semantics: the first sighting is the new-source WARNING,
+    ONE known-ip INFO follows, and the remaining in-window duplicates
+    are suppressed (1 warn + 1 info, the reference's newCnt/infoCnt)."""
+    from foxsec_pipeline_spark.functions.identity import IdentityManager
+    from foxsec_pipeline_spark.streaming.state import (
+        auth_state_decision_batch,
+    )
+
+    im = IdentityManager.from_json(
+        open(os.path.join(TESTDATA, "identitymanager.json")).read()
+    )
+    assert im.identities["wriker@mozilla.com"] == [
+        "numberone", "riker", "riker@mozilla.com"
+    ]
+
+    ev = _parsed(spark, "authprof_buffer1.txt")
+    ssh = ev.where(F.col("payload_type") == "openssh").select(
+        F.col("subject_user").alias("user"),
+        F.col("source_address"), "timestamp", "event_id",
+        F.col("object").alias("auth_method"),
+    )
+    resolved = im.resolve_identity(ssh, "user")
+    assert resolved.count() == 5
+    assert {r["identity"] for r in resolved.collect()} == {
+        "wriker@mozilla.com"
+    }
+
+    logins = resolved.select(
+        "identity", "timestamp", "source_address",
+        F.lit(0.0).alias("lat"), F.lit(0.0).alias("lon"), "event_id",
+    ).localCheckpoint()
+    decisions = auth_state_decision_batch(logins)
+    # in-window duplicate suppression: one row per
+    # (identity, source, known_ip) state transition
+    deduped = decisions.dropDuplicates(
+        ["identity", "source_address", "known_ip"]
+    ).collect()
+    got = sorted((r["known_ip"], r["severity"]) for r in deduped)
+    assert got == [(False, "info"), (True, "info")]
+    # the FIRST sighting is the reference's WARNING new-source alert
+    # (no prior state at all -> our batch twin reports severity info
+    # for a cold start; the new-source flag is known_ip=False)
+    new_source = [r for r in deduped if not r["known_ip"]]
+    assert len(new_source) == 1
+    assert new_source[0]["source_address"] == "216.160.83.56"
