@@ -813,3 +813,90 @@ def test_authprofile_reference_golden(spark):
     new_source = [r for r in deduped if not r["known_ip"]]
     assert len(new_source) == 1
     assert new_source[0]["source_address"] == "216.160.83.56"
+
+
+def test_gatekeeper_findings_reference_golden(spark):
+    """TestGatekeeper.gatekeeperNoFiltersTest (`gatekeeper/
+    TestGatekeeper.java:49-124`): the GuardDuty sample-findings file
+    (19 findings, account 123456789012 / us-west-2, incl. finding
+    36b59ed2... whose console URL is derivable from region+id) and
+    the ETD sample file (3 findings, indicator audit_log, technique
+    persistence, the three documented project numbers) — 19+3 alerts
+    beside the 5 cfgticks the reference counts to 27."""
+    graw = spark.read.text(
+        os.path.join(
+            TESTDATA, "gatekeeper", "guardduty-sample-findings-default.txt"
+        )
+    )
+    gd = parse_events(graw, ParserCfg()).where(
+        F.col("payload_type") == "guardduty"
+    ).localCheckpoint()
+    assert gd.count() == 19
+    accts = gd.select(
+        F.col("fields")["account_id"].alias("acct"),
+        F.col("fields")["region"].alias("region"),
+    ).distinct().collect()
+    assert [(r["acct"], r["region"]) for r in accts] == [
+        ("123456789012", "us-west-2")
+    ]
+    url = gd.where(
+        F.col("fields")["finding_id"] == "36b59ed2edad8b965a0ee921052cb481"
+    ).select(
+        F.concat(
+            F.lit("https://"), F.col("fields")["region"],
+            F.lit(".console.aws.amazon.com/guardduty/home?region="),
+            F.col("fields")["region"], F.lit("#/findings?fId="),
+            F.col("fields")["finding_id"],
+        ).alias("url")
+    ).collect()
+    assert len(url) == 1
+    assert url[0]["url"] == (
+        "https://us-west-2.console.aws.amazon.com/guardduty/home"
+        "?region=us-west-2#/findings?fId=36b59ed2edad8b965a0ee921052cb481"
+    )
+
+    eraw = spark.read.text(
+        os.path.join(TESTDATA, "gatekeeper", "etd-sample-findings.txt")
+    )
+    etd = parse_events(eraw, ParserCfg()).where(
+        F.col("payload_type") == "etd"
+    ).localCheckpoint()
+    assert etd.count() == 3
+    rows = etd.select(
+        F.col("fields")["indicator"].alias("indicator"),
+        F.col("fields")["technique"].alias("technique"),
+        F.col("fields")["project_number"].alias("pn"),
+    ).collect()
+    assert all(r["indicator"] == "audit_log" for r in rows)
+    assert all(r["technique"] == "persistence" for r in rows)
+    assert {r["pn"] for r in rows} <= {
+        "123456789012", "123456785822", "123456789210"
+    }
+
+
+def test_gatekeeper_duplicate_suppression_reference_golden(spark):
+    """TestGatekeeper.gatekeeperSuppressRepeated*FindingsOneInstant
+    (`TestGatekeeper.java:238-285`): the with-duplicates fixtures
+    repeat one finding id — suppression keyed on the finding identity
+    collapses each to a single alert."""
+    from pyspark.sql import Window
+
+    graw = spark.read.text(
+        os.path.join(
+            TESTDATA, "gatekeeper",
+            "guardduty-sample-findings-with-duplicates.txt",
+        )
+    )
+    gd = parse_events(graw, ParserCfg()).where(
+        F.col("payload_type") == "guardduty"
+    ).select(
+        F.col("fields")["finding_id"].alias("finding_id"),
+        "timestamp", "event_id",
+    ).localCheckpoint()
+    n_raw = gd.count()
+    w = Window.partitionBy("finding_id").orderBy("timestamp", "event_id")
+    deduped = (
+        gd.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    assert n_raw > deduped.count() == gd.select("finding_id").distinct().count()
