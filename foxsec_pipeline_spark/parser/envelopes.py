@@ -197,12 +197,18 @@ WIDE_SCHEMA = T.StructType(
                 ]
             ),
         ),
-        # --- CloudTrail record at top level (parser/Cloudtrail.java)
+        # --- CloudTrail record at top level (parser/Cloudtrail.java;
+        # matcher fields per awsbehavior event_matchers.json shape)
         _s("eventVersion"),
         _s("eventName"),
         _s("eventTime"),
+        _s("eventSource"),
+        _s("recipientAccountId"),
         _s("sourceIPAddress"),
         _s("userAgent"),
+        T.StructField(
+            "requestParameters", T.StructType([_s("userName")])
+        ),
         T.StructField(
             "userIdentity",
             T.StructType(
@@ -210,13 +216,18 @@ WIDE_SCHEMA = T.StructType(
                     _s("type"),
                     _s("userName"),
                     _s("arn"),
+                    _s("invokedBy"),
                     T.StructField(
                         "sessionContext",
                         T.StructType(
                             [
                                 T.StructField(
                                     "sessionIssuer", T.StructType([_s("userName")])
-                                )
+                                ),
+                                T.StructField(
+                                    "attributes",
+                                    T.StructType([_s("mfaAuthenticated")]),
+                                ),
                             ]
                         ),
                     ),

@@ -248,6 +248,18 @@ def cloudtrail_spec() -> PayloadSpec:
             "object": j["eventName"],
             "user_agent": j["userAgent"],
         },
+        extras={
+            # the AwsBehavior matcher field surface
+            # (awsbehavior/CloudtrailMatcher.java; event_matchers.json)
+            "event_name": j["eventName"],
+            "event_source": j["eventSource"],
+            "recipient_account_id": j["recipientAccountId"],
+            "invoked_by": ui["invokedBy"],
+            "mfa_authenticated": ui["sessionContext"]["attributes"][
+                "mfaAuthenticated"
+            ],
+            "request_user_name": j["requestParameters"]["userName"],
+        },
         event_ts=F.to_timestamp(j["eventTime"]),
     )
 

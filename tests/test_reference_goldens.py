@@ -900,3 +900,58 @@ def test_gatekeeper_duplicate_suppression_reference_golden(spark):
         .where(F.col("__rn") == 1)
     )
     assert n_raw > deduped.count() == gd.select("finding_id").distinct().count()
+
+
+def test_aws_behavior_reference_golden(spark):
+    """TestAwsBehavior.matcherTest (`awsbehavior/TestAwsBehavior.java:
+    85-118`): the reference's ACTUAL event_matchers.json over
+    cloudtrail_buffer1.txt — 3 critical alerts: 'IAM action from
+    console without mfa' by picard, and 'access key created' by
+    uhura for guinan (the resource field)."""
+    import json as _json
+
+    from foxsec_pipeline_spark.operators.detectors import aws_behavior_match
+
+    cfg = _json.load(
+        open(os.path.join(TESTDATA, "event_matchers.json"))
+    )["event_matchers"]
+    matchers = [
+        {
+            "description": m["description"],
+            "fields": m["fields"],
+            "resource": m.get("resource"),
+        }
+        for m in cfg
+    ]
+    raw = spark.read.text(os.path.join(TESTDATA, "cloudtrail_buffer1.txt"))
+    ev = parse_events(raw, ParserCfg())
+    ct = ev.where(F.col("payload_type") == "cloudtrail").select(
+        "event_id", "subject_user",
+        F.col("fields")["event_name"].alias("eventName"),
+        F.col("fields")["event_source"].alias("eventSource"),
+        F.col("fields")["recipient_account_id"].alias("recipientAccountId"),
+        F.col("fields")["invoked_by"].alias("invokedBy"),
+        F.col("fields")["mfa_authenticated"].alias("mfaAuthenticated"),
+        F.col("fields")["request_user_name"].alias("requestUserName"),
+    ).localCheckpoint()
+    assert ct.count() == 4  # parseAndWindowTest: 4 cloudtrail events
+    field_cols = {
+        "eventName": "eventName",
+        "eventSource": "eventSource",
+        "recipientAccountId": "recipientAccountId",
+        "userIdentity.invokedBy": "invokedBy",
+        "userIdentity.sessionContext.attributes.mfaAuthenticated":
+            "mfaAuthenticated",
+        "requestParameters.userName": "requestUserName",
+    }
+    out = aws_behavior_match(ct, matchers, field_cols).collect()
+    assert len(out) == 3
+    by_desc = {}
+    for r in out:
+        by_desc.setdefault(r["matcher_description"], []).append(r)
+    mfa = by_desc["IAM action from console without mfa"]
+    assert [r["subject_user"] for r in mfa] == ["picard", "picard"]
+    keys = by_desc["access key created"]
+    assert len(keys) == 1
+    assert keys[0]["subject_user"] == "uhura"
+    assert keys[0]["matched_resource"] == "guinan"
