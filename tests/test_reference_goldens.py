@@ -955,3 +955,82 @@ def test_aws_behavior_reference_golden(spark):
     assert len(keys) == 1
     assert keys[0]["subject_user"] == "uhura"
     assert keys[0]["matched_resource"] == "guinan"
+
+
+def test_watchlist_analyze_reference_golden(spark):
+    """TestPostProcessing.testWatchlistAnalyze (`postprocessing/
+    TestPostProcessing.java:97-190`): re-ingested alerts unpivot
+    their email keys (email/username/identity_key) and ip keys
+    (sourceaddress/sourceaddress_previous) against the watchlist —
+    2 email matches (example@enterprise.com, WARNING -> notify
+    picard@enterprise.com) and 1 ip match (127.0.0.1, CRITICAL ->
+    notify pagerduty@enterprise.com), every escalation citing source
+    alert 0e555555-8df8-4b3d-92dd-24e0e5248534."""
+    schema = (
+        "id string, severity string, category string, summary string, "
+        "metadata array<struct<key:string,value:string>>, timestamp string"
+    )
+    alerts = (
+        spark.read.text(
+            os.path.join(TESTDATA, "watchlist_analyze_buffer1.txt")
+        )
+        .where(F.trim("value") != "")
+        .select(F.from_json("value", schema).alias("a"))
+        .select(
+            F.col("a.id").alias("alert_id"),
+            F.map_from_entries(F.col("a.metadata")).alias("md"),
+        )
+    )
+    kv = alerts.select(
+        "alert_id",
+        F.explode(
+            F.expr(
+                "filter(array("
+                "  named_struct('k', 'email', 'v', md['email'],"
+                "               'kind', 'email'),"
+                "  named_struct('k', 'username', 'v', md['username'],"
+                "               'kind', 'email'),"
+                "  named_struct('k', 'identity_key', 'v', md['identity_key'],"
+                "               'kind', 'email'),"
+                "  named_struct('k', 'sourceaddress', 'v', md['sourceaddress'],"
+                "               'kind', 'ip'),"
+                "  named_struct('k', 'sourceaddress_previous',"
+                "               'v', md['sourceaddress_previous'], 'kind', 'ip')"
+                "), x -> x.v IS NOT NULL)"
+            )
+        ).alias("e"),
+    ).select("alert_id", "e.k", "e.v", "e.kind")
+    watchlist = spark.createDataFrame(
+        [
+            ("ip", "127.0.0.1", "critical", "picard"),
+            ("email", "example@enterprise.com", "warning", "picard"),
+        ],
+        "wl_type string, wl_object string, wl_severity string, wl_created_by string",
+    )
+    notify = F.when(
+        F.col("wl_severity") == "warning", "picard@enterprise.com"
+    ).when(F.col("wl_severity") == "critical", "pagerduty@enterprise.com")
+    out = (
+        kv.join(
+            F.broadcast(watchlist),
+            (F.col("kind") == F.col("wl_type"))
+            & (F.col("v") == F.col("wl_object")),
+        )
+        .select(
+            "alert_id", "k", "v", "kind", "wl_severity",
+            notify.alias("notify_email"),
+        )
+        .collect()
+    )
+    assert len(out) == 3
+    assert all(
+        r["alert_id"] == "0e555555-8df8-4b3d-92dd-24e0e5248534" for r in out
+    )
+    emails = [r for r in out if r["kind"] == "email"]
+    ips = [r for r in out if r["kind"] == "ip"]
+    assert len(emails) == 2 and len(ips) == 1
+    assert all(r["k"] == "identity_key" for r in emails)
+    assert all(r["notify_email"] == "picard@enterprise.com" for r in emails)
+    assert ips[0]["k"] == "sourceaddress"
+    assert ips[0]["v"] == "127.0.0.1"
+    assert ips[0]["notify_email"] == "pagerduty@enterprise.com"
