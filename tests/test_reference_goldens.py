@@ -1034,3 +1034,34 @@ def test_watchlist_analyze_reference_golden(spark):
     assert ips[0]["k"] == "sourceaddress"
     assert ips[0]["v"] == "127.0.0.1"
     assert ips[0]["notify_email"] == "pagerduty@enterprise.com"
+
+
+def test_customs_velocity_reference_golden(spark):
+    """TestCustoms.customsVelocityTest (`customs/TestCustoms.java:
+    282-330`): riker logs in from Milton (216.160.83.56) then London
+    (81.2.69.192) — distance 7740.82 km per the MaxMind test city db.
+    Needs the real mmdb reader; skipped where maxminddb is absent
+    (same gate as test_enrich_geoip_real_mmdb_reference_parity)."""
+    pytest.importorskip("maxminddb")
+    city = os.path.join(TESTDATA, "GeoIP2-City-Test.mmdb")
+    if not os.path.exists(city):
+        pytest.skip("reference mmdb test database not available")
+    from foxsec_pipeline_spark.functions.geo import geo_velocity
+    from foxsec_pipeline_spark.functions.geoip import enrich_geoip
+
+    raw = spark.read.text(os.path.join(TESTDATA, "customs_velocity1.txt"))
+    ev = parse_events(raw, ParserCfg(xff_trusted_cidrs=["127.0.0.1/32"]))
+    logins = ev.where(
+        (F.col("payload_type") == "fxaauth")
+        & (F.col("fields")["event_summary"] == "loginSuccess")
+    ).select(
+        F.col("subject_user").alias("email"),
+        "source_address", "timestamp", "event_id",
+    )
+    geo = enrich_geoip(logins, ip_col="source_address", mmdb_path=city)
+    out = geo_velocity(
+        geo.withColumnRenamed("geo_lat", "lat")
+        .withColumnRenamed("geo_lon", "lon"),
+        key="email", ts="timestamp", max_kmh=800.0,
+    ).collect()
+    assert any(abs(r["km"] - 7740.82) < 1.0 for r in out), out
