@@ -1065,3 +1065,61 @@ def test_customs_velocity_reference_golden(spark):
         key="email", ts="timestamp", max_kmh=800.0,
     ).collect()
     assert any(abs(r["km"] - 7740.82) < 1.0 for r in out), out
+
+
+def test_amo_fxa_abuse_newversion_reference_golden(spark):
+    """TestAmo.amoFxaAbuseNewVersionTest, the reputation-gated legs
+    (`amo/TestAmo.java:61-200` + `FxaAccountAbuseNewVersion.java:
+    185-240`): with iprepd reputation {email kurn=0, locutus=0,
+    ip 255.255.25.25=25}, FXALOGIN events by accounts with reputation
+    <= 50 alert (kurn from 255.255.25.26, locutus from 255.255.25.30)
+    and NEWVERSION/FILEUPLOAD events from the bad IP alert as
+    submission abuse. The iprepd reader becomes a reputation dim
+    broadcast through enrich_reputation's provider seam."""
+    from foxsec_pipeline_spark.functions.enrich import enrich_reputation
+
+    raw = spark.read.text([
+        os.path.join(TESTDATA, "amo_fxaacctabuse_newversion", f"block{i}.txt")
+        for i in (1, 2, 3)
+    ]).where(~F.col("value").startswith("#"))
+    ev = parse_events(raw, ParserCfg())
+    amo = ev.where(F.col("payload_type") == "amodocker").select(
+        "source_address",
+        F.col("fields")["amo_event_type"].alias("etype"),
+        F.col("fields")["email"].alias("email"),
+    ).localCheckpoint()
+
+    reps = {("email", "kurn@mozilla.com"): 0,
+            ("email", "locutus@mozilla.com"): 0,
+            ("ip", "255.255.25.25"): 25}
+
+    def provider_email(s, objects):
+        rows = [(o, r) for (k, o), r in reps.items() if k == "email"]
+        return s.createDataFrame(rows, "object string, reputation int").join(
+            objects, "object", "right"
+        ).na.fill({"reputation": 100})
+
+    logins = enrich_reputation(
+        amo.where(F.col("etype") == "fxalogin"), "email",
+        provider=provider_email,
+    ).where(F.col("reputation") <= 50)
+    got = {
+        (r["email"], r["source_address"]) for r in logins.collect()
+    }
+    assert got == {
+        ("kurn@mozilla.com", "255.255.25.26"),
+        ("locutus@mozilla.com", "255.255.25.30"),
+    }
+
+    def provider_ip(s, objects):
+        rows = [(o, r) for (k, o), r in reps.items() if k == "ip"]
+        return s.createDataFrame(rows, "object string, reputation int").join(
+            objects, "object", "right"
+        ).na.fill({"reputation": 100})
+
+    subs = enrich_reputation(
+        amo.where(F.col("etype").isin("newversion", "fileupload")),
+        "source_address", provider=provider_ip,
+    ).where(F.col("reputation") <= 50)
+    assert {r["source_address"] for r in subs.collect()} == {"255.255.25.25"}
+    assert subs.count() >= 1
