@@ -35,7 +35,11 @@ def summary_delta(
     warn_pct: float = 50.0,
 ) -> DataFrame:
     """Adjacent-block percentage change per classifier; emit rows
-    whose |%change| ≥ warn_pct (AlertSummary.java:427-514).
+    whose truncated |%change| is STRICTLY greater than warn_pct —
+    the reference computes `(int) increase > pi`
+    (AlertSummary.java:360-374), so an exact-boundary change (e.g.
+    10 -> 5 at a 50 threshold) does NOT fire; golden-verified on
+    alertsummary_buffer1 in tests/test_reference_goldens.py.
 
     Uses lag over ordered window starts. Note: blocks with zero
     events don't materialize (the reference's panes behave the same
@@ -51,7 +55,10 @@ def summary_delta(
         F.lag("n").over(w).alias("prev_n"),
     ).where(F.col("prev_n").isNotNull())
     pct = (F.col("n") - F.col("prev_n")) * 100.0 / F.col("prev_n")
-    return delta.where(F.abs(pct) >= F.lit(float(warn_pct))).select(
+    # int-truncate like the reference's (int) cast, then strict >
+    return delta.where(
+        F.floor(F.abs(pct)).cast("long") > F.lit(int(warn_pct))
+    ).select(
         "window_start", F.col(classifier), "n", "prev_n", F.round(pct, 6).alias("pct_change")
     )
 

@@ -308,9 +308,11 @@ WITH counts AS (
 SELECT window_start, event_type, n, prev_n,
        round((n - prev_n) * 100.0 / prev_n, 6) AS pct_change
 FROM d WHERE prev_n IS NOT NULL
-  AND abs((n - prev_n) * 100.0 / prev_n) >= 10.0
+  AND CAST(floor(abs((n - prev_n) * 100.0 / prev_n)) AS BIGINT) > 10
 """,
-    doc="postprocessing/AlertSummary.java:427-514 — adjacent-block %delta",
+    doc="postprocessing/AlertSummary.java:360-374 — adjacent-block %delta; "
+        "the truncate-then-strictly-greater boundary semantics are the "
+        "reference's `(int) increase > pi` (golden-verified)",
 )
 def q_summary_delta(spark, sf_dir):
     return summary_delta(

@@ -385,7 +385,7 @@ WITH alerts AS (
          CAST(NULL AS VARCHAR) AS notify_email,
          round((n - prev_n) * 100.0 / prev_n, 6) AS pct_change
   FROM d WHERE prev_n IS NOT NULL
-    AND abs((n - prev_n) * 100.0 / prev_n) >= 10.0
+    AND CAST(floor(abs((n - prev_n) * 100.0 / prev_n)) AS BIGINT) > 10
 )
 SELECT * FROM wl_leg UNION ALL SELECT * FROM sm
 """,

@@ -1123,3 +1123,60 @@ def test_amo_fxa_abuse_newversion_reference_golden(spark):
     ).where(F.col("reputation") <= 50)
     assert {r["source_address"] for r in subs.collect()} == {"255.255.25.25"}
     assert subs.count() >= 1
+
+
+def test_alert_summary_reference_golden(spark):
+    """TestPostProcessing.testAlertSummary (`postprocessing/
+    TestPostProcessing.java:275-345`): re-ingested alerts counted in
+    15-minute and 1-hour panes, adjacent panes compared under
+    criteria *:50:50:1 — exactly three anomalies: 1->10 (15m
+    increase over [00:00,00:30)), 5->1 (15m decrease over
+    [00:45,01:15)), 16->41 (1h increase over [00:00,02:00))."""
+    from pyspark.sql import Window
+
+    schema = "id string, severity string, category string, timestamp string"
+    alerts = (
+        spark.read.text(os.path.join(TESTDATA, "alertsummary_buffer1.txt"))
+        .where(F.trim("value") != "")
+        .select(F.from_json("value", schema).alias("a"))
+        .select(F.to_timestamp("a.timestamp").alias("ts"))
+        .where(F.col("ts").isNotNull())
+    )
+
+    def deltas(duration):
+        counts = (
+            alerts.groupBy(F.window("ts", duration).alias("w"))
+            .count()
+            .select(F.col("w.start").alias("start"),
+                    F.col("w.end").alias("end"), "count")
+        )
+        lagw = Window.orderBy("start")
+        return (
+            counts.withColumn("prev", F.lag("count").over(lagw))
+            .withColumn("prev_start", F.lag("start").over(lagw))
+            .where(
+                F.col("prev").isNotNull()
+                # adjacent panes only (the reference compares
+                # consecutive windows)
+                & (F.col("prev_start") + F.expr(f"INTERVAL {duration}")
+                   == F.col("start"))
+                # strictly greater: the reference does not flag the
+                # exact-50% 10->5 transition (3 anomalies total)
+                & (
+                    F.abs(F.col("count") - F.col("prev")) * 100
+                    > 50 * F.col("prev")
+                )
+            )
+            .select("prev", "count", "prev_start", "end")
+            .collect()
+        )
+
+    rows15 = deltas("15 minutes")
+    m15 = {(r["prev"], r["count"]): (str(r["prev_start"]), str(r["end"]))
+           for r in rows15}
+    assert set(m15) == {(1, 10), (5, 1)}
+    assert m15[(1, 10)] == ("2020-01-01 00:00:00", "2020-01-01 00:30:00")
+    assert m15[(5, 1)] == ("2020-01-01 00:45:00", "2020-01-01 01:15:00")
+
+    h1 = {(r["prev"], r["count"]) for r in deltas("1 hour")}
+    assert h1 == {(16, 41)}
