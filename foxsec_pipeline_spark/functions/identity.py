@@ -46,7 +46,13 @@ class IdentityManager:
                 for ident, spec in cfg.get("identities", {}).items()
             },
             named_subnets=dict(cfg.get("named_subnets", {})),
-            aws_accounts=dict(cfg.get("aws_accounts", {})),
+            # the reference config key is "aws_account_map"
+            # (identity/IdentityManager.java; verified against the
+            # reference's identitymanager.json) — accept the old
+            # "aws_accounts" spelling too
+            aws_accounts=dict(
+                cfg.get("aws_account_map", cfg.get("aws_accounts", {}))
+            ),
         )
 
     def alias_dim(self, spark: SparkSession) -> DataFrame:

@@ -178,6 +178,63 @@ WIDE_SCHEMA = T.StructType(
                     T.StructField(
                         "src_instance", T.StructType([_s("vm_name")])
                     ),
+                    # CloudTrail wrapped in a Stackdriver jsonPayload —
+                    # how GCP log sinks re-ingest AWS logs; the
+                    # authprof_awscorr fixtures use this shape
+                    # (Parser.java strips the envelope first, so any
+                    # payload family can arrive wrapped)
+                    _s("eventVersion"),
+                    _s("eventName"),
+                    _s("eventSource"),
+                    _s("recipientAccountId"),
+                    _s("sourceIPAddress"),
+                    _s("userAgent"),
+                    T.StructField(
+                        "userIdentity",
+                        T.StructType(
+                            [
+                                _s("type"), _s("userName"), _s("arn"),
+                                _s("invokedBy"), _s("accountId"),
+                                T.StructField(
+                                    "sessionContext",
+                                    T.StructType(
+                                        [
+                                            T.StructField(
+                                                "sessionIssuer",
+                                                T.StructType([_s("userName")]),
+                                            ),
+                                            T.StructField(
+                                                "attributes",
+                                                T.StructType(
+                                                    [_s("mfaAuthenticated")]
+                                                ),
+                                            ),
+                                        ]
+                                    ),
+                                ),
+                            ]
+                        ),
+                    ),
+                    T.StructField(
+                        "requestParameters",
+                        T.StructType(
+                            [_s("userName"), _s("roleArn"),
+                             _s("roleSessionName")]
+                        ),
+                    ),
+                    T.StructField(
+                        "responseElements",
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    "assumedRoleUser",
+                                    T.StructType(
+                                        [_s("arn"), _s("assumedRoleId")]
+                                    ),
+                                )
+                            ]
+                        ),
+                    ),
                 ]
             ),
         ),
@@ -207,7 +264,21 @@ WIDE_SCHEMA = T.StructType(
         _s("sourceIPAddress"),
         _s("userAgent"),
         T.StructField(
-            "requestParameters", T.StructType([_s("userName")])
+            "requestParameters",
+            T.StructType(
+                [_s("userName"), _s("roleArn"), _s("roleSessionName")]
+            ),
+        ),
+        T.StructField(
+            "responseElements",
+            T.StructType(
+                [
+                    T.StructField(
+                        "assumedRoleUser",
+                        T.StructType([_s("arn"), _s("assumedRoleId")]),
+                    )
+                ]
+            ),
         ),
         T.StructField(
             "userIdentity",
@@ -217,6 +288,7 @@ WIDE_SCHEMA = T.StructType(
                     _s("userName"),
                     _s("arn"),
                     _s("invokedBy"),
+                    _s("accountId"),
                     T.StructField(
                         "sessionContext",
                         T.StructType(

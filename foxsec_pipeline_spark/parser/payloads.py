@@ -228,12 +228,48 @@ def openssh_spec() -> PayloadSpec:
 
 def cloudtrail_spec() -> PayloadSpec:
     """AWS CloudTrail record (`parser/Cloudtrail.java`): eventVersion +
-    userIdentity; normalized AUTH for console logins / AssumeRole."""
-    j = F.col("j")
-    ui = F.col("j.userIdentity")
+    userIdentity; normalized AUTH for console logins / AssumeRole.
+    Fields coalesce the top-level record with the Stackdriver-wrapped
+    form (jsonPayload carrying the record — GCP log-sink re-ingestion,
+    the authprof_awscorr fixture shape; the reference peels the
+    envelope first so both arrive identically)."""
+
+    def ct(path: str) -> Column:
+        return F.coalesce(F.col(f"j.{path}"), F.col(f"j.jsonPayload.{path}"))
+
+    return _cloudtrail_spec_from(ct)
+
+
+def _cloudtrail_spec_from(ct) -> PayloadSpec:
+    j = {k: ct(k) for k in (
+        "eventVersion", "eventName", "eventTime", "eventSource",
+        "recipientAccountId", "sourceIPAddress", "userAgent",
+    )}
+    ui = {
+        k: ct(f"userIdentity.{k}") for k in ("userName", "arn", "invokedBy")
+    }
+    ui["sessionContext.sessionIssuer.userName"] = ct(
+        "userIdentity.sessionContext.sessionIssuer.userName"
+    )
+    ui["sessionContext.attributes.mfaAuthenticated"] = ct(
+        "userIdentity.sessionContext.attributes.mfaAuthenticated"
+    )
     return PayloadSpec(
         name="cloudtrail",
-        matcher=j["eventVersion"].isNotNull() & ui.isNotNull(),
+        matcher=(
+            j["eventVersion"].isNotNull()
+            & F.col("j.userIdentity").isNotNull()
+        )
+        | (
+            F.col("j.jsonPayload.eventVersion").isNotNull()
+            & F.col("j.jsonPayload.userIdentity").isNotNull()
+        )
+        | (
+            # STS AssumeRole responses may omit userIdentity.userName
+            # but always carry the role session identity
+            ct("requestParameters.roleSessionName").isNotNull()
+            & ct("eventSource").isNotNull()
+        ),
         normalized_type=F.when(
             j["eventName"].isin("ConsoleLogin", "AssumeRole"),
             F.lit(NORMALIZED_AUTH),
@@ -242,7 +278,7 @@ def cloudtrail_spec() -> PayloadSpec:
             "source_address": j["sourceIPAddress"],
             "subject_user": F.coalesce(
                 ui["userName"],
-                ui["sessionContext"]["sessionIssuer"]["userName"],
+                ui["sessionContext.sessionIssuer.userName"],
                 ui["arn"],
             ),
             "object": j["eventName"],
@@ -255,10 +291,15 @@ def cloudtrail_spec() -> PayloadSpec:
             "event_source": j["eventSource"],
             "recipient_account_id": j["recipientAccountId"],
             "invoked_by": ui["invokedBy"],
-            "mfa_authenticated": ui["sessionContext"]["attributes"][
-                "mfaAuthenticated"
-            ],
-            "request_user_name": j["requestParameters"]["userName"],
+            "mfa_authenticated": ui["sessionContext.attributes.mfaAuthenticated"],
+            "request_user_name": ct("requestParameters.userName"),
+            # AssumeRole correlation surface
+            # (authprofile/AwsAssumeRoleCorrelator.java)
+            "role_arn": ct("requestParameters.roleArn"),
+            "role_session_name": ct("requestParameters.roleSessionName"),
+            "assumed_role_arn": ct("responseElements.assumedRoleUser.arn"),
+            "identity_arn": ui["arn"],
+            "identity_account_id": ct("userIdentity.accountId"),
         },
         event_ts=F.to_timestamp(j["eventTime"]),
     )

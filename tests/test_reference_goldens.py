@@ -1180,3 +1180,101 @@ def test_alert_summary_reference_golden(spark):
 
     h1 = {(r["prev"], r["count"]) for r in deltas("1 hour")}
     assert h1 == {(16, 41)}
+
+
+def test_crit_object_reference_golden(spark):
+    """TestCritObject.critObjectTest (`authprofile/TestCritObject.
+    java:50-135`): SetIamPolicy on the critical object ^projects/test$
+    — riker matches the ignore-user regex and is dropped; laforge's
+    three touches collapse under the sliding session TTL (00:00 and
+    00:15 share a session; 00:45:01 lands one second past the
+    extended 30-minute expiry) to exactly two critical alerts."""
+    from pyspark.sql import Window
+
+    raw = spark.read.text([
+        os.path.join(TESTDATA, "authprof_critobj1.txt"),
+        os.path.join(TESTDATA, "authprof_critobj2.txt"),
+    ])
+    ev = parse_events(raw, ParserCfg())
+    hits = ev.where(
+        (F.col("payload_type") == "gcpaudit")
+        & F.col("object").rlike("^projects/test$")
+        & ~F.col("subject_user").rlike("^riker@mozilla.com$")
+    ).select("subject_user", "object", "source_address", "timestamp")
+    w = Window.partitionBy("subject_user", "object").orderBy("timestamp")
+    sess = (
+        hits.withColumn(
+            "__brk",
+            F.when(
+                F.unix_timestamp("timestamp")
+                - F.unix_timestamp(F.lag("timestamp").over(w)) >= 1800,
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__sid",
+            F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("subject_user", "object", "__sid")
+                .orderBy("timestamp")
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .collect()
+    )
+    assert len(sess) == 2
+    assert all(r["subject_user"] == "laforge@mozilla.com" for r in sess)
+    assert all(r["source_address"] == "216.160.83.56" for r in sess)
+    assert sorted(str(r["timestamp"]) for r in sess) == [
+        "2019-01-01 00:00:00", "2019-01-01 00:45:01",
+    ]
+
+
+def test_aws_assume_role_correlation_reference_golden(spark):
+    """TestAwsAssumeRoleCorrelator.critObjectAwsAssumeRoleCrossAccount
+    (`authprofile/TestAwsAssumeRoleCorrelator.java:57-120`): uhura's
+    AssumeRole into account 999999999999 correlates with the
+    subject-less STS record sharing roleSessionName 12345; the target
+    account maps through the identity manager's aws_account_map to
+    the crit object 'super-important-account' — one critical alert
+    (uhura, super-important-account, 127.0.0.1)."""
+    from foxsec_pipeline_spark.functions.identity import IdentityManager
+    from foxsec_pipeline_spark.operators.customs import assume_role_correlate
+
+    im = IdentityManager.from_json(
+        open(os.path.join(TESTDATA, "identitymanager.json")).read()
+    )
+    raw = spark.read.text([
+        os.path.join(TESTDATA, "authprof_awscorr1a.txt"),
+        os.path.join(TESTDATA, "authprof_awscorr1b.txt"),
+    ])
+    ev = parse_events(raw, ParserCfg())
+    ct = ev.where(F.col("payload_type") == "cloudtrail").select(
+        "event_id", "timestamp", "subject_user", "source_address",
+        F.col("fields")["role_session_name"].alias("session_name"),
+        F.regexp_extract(
+            F.col("fields")["role_arn"], r"arn:aws:iam::(\d+):", 1
+        ).alias("target_account"),
+    ).localCheckpoint()
+    resolved = assume_role_correlate(
+        ct, key="session_name",
+        provider_predicate=F.col("subject_user").isNotNull(),
+        consumer_predicate=F.col("subject_user").isNull(),
+        subject_col="subject_user", ts="timestamp",
+    )
+    account_name = F.create_map(
+        *[x for k, v in im.aws_accounts.items() for x in (F.lit(k), F.lit(v))]
+    )[F.col("target_account")]
+    out = resolved.select(
+        "resolved_subject", "source_address",
+        account_name.alias("object"),
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["resolved_subject"] == "uhura"
+    assert out[0]["source_address"] == "127.0.0.1"
+    assert out[0]["object"] == "super-important-account"
