@@ -1278,3 +1278,50 @@ def test_aws_assume_role_correlation_reference_golden(spark):
     assert out[0]["resolved_subject"] == "uhura"
     assert out[0]["source_address"] == "127.0.0.1"
     assert out[0]["object"] == "super-important-account"
+
+
+def test_parser_metrics_mixed_input_reference_golden(spark):
+    """TestParserMetrics.testSimplexParserMetrics (`parser/
+    TestParserMetrics.java:45-95`): the mixed-input fixture's 11 lines
+    classify to exactly the reference's per-family counter map —
+    GLB 1, OPENSSH 5, RAW 1, FXAAUTH 1, GUARDDUTY 1, CLOUDTRAIL 1,
+    GCPAUDIT 1."""
+    raw = spark.read.text(
+        os.path.join(TESTDATA, "parsermetrics_mixedinput.txt")
+    )
+    ev = parse_events(raw, ParserCfg())
+    got = {
+        r["payload_type"]: r["count"]
+        for r in ev.groupBy("payload_type").count().collect()
+    }
+    assert got == {
+        "glb": 1, "openssh": 5, "raw": 1, "fxaauth": 1,
+        "guardduty": 1, "cloudtrail": 1, "gcpaudit": 1,
+    }
+
+
+def test_account_creation_abuse_reference_golden(spark):
+    """TestCustoms.accountCreationAbuseTest (`customs/TestCustoms.
+    java:70-140`): threshold 3 on per-source account creations in a
+    10-minute window — 216.160.83.56 created 3 accounts (dot-alias
+    variants of user@mail.com) and alerts with count 3; 1.2.3.4's two
+    creations stay under threshold; the login-failure line is not a
+    creation."""
+    raw = spark.read.text(
+        os.path.join(TESTDATA, "customs_createacctabuse.txt")
+    )
+    ev = parse_events(raw, ParserCfg(xff_trusted_cidrs=["127.0.0.1/32"]))
+    created = ev.where(
+        F.col("fields")["event_summary"] == "accountCreateSuccess"
+    )
+    out = (
+        created.groupBy(
+            F.window("timestamp", "10 minutes"), "source_address"
+        )
+        .count()
+        .where(F.col("count") >= 3)
+        .collect()
+    )
+    assert len(out) == 1
+    assert out[0]["source_address"] == "216.160.83.56"
+    assert out[0]["count"] == 3
