@@ -433,20 +433,25 @@ def assume_role_correlate(
 ) -> DataFrame:
     """J6 AwsAssumeRoleCorrelator: within a per-key session, consumer
     events (sts:GetCallerIdentity — no usable subject) inherit the
-    subject of the most recent provider event (AssumeRole) in the same
+    subject of the latest provider event (AssumeRole) in the same
     session (`authprofile/AwsAssumeRoleCorrelator.java:47-180`,
     default 120 s gap).
 
-    Output: the consumer rows with `resolved_subject`. This is the
-    reference's only interval-join-shaped operator; expressed as a
-    last(ignorenulls) running value over the sessionized stream — one
-    shuffle on the key, no join.
+    Resolution is ORDER-FREE within the session — the reference
+    groups the whole session and picks the trusted/trusting events by
+    predicate (`:84-140` FixUpNormalized), so a consumer inherits
+    even when it carries the same timestamp as (or sorts before) its
+    provider; the golden fixture's two records share one eventTime
+    (tests/test_reference_goldens.py). Expressed as last(ignorenulls)
+    over the FULL session frame — one shuffle on the key, no join.
+
+    Output: the consumer rows with `resolved_subject`.
     """
     s = sessionize(df.where(provider_predicate | consumer_predicate), key, ts, gap)
     w = (
         Window.partitionBy(key, "session_id")
         .orderBy(ts, "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     resolved = s.withColumn(
         "resolved_subject",

@@ -170,15 +170,18 @@ WITH src AS (
   SELECT event_id, user_id, ts, event_type,
          last_value(CASE WHEN event_type = 'signup' THEN props END IGNORE NULLS)
            OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) AS resolved_subject
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS resolved_subject
   FROM s
 )
 SELECT event_id, user_id, ts, resolved_subject
 FROM r WHERE event_type = 'view' AND resolved_subject IS NOT NULL
 """,
     doc="J6 authprofile/AwsAssumeRoleCorrelator.java:47-180 — session "
-        "co-occurrence: consumer events inherit the latest provider "
-        "subject in-session (running last-ignorenulls, no join)",
+        "co-occurrence: consumer events inherit the session's latest "
+        "provider subject, ORDER-FREE within the session (the "
+        "reference groups then resolves by predicate, :84-140) — "
+        "full-frame last-ignorenulls, no join",
 )
 def q_assume_role(spark, sf_dir):
     ev = _events(spark, sf_dir)
