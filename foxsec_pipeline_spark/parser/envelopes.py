@@ -92,6 +92,9 @@ WIDE_SCHEMA = T.StructType(
         _s("timestamp"),
         _s("receiveTimestamp"),
         _s("logName"),
+        # user labels map (LogEntry.labels — the Stackdriver label
+        # filter surface, HTTPRequestToggles stackdriverLabelFilters)
+        T.StructField("labels", T.MapType(T.StringType(), T.StringType())),
         T.StructField(
             "resource",
             T.StructType(

@@ -197,6 +197,7 @@ def parse_events(
         norm_type.alias("normalized_type"),
         *[c.alias(f) for c, f in zip(picks, _NORM_FIELDS)],
         F.col("sd_project").alias("project_id"),
+        F.col("j.labels").alias("labels"),
         (F.col("resource") if "resource" in df.columns else F.lit(None).cast("string")).alias(
             "resource"
         ),

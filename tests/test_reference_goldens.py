@@ -1325,3 +1325,39 @@ def test_account_creation_abuse_reference_golden(spark):
     assert len(out) == 1
     assert out[0]["source_address"] == "216.160.83.56"
     assert out[0]["count"] == 3
+
+
+def test_standard_filters_reference_golden(spark):
+    """TestFilter (`httprequest/TestFilter.java:31-190`): the P6/P8
+    standard filter surface over the reference's own fixtures —
+    project filter (3 -> 1), label filter env:holodeck (3 -> 2), CIDR
+    exclusion via cidrutil2.txt (3 -> 2), and include-host regex over
+    the urlhostfilter fixture (4 -> 2 -> 0)."""
+    from foxsec_pipeline_spark.functions.net import cidr_in_any
+
+    ev = _parsed(spark, "httpreq_filter.txt").localCheckpoint()
+    assert ev.count() == 3
+    assert ev.where(F.col("project_id") == "test").count() == 1
+    assert ev.where(F.col("labels")["env"] == "holodeck").count() == 2
+    cidrs = [
+        line.strip()
+        for line in open(os.path.join(TESTDATA, "cidrutil2.txt"))
+        if line.strip()
+    ]
+    kept = ev.where(
+        ~F.coalesce(cidr_in_any(F.col("source_address"), cidrs), F.lit(False))
+    )
+    assert kept.count() == 2
+
+    hv = _parsed(spark, "httpreq_urlhostfilter.txt").localCheckpoint()
+    assert hv.count() == 4
+    inc = hv.where(
+        F.col("request_host").rlike("wontmatch")
+        | F.col("request_host").rlike("^send\\..*")
+    )
+    assert inc.count() == 2
+    none = hv.where(
+        F.col("request_host").rlike("wontmatch")
+        | F.col("request_host").rlike("wontmatch2")
+    )
+    assert none.count() == 0
