@@ -86,3 +86,97 @@ def violations_from_alerts(alerts: DataFrame) -> DataFrame:
             F.col("alert_id"),
         )
     )
+
+
+# subcategory -> [(indicator kind, iprepd violation name)] — the
+# reference's full generator map (Violation.java:180-235) with the
+# enum's actual wire names (Violation.java:30-85; note
+# USERAGENT_BLOCKLIST and STATUS_CODE_RATE share "violation20",
+# PER_ENDPOINT is "violation75", SESSION_LIMIT "violation10_limited")
+VIOLATION_GENERATOR_MAP: dict[str, list[tuple[str, str]]] = {
+    # HTTPRequest
+    "error_rate": [("ip", "client_error_rate_violation")],
+    "threshold_analysis": [("ip", "request_threshold_violation")],
+    "endpoint_abuse": [("ip", "endpoint_abuse_violation")],
+    "useragent_blocklist": [("ip", "violation20")],
+    "hard_limit": [("ip", "hard_limit_violation")],
+    "per_endpoint_error_rate": [("ip", "violation75")],
+    "status_code_rate_analysis": [("ip", "violation20")],
+    "session_limit_analysis": [("ip", "violation10_limited")],
+    # Customs
+    "account_creation_abuse": [("email", "abusive_account_violation")],
+    # AMO
+    "fxa_account_abuse_new_version_login": [("ip", "endpoint_abuse_violation")],
+    "fxa_account_abuse_new_version_submission": [
+        ("ip", "endpoint_abuse_violation")
+    ],
+    "fxa_account_abuse_new_version_login_banpattern": [
+        ("email", "abusive_account_violation")
+    ],
+    "fxa_account_abuse_alias": [("email", "abusive_account_violation")],
+    "amo_abuse_matched_addon": [
+        ("ip", "endpoint_abuse_violation"),
+        ("email", "abusive_account_violation"),
+    ],
+    "amo_abuse_multi_match": [("email", "abusive_account_violation")],
+    "amo_abuse_multi_submit": [("email", "abusive_account_violation")],
+    "amo_abuse_multi_ip_login": [("email", "abusive_account_violation")],
+}
+
+
+def violations_by_generator_map(
+    alerts: DataFrame,
+    subcategory_col: str = "subcategory",
+    ip_col: str = "source_address",
+    email_col: str = "email",
+    generator_map: dict[str, list[tuple[str, str]]] | None = None,
+) -> DataFrame:
+    """Alert -> iprepd Violation rows via the reference's
+    subcategory-keyed generator map (`Violation.java:100-235,344`):
+    per subcategory, an ip violation from the source address and/or
+    one email violation per address in the EMAIL metadata list.
+    Unknown subcategories generate nothing (fromAlert returns null).
+    Golden-verified on the iprepdio fixtures in
+    tests/test_reference_goldens.py.
+
+    Shape: one array-of-structs literal per row filtered to non-null
+    objects, exploded — a map-side projection, no joins; the emitter
+    seam (`CompositeOutput.emitters`) ships the rows."""
+    gm = generator_map or VIOLATION_GENERATOR_MAP
+    branches = None
+    for subcat, gens in gm.items():
+        entries = []
+        for kind, vname in gens:
+            if kind == "ip":
+                entries.append(
+                    F.named_struct(
+                        F.lit("object"), F.col(ip_col),
+                        F.lit("type"), F.lit("ip"),
+                        F.lit("violation"), F.lit(vname),
+                    )
+                )
+            else:
+                entries.append(
+                    F.named_struct(
+                        F.lit("object"), F.col(email_col),
+                        F.lit("type"), F.lit("email"),
+                        F.lit("violation"), F.lit(vname),
+                    )
+                )
+        arr = F.filter(
+            F.array(*entries), lambda x: x["object"].isNotNull()
+        )
+        cond = F.col(subcategory_col) == subcat
+        branches = (
+            F.when(cond, arr) if branches is None else branches.when(cond, arr)
+        )
+    return (
+        alerts.withColumn("__v", F.explode(branches))
+        .select(
+            F.col("__v.object").alias("object"),
+            F.col("__v.type").alias("type"),
+            F.col("__v.violation").alias("violation"),
+            "*",
+        )
+        .drop("__v")
+    )

@@ -1361,3 +1361,43 @@ def test_standard_filters_reference_golden(spark):
         | F.col("request_host").rlike("wontmatch2")
     )
     assert none.count() == 0
+
+
+def test_iprepd_violation_projection_reference_golden(spark):
+    """TestIprepdIO.iprepdIOTestWrite (`TestIprepdIO.java:90-128`):
+    the amo_abuse_matched_addon alert in iprepdio1.txt generates BOTH
+    an ip endpoint_abuse_violation for 99.99.99.1 and an email
+    abusive_account_violation for testiprepdio1@mozilla.com (the
+    custom matched-addon generator) — the submissions that drive the
+    reference's observed 100->50 and 100->0 reputation drops, while
+    127.0.0.1 receives none."""
+    from foxsec_pipeline_spark.sinks.output import (
+        violations_by_generator_map,
+    )
+
+    schema = (
+        "id string, severity string, category string, summary string, "
+        "metadata array<struct<key:string,value:string>>, timestamp string"
+    )
+    alerts = (
+        spark.read.text(os.path.join(TESTDATA, "iprepdio1.txt"))
+        .where(F.trim("value") != "")
+        .select(F.from_json("value", schema).alias("a"))
+        .select(
+            F.col("a.id").alias("alert_id"),
+            F.map_from_entries(F.col("a.metadata")).alias("md"),
+        )
+        .select(
+            "alert_id",
+            F.col("md")["category"].alias("subcategory"),
+            F.col("md")["sourceaddress"].alias("source_address"),
+            F.col("md")["email"].alias("email"),
+        )
+    )
+    out = violations_by_generator_map(alerts).collect()
+    got = {(r["object"], r["type"], r["violation"]) for r in out}
+    assert got == {
+        ("99.99.99.1", "ip", "endpoint_abuse_violation"),
+        ("testiprepdio1@mozilla.com", "email", "abusive_account_violation"),
+    }
+    assert all(r["object"] != "127.0.0.1" for r in out)
