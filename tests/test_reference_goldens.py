@@ -1401,3 +1401,58 @@ def test_iprepd_violation_projection_reference_golden(spark):
         ("testiprepdio1@mozilla.com", "email", "abusive_account_violation"),
     }
     assert all(r["object"] != "127.0.0.1" for r in out)
+
+
+def test_multiplex_multi_resource_reference_golden(spark):
+    """TestMulti.testMulti1 (`httprequest/TestMulti.java:38-118` +
+    httpreq_multi1.json): a MULTIPLEX input — resource1 reads the
+    errorrate fixture through its own parser config (fast matcher
+    'prod-send'), resource2 the hardlimit fixture — each leg runs its
+    per-resource toggles. With NAT detection on, resource2's
+    hard-limit alerts collapse from three sources to ONE (192.168.1.4
+    and .5 show multiple user agents behind one IP and are NAT
+    suppressed); resource1 yields the single 35-error alert. Alerts
+    carry their MONITORED_RESOURCE tag."""
+    from foxsec_pipeline_spark.sources.input import InputElement, InputSpec
+
+    spec = InputSpec(
+        elements=[
+            InputElement(
+                name="resource1",
+                path=os.path.join(TESTDATA, "httpreq_errorrate1.txt"),
+                parser_cfg=ParserCfg(fast_matcher="prod-send"),
+            ),
+            InputElement(
+                name="resource2",
+                path=os.path.join(TESTDATA, "httpreq_hardlimit1.txt"),
+                parser_cfg=ParserCfg(),
+            ),
+        ]
+    )
+    ev = spec.read_parsed(spark).localCheckpoint()
+
+    r1 = ev.where(F.col("resource") == "resource1")
+    er = error_rate_analysis(
+        r1, key="source_address",
+        error_predicate=F.col("request_status").between(400, 499),
+        ts="timestamp", duration="1 minute", max_errors=30,
+    ).collect()
+    assert len(er) == 1
+    assert er[0]["source_address"] == "10.0.0.1"
+    assert er[0]["error_count"] == 35
+
+    r2 = ev.where(F.col("resource") == "resource2")
+    hl = hard_limit_analysis(
+        r2, key="source_address", ts="timestamp",
+        duration="1 minute", max_count=10,
+    )
+    nat = detect_nat(
+        r2, key="source_address", diversity_col="user_agent",
+        ts="timestamp", duration="1 minute", min_distinct=2,
+    ).select("window_start", "source_address")
+    suppressed = hl.join(
+        F.broadcast(nat), ["window_start", "source_address"], "left_anti"
+    ).collect()
+    assert len(suppressed) == 1
+    assert suppressed[0]["source_address"] == "192.168.1.2"
+    assert suppressed[0]["count"] == 11
