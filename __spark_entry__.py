@@ -37,6 +37,13 @@ _VERIFY_FIRST = [
     # closes the gate (VERDICT "Next round" #1)
     "account_creation_dist", "dedup_ngram_jaccard",
     "account_enumeration", "dedup_embedding_cosine",
+    # SEMANTICS CHANGED late in round 3 (reference-fixture golden
+    # program found divergences; implementations + oracles rewritten)
+    # — these MUST get driver rows for their current form:
+    "status_code_rate_analysis", "password_reset_abuse",
+    "endpoint_abuse_analysis", "customs_pipeline",
+    "alert_summary_delta", "postprocessing_pipeline",
+    "assume_role_correlate", "private_relay_forward",
     # changed in round 3 (trained IVF codebook; simhash
     # materialization rework) —
     "ann_cosine_ivf", "dedup_simhash",
@@ -62,17 +69,17 @@ _VERIFY_FIRST = [
     # oldest driver evidence next: these were green in r1 and were NOT
     # re-checked by r2's 50-query prefix (r1 ∪ r2 ∪ r3 stays total)
     "threshold_analysis", "hard_limit_analysis", "error_rate_analysis",
-    "status_code_rate_analysis", "detect_nat", "endpoint_sequence_abuse",
-    "session_analysis", "endpoint_abuse_analysis", "alert_summary_delta",
+    "detect_nat", "endpoint_sequence_abuse",
+    "session_analysis",
     "alert_summary_sliding", "source_correlation", "event_filter_dsl",
     "cidr_exclusion", "geo_velocity", "levenshtein_similarity",
     "ua_blocklist", "alert_suppression", "authprofile_parse_filters",
     "crit_object_analyze", "identity_resolution", "customs_features",
-    "multi_ip_login", "assume_role_correlate", "private_relay_forward",
+    "multi_ip_login",
     "watchlist_match", "guardduty_finding_matcher", "addon_multi_match",
     "fxa_alias_abuse", "pioneer_exfil_sessions", "customs_summary",
     "email_normalize", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "ann_cosine_topk", "ann_cosine_lsh",
+    "ann_cosine_topk", "ann_cosine_lsh",
     "text_stats", "text_quality",
     # representative r2-green coverage fills the remainder
     "parse_normalize", "global_stats",
