@@ -1456,3 +1456,51 @@ def test_multiplex_multi_resource_reference_golden(spark):
     assert len(suppressed) == 1
     assert suppressed[0]["source_address"] == "192.168.1.2"
     assert suppressed[0]["count"] == 11
+
+
+def test_authprofile_mixed_reference_golden(spark):
+    """TestAuthProfile.analyzeMixedTest (`authprofile/TestAuthProfile.
+    java:276-360`): mixed openssh + gcpaudit + cloudtrail input.
+    riker resolves to wriker@mozilla.com across BOTH payload types
+    (ssh alias 'riker', gcpaudit alias 'riker@mozilla.com'), giving
+    two new-source alerts (216.160.83.56 then 127.0.0.1) and one
+    deduped known-ip info; laforge@mozilla.com is untracked (no
+    identity) and informational; the ConsoleLogin's 'AWS Internal'
+    source fails IP validation and produces no state decision —
+    exactly the reference's 2 new + 2 info."""
+    from foxsec_pipeline_spark.functions.identity import IdentityManager
+    from foxsec_pipeline_spark.streaming.state import (
+        auth_state_decision_batch,
+    )
+
+    im = IdentityManager.from_json(
+        open(os.path.join(TESTDATA, "identitymanager.json")).read()
+    )
+    ev = _parsed(spark, "authprof_buffer2.txt")
+    auth = ev.where(
+        F.col("payload_type").isin("openssh", "gcpaudit", "cloudtrail")
+        # the reference's parse filters require a usable source
+        # address; 'AWS Internal' is not an IP
+        & F.col("source_address").rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    ).select("subject_user", "source_address", "timestamp", "event_id")
+    resolved = im.resolve_identity(auth, "subject_user").localCheckpoint()
+
+    untracked = resolved.where(F.col("identity").isNull()).collect()
+    assert len(untracked) == 1
+    assert untracked[0]["subject_user"] == "laforge@mozilla.com"
+    assert untracked[0]["source_address"] == "127.0.0.1"
+
+    logins = resolved.where(F.col("identity").isNotNull()).select(
+        "identity", "timestamp", "source_address",
+        F.lit(0.0).alias("lat"), F.lit(0.0).alias("lon"), "event_id",
+    )
+    decisions = auth_state_decision_batch(logins).dropDuplicates(
+        ["identity", "source_address", "known_ip"]
+    ).collect()
+    new_sources = sorted(
+        r["source_address"] for r in decisions if not r["known_ip"]
+    )
+    known = [r for r in decisions if r["known_ip"]]
+    assert new_sources == ["127.0.0.1", "216.160.83.56"]  # 2 new
+    assert len(known) == 1  # + untracked above = the 2 infos
+    assert all(r["identity"] == "wriker@mozilla.com" for r in decisions)
