@@ -137,13 +137,26 @@ def minhash_signature_universal(shingle_hashes: Column, num_hashes: int = 8) -> 
     return F.array(*[_perm_min(i) for i in range(num_hashes)])
 
 
+def normalize_email_plus(email: Column) -> Column:
+    """Reference-exact +alias strip (`MiscUtil.java:31-50`
+    normalizeEmailPlus): the + must not be the FIRST character, the
+    @ must follow the +, and at least one character must follow the
+    @ — otherwise the input passes through unchanged. No lowercasing
+    (`normalize_email` adds that as a documented extension). Every
+    TestMiscUtil edge case is asserted in
+    tests/test_reference_goldens.py."""
+    return F.regexp_replace(
+        email, r"^([^+@][^+@]*)\+[^@]*@(.+)$", r"$1@$2"
+    )
+
+
 def normalize_email_plus_dot_strip(email: Column) -> Column:
     """Strip the +alias AND all dots from the local part
     (`MiscUtil.java:61-76` normalizeEmailPlusDotStrip — the
     gmail-style normalization the AMO alias-abuse detector keys on;
     the reference warns it is provider-specific, so it is a separate
     function from `normalize_email`). Dots survive in the domain."""
-    plus_stripped = F.regexp_replace(email, r"\+[^@]*@", "@")
+    plus_stripped = normalize_email_plus(email)
     local = F.regexp_extract(plus_stripped, r"^([^@]*)@", 1)
     domain = F.regexp_extract(plus_stripped, r"@(.*)$", 1)
     normalized = F.concat(F.regexp_replace(local, r"\.", ""), F.lit("@"), domain)

@@ -1504,3 +1504,59 @@ def test_authprofile_mixed_reference_golden(spark):
     assert new_sources == ["127.0.0.1", "216.160.83.56"]  # 2 new
     assert len(known) == 1  # + untracked above = the 2 infos
     assert all(r["identity"] == "wriker@mozilla.com" for r in decisions)
+
+
+def test_email_normalization_edge_cases_reference_golden(spark):
+    """TestMiscUtil (`TestMiscUtil.java:10-44`): every documented edge
+    case of normalizeEmailPlus and normalizeEmailPlusDotStrip —
+    leading '+', trailing '@', repeated '+', dot-only local parts —
+    byte-for-byte."""
+    from foxsec_pipeline_spark.functions.text import (
+        normalize_email_plus,
+        normalize_email_plus_dot_strip,
+    )
+
+    plus_cases = [
+        ("test@mozilla.com", "test@mozilla.com"),
+        ("test+x@mozilla.com", "test@mozilla.com"),
+        ("test+x+x@mozilla.com", "test@mozilla.com"),
+        ("test+@mozilla.com", "test@mozilla.com"),
+        ("+@mozilla.com", "+@mozilla.com"),
+        ("test", "test"),
+        ("test@", "test@"),
+        ("test+x@", "test+x@"),
+        ("+", "+"),
+        ("", ""),
+    ]
+    dot_cases = [
+        ("test@mozilla.com", "test@mozilla.com"),
+        ("test.@mozilla.com", "test@mozilla.com"),
+        ("test.+x@mozilla.com", "test@mozilla.com"),
+        ("test.+@mozilla.com", "test@mozilla.com"),
+        ("test+test.test@mozilla.com", "test@mozilla.com"),
+        (".@mozilla.com", ".@mozilla.com"),
+        ("..@mozilla.com", "..@mozilla.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(plus_cases)], "i int, email string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", normalize_email_plus(F.col("email")).alias("n")
+        ).collect()
+    }
+    for i, (inp, want) in enumerate(plus_cases):
+        assert got[i] == want, f"normalize_email_plus({inp!r})"
+
+    df2 = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(dot_cases)], "i int, email string"
+    )
+    got2 = {
+        r["i"]: r["n"]
+        for r in df2.select(
+            "i", normalize_email_plus_dot_strip(F.col("email")).alias("n")
+        ).collect()
+    }
+    for i, (inp, want) in enumerate(dot_cases):
+        assert got2[i] == want, f"normalize_email_plus_dot_strip({inp!r})"
