@@ -45,7 +45,13 @@ class IdentityManager:
                 ident: list(spec.get("aliases", []))
                 for ident, spec in cfg.get("identities", {}).items()
             },
-            named_subnets=dict(cfg.get("named_subnets", {})),
+            # a named subnet may be one CIDR string or a list
+            # (identitymanager.json uses the scalar form:
+            # "office": "fd00:0:0:0:0:0:0:0/48")
+            named_subnets={
+                name: [v] if isinstance(v, str) else list(v)
+                for name, v in cfg.get("named_subnets", {}).items()
+            },
             # the reference config key is "aws_account_map"
             # (identity/IdentityManager.java; verified against the
             # reference's identitymanager.json) — accept the old

@@ -1560,3 +1560,58 @@ def test_email_normalization_edge_cases_reference_golden(spark):
     }
     for i, (inp, want) in enumerate(dot_cases):
         assert got2[i] == want, f"normalize_email_plus_dot_strip({inp!r})"
+
+
+def test_authprofile_named_subnets_reference_golden(spark):
+    """TestAuthProfile.analyzeNamedSubnetsTest (`authprofile/
+    TestAuthProfile.java:464-533`): riker logs in from two addresses
+    inside the 'office' named subnet (fd00::/48 in the identity
+    config) and one outside (aaaa::1). State keys on the subnet NAME
+    for members, so the second fd00 address is already-known — the
+    outcome is exactly two new-source alerts: one with entry key
+    'office', one keyed by the raw aaaa address."""
+    from pyspark.sql import Window
+
+    from foxsec_pipeline_spark.functions.identity import IdentityManager
+
+    im = IdentityManager.from_json(
+        open(os.path.join(TESTDATA, "identitymanager.json")).read()
+    )
+    ev = _parsed(spark, "authprof_buffer3.txt")
+    ssh = ev.where(F.col("payload_type") == "openssh").select(
+        F.col("subject_user").alias("user"),
+        "source_address", "timestamp", "event_id",
+    )
+    resolved = im.resolve_identity(ssh, "user").withColumn(
+        "entry_key",
+        F.when(
+            im.subnet_membership(F.col("source_address"), "office"),
+            F.lit("office"),
+        ).otherwise(F.col("source_address")),
+    ).localCheckpoint()
+    assert {r["identity"] for r in resolved.collect()} == {
+        "wriker@mozilla.com"
+    }
+    w = Window.partitionBy("identity", "entry_key").orderBy(
+        "timestamp", "source_address", "event_id"
+    )
+    decided = (
+        resolved.withColumn("__rn", F.row_number().over(w))
+        .withColumn("is_new", F.col("__rn") == 1)
+        .collect()
+    )
+    new = sorted(
+        (r["entry_key"], r["source_address"]) for r in decided if r["is_new"]
+    )
+    assert len(new) == 2
+    assert new[0][0] == "aaaa:0:0:0:0:0:0:1" or new[0][0].startswith("aaaa")
+    assert new[1][0] == "office"
+    # the already-seen rows: both fd00::2 logins collapse under the
+    # office entry key (the load-bearing subnet behavior — a DIFFERENT
+    # address in the same named subnet is not a new source); the
+    # repeated aaaa login is known under its raw address key
+    known = [r for r in decided if not r["is_new"]]
+    office_known = [r for r in known if r["entry_key"] == "office"]
+    assert {r["source_address"] for r in office_known} == {
+        "fd00:0:0:0:0:0:0:2"
+    }
