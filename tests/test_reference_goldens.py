@@ -1615,3 +1615,34 @@ def test_authprofile_named_subnets_reference_golden(spark):
     assert {r["source_address"] for r in office_known} == {
         "fd00:0:0:0:0:0:0:2"
     }
+
+
+def test_customs_features_combine_reference_golden(spark):
+    """TestCustomsFeatures.testCustomsFeaturesCombine (`customs/
+    TestCustomsFeatures.java:31-83`): fxaauth events keyed per source
+    combine into feature rows — 10.0.0.1 with 5 events, exactly one
+    unique path (all 5 to /v1/password/forgot/send_code, all
+    successful); 10.0.0.2 with 4 events; no other keys."""
+    from foxsec_pipeline_spark.operators.customs import features_combine
+
+    raw = spark.read.text(
+        os.path.join(TESTDATA, "customs_abuse_password_reset1.txt")
+    )
+    ev = parse_events(raw, ParserCfg(xff_trusted_cidrs=["127.0.0.1/32"]))
+    auth = ev.where(F.col("payload_type") == "fxaauth").select(
+        "source_address", "timestamp", "event_id",
+        F.col("request_path").alias("path"),
+        F.col("request_status").alias("status"),
+    )
+    feats = features_combine(
+        auth, key="source_address", type_col="path", path_col="path",
+        ts="timestamp", duration="10 minutes",
+        success_predicate=F.col("status") == 200,
+    ).collect()
+    by_key = {r["source_address"]: r for r in feats}
+    assert set(by_key) == {"10.0.0.1", "10.0.0.2"}
+    a = by_key["10.0.0.1"]
+    assert a["total_events"] == 5
+    assert a["n_paths"] == 1
+    assert a["n_success_paths"] == 1
+    assert by_key["10.0.0.2"]["total_events"] == 4
