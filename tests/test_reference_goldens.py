@@ -1646,3 +1646,52 @@ def test_customs_features_combine_reference_golden(spark):
     assert a["n_paths"] == 1
     assert a["n_success_paths"] == 1
     assert by_key["10.0.0.2"]["total_events"] == 4
+
+
+def test_customs_features_email_key_reference_golden(spark):
+    """TestCustomsFeatures.testCustomsFeaturesEmailKeyLoginFailure
+    (`customs/TestCustomsFeatures.java:85-150`): email-keyed feature
+    rows over the badlogin fixture — kirk: 12 events, 12 classified
+    login failures, 10 distinct source addresses, one path, zero
+    variance; spock: 12 events of which only 10 classify as login
+    failures (the two errno-125 blocked requests are unclassified),
+    all from one address."""
+    from foxsec_pipeline_spark.operators.customs import features_combine
+
+    raw = spark.read.text(
+        os.path.join(TESTDATA, "customs_rl_badlogin_simple1.txt")
+    )
+    ev = parse_events(raw, ParserCfg(xff_trusted_cidrs=["127.0.0.1/32"]))
+    auth = ev.where(F.col("payload_type") == "fxaauth").select(
+        F.col("subject_user").alias("email"),
+        "source_address", "timestamp", "event_id",
+        F.col("request_path").alias("path"),
+        F.coalesce(
+            F.col("fields")["event_summary"], F.lit("unclassified")
+        ).alias("summary"),
+    ).localCheckpoint()
+    feats = features_combine(
+        auth, key="email", type_col="summary", path_col="path",
+        ts="timestamp", duration="10 minutes",
+        counted_types={"n_login_failure": "loginFailure",
+                       "n_login_success": "loginSuccess"},
+        success_predicate=F.lit(False),
+    )
+    extra = (
+        auth.groupBy("email")
+        .agg(F.countDistinct("source_address").alias("n_addrs"))
+    )
+    by_key = {
+        r["email"]: r
+        for r in feats.join(extra, "email").collect()
+    }
+    k = by_key["kirk@mozilla.com"]
+    assert k["total_events"] == 12
+    assert k["n_login_failure"] == 12
+    assert k["n_login_success"] == 0
+    assert k["n_addrs"] == 10
+    assert k["n_paths"] == 1
+    s = by_key["spock@mozilla.com"]
+    assert s["total_events"] == 12
+    assert s["n_login_failure"] == 10  # two blocked requests excluded
+    assert s["n_addrs"] == 1
