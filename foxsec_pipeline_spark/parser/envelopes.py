@@ -314,8 +314,22 @@ WIDE_SCHEMA = T.StructType(
         _s("date"),
         _s("type"),
         _s("client_name"),
+        _s("client_id"),
         _s("ip"),
         _s("user_id"),
+        # Auth0.getUsername digs details.prompts[].user_name
+        # (Auth0.java:212-232)
+        T.StructField(
+            "details",
+            T.StructType(
+                [
+                    T.StructField(
+                        "prompts",
+                        T.ArrayType(T.StructType([_s("user_name")])),
+                    )
+                ]
+            ),
+        ),
         # --- duopull event (parser/Duopull.java, models/duopull/Duopull.java)
         _s("msg"),
         _s("event_action"),

@@ -365,9 +365,23 @@ _AUTH0_AUTH_TYPES = ["s", "ssa", "seacft", "seoobft", "seotpft", "sepft", "scoa"
 def auth0_spec() -> PayloadSpec:
     """auth0 log event (`parser/Auth0.java`,
     `models/auth0/LogEvent.java`): _id/date/type/ip/user_id; AUTH
-    normalized for the success-auth type codes. (The reference digs a
-    username out of details.prompt; user_id is the stable subject.)"""
+    normalized for the success-auth type codes. The subject is the
+    first details.prompts[].user_name (`Auth0.java:212-232`
+    getUsername — the lock-password prompt carries the canonical
+    email the IdentityManager resolves; golden-verified on
+    authprof_buffer6); user_id (the LDAP connection id) is the
+    fallback."""
     j = F.col("j")
+    prompt_user = F.try_element_at(
+        F.filter(
+            F.coalesce(
+                j["details"]["prompts"],
+                F.array().cast("array<struct<user_name:string>>"),
+            ),
+            lambda x: x["user_name"].isNotNull(),
+        ),
+        F.lit(1),
+    )["user_name"]
     return PayloadSpec(
         name="auth0",
         matcher=j["_id"].isNotNull()
@@ -378,8 +392,13 @@ def auth0_spec() -> PayloadSpec:
         ),
         fields={
             "source_address": j["ip"],
-            "subject_user": j["user_id"],
+            "subject_user": F.coalesce(prompt_user, j["user_id"]),
             "object": j["client_name"],
+        },
+        extras={
+            "client_id": j["client_id"],
+            "auth0_type": j["type"],
+            "user_id": j["user_id"],
         },
         event_ts=F.to_timestamp(j["date"]),
     )

@@ -1695,3 +1695,46 @@ def test_customs_features_email_key_reference_golden(spark):
     assert s["total_events"] == 12
     assert s["n_login_failure"] == 10  # two blocked requests excluded
     assert s["n_addrs"] == 1
+
+
+def test_authprofile_auth0_reference_golden(spark):
+    """TestAuthProfile.analyzeTestAuth0 (`authprofile/TestAuthProfile.
+    java:536-600`): auth0 events filtered by the configured client id
+    (the www.DIFFERENT.com login is a different client and drops out);
+    the subject is the lock-password prompt's user_name
+    wriker@mozilla.com, resolving directly to the tracked identity —
+    one new-source alert for 216.160.83.56 plus one deduped
+    known-ip info."""
+    from pyspark.sql import Window
+
+    from foxsec_pipeline_spark.functions.identity import IdentityManager
+
+    im = IdentityManager.from_json(
+        open(os.path.join(TESTDATA, "identitymanager.json")).read()
+    )
+    ev = _parsed(spark, "authprof_buffer6.txt")
+    a0 = ev.where(
+        (F.col("payload_type") == "auth0")
+        & (F.col("fields")["client_id"] == "1234567890")
+    ).select(
+        F.col("subject_user").alias("user"),
+        "source_address", "timestamp", "event_id",
+        F.col("object").alias("client"),
+    )
+    resolved = im.resolve_identity(a0, "user").localCheckpoint()
+    rows = resolved.collect()
+    assert len(rows) == 3
+    assert all(r["identity"] == "wriker@mozilla.com" for r in rows)
+    assert all(r["client"] == "www.enterprise.com" for r in rows)
+
+    w = Window.partitionBy("identity", "source_address").orderBy(
+        "timestamp", "event_id"
+    )
+    decided = (
+        resolved.withColumn("__rn", F.row_number().over(w))
+        .withColumn("is_new", F.col("__rn") == 1)
+        .dropDuplicates(["identity", "source_address", "is_new"])
+        .collect()
+    )
+    assert sorted(r["is_new"] for r in decided) == [False, True]  # 1 new + 1 info
+    assert all(r["source_address"] == "216.160.83.56" for r in decided)
