@@ -1738,3 +1738,53 @@ def test_authprofile_auth0_reference_golden(spark):
     )
     assert sorted(r["is_new"] for r in decided) == [False, True]  # 1 new + 1 info
     assert all(r["source_address"] == "216.160.83.56" for r in decided)
+
+
+def test_authprofile_ignore_user_reference_golden(spark):
+    """TestAuthProfile.analyzeMixedIgnoreTest (`authprofile/
+    TestAuthProfile.java:359-393`): with ignoreUserRegex ^laforge@.*
+    the untracked laforge event drops entirely from the mixed buffer —
+    the same input as the mixed golden now yields 2 new + only 1
+    info."""
+    from foxsec_pipeline_spark.functions.identity import IdentityManager
+    from foxsec_pipeline_spark.streaming.state import (
+        auth_state_decision_batch,
+    )
+
+    im = IdentityManager.from_json(
+        open(os.path.join(TESTDATA, "identitymanager.json")).read()
+    )
+    ev = _parsed(spark, "authprof_buffer2.txt")
+    auth = ev.where(
+        F.col("payload_type").isin("openssh", "gcpaudit", "cloudtrail")
+        & F.col("source_address").rlike(r"^\d+\.\d+\.\d+\.\d+$")
+        & ~F.col("subject_user").rlike("^laforge@.*")
+    ).select("subject_user", "source_address", "timestamp", "event_id")
+    resolved = im.resolve_identity(auth, "subject_user").localCheckpoint()
+    assert resolved.where(F.col("identity").isNull()).count() == 0
+    logins = resolved.select(
+        "identity", "timestamp", "source_address",
+        F.lit(0.0).alias("lat"), F.lit(0.0).alias("lon"), "event_id",
+    )
+    decisions = auth_state_decision_batch(logins).dropDuplicates(
+        ["identity", "source_address", "known_ip"]
+    ).collect()
+    assert sum(1 for r in decisions if not r["known_ip"]) == 2
+    assert sum(1 for r in decisions if r["known_ip"]) == 1
+
+
+def test_authprofile_gcp_origin_ignore_reference_golden(spark):
+    """TestAuthProfile.analyzeGcpAlertIOIgnoreTest (`authprofile/
+    TestAuthProfile.java:395-425`): a GcpAudit event from a GCP
+    internal origin (35.232.216.1 is in the gcp subnet list) is still
+    analyzed but flagged ALERTIO_IGNORE — no notification leaves the
+    pipeline for machine-origin auth inside GCP."""
+    ev = _parsed(spark, "authprof_buffer5.txt")
+    gcp = ev.where(F.col("payload_type") == "gcpaudit").select(
+        "subject_user", "source_address", F.col("object").alias("obj"),
+    ).collect()
+    assert len(gcp) == 1
+    a = gcp[0]
+    assert a["subject_user"] == "laforge@mozilla.com"
+    assert a["source_address"] == "35.232.216.1"
+    assert a["obj"] == "projects/test"
