@@ -1788,3 +1788,37 @@ def test_authprofile_gcp_origin_ignore_reference_golden(spark):
     assert a["subject_user"] == "laforge@mozilla.com"
     assert a["source_address"] == "35.232.216.1"
     assert a["obj"] == "projects/test"
+
+
+def test_authprofile_ignore_unknown_identities_reference_golden(spark):
+    """TestAuthProfile.analyzeMixedIgnoreUnknownIdTest (`authprofile/
+    TestAuthProfile.java:427-462`): ignoreUnknownIdentities drops
+    events whose user resolves to NO tracked identity (the
+    keep_unmatched=False path of resolve_identity) — same outcome as
+    the regex-ignore variant: 2 new + 1 info, laforge gone."""
+    from foxsec_pipeline_spark.functions.identity import IdentityManager
+    from foxsec_pipeline_spark.streaming.state import (
+        auth_state_decision_batch,
+    )
+
+    im = IdentityManager.from_json(
+        open(os.path.join(TESTDATA, "identitymanager.json")).read()
+    )
+    ev = _parsed(spark, "authprof_buffer2.txt")
+    auth = ev.where(
+        F.col("payload_type").isin("openssh", "gcpaudit", "cloudtrail")
+        & F.col("source_address").rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    ).select("subject_user", "source_address", "timestamp", "event_id")
+    resolved = im.resolve_identity(
+        auth, "subject_user", keep_unmatched=False
+    ).localCheckpoint()
+    assert resolved.where(F.col("identity").isNull()).count() == 0
+    logins = resolved.select(
+        "identity", "timestamp", "source_address",
+        F.lit(0.0).alias("lat"), F.lit(0.0).alias("lon"), "event_id",
+    )
+    decisions = auth_state_decision_batch(logins).dropDuplicates(
+        ["identity", "source_address", "known_ip"]
+    ).collect()
+    assert sum(1 for r in decisions if not r["known_ip"]) == 2
+    assert sum(1 for r in decisions if r["known_ip"]) == 1
