@@ -331,29 +331,50 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     shard_col: str = "source",
+    docs_per_shard: int = 256,
 ) -> DataFrame:
     """Sequence packing: assign each document to a fixed-token-budget
-    training sequence by running token count, packed WITHIN each shard
-    (deterministic id order). A doc starting before a seq_len boundary
-    joins that sequence — the standard greedy concat-packing rule.
+    training sequence by running token count, packed WITHIN each
+    sub-shard (deterministic id order). A doc starting before a
+    seq_len boundary joins that sequence — the standard greedy
+    concat-packing rule.
 
-    Packing is per-shard BY DESIGN: a global cumsum would be a global
-    sort (one reducer at any scale); shards pack independently, so the
-    window is partitionBy(shard) and the whole operator is one shuffle
-    on the shard key. Returns (id, shard, n_tokens, seq_id).
+    Packing is per-sub-shard BY DESIGN, and the sub-shard key is
+    `(shard, floor(id / docs_per_shard))`, NOT the shard alone: a
+    global cumsum would be a global sort (one reducer at any scale),
+    and partitioning by source alone is just as unbounded the other
+    way — a corpus with 5 sources at 100 TB would sort ~20 TB through
+    each window reducer. The id-range sub-shard caps every window
+    partition at docs_per_shard documents regardless of corpus size,
+    so the operator is one bounded-partition shuffle.
+
+    Boundary semantics: each sub-shard packs independently, so its
+    last sequence may be partial — the waste is ≤ one sequence per
+    docs_per_shard documents (~0.4% at 256 docs × ~500 tokens vs a
+    512-token budget), the standard packing tradeoff. A sequence is
+    globally identified by (shard, subshard, seq_id); seq_id restarts
+    per sub-shard.
+
+    Returns (id, shard, subshard, n_tokens, seq_id).
     """
     from pyspark.sql import Window
 
     n_tok = F.size(tokens(F.col(text_col)))
+    sub = F.floor(F.col(id_col) / F.lit(int(docs_per_shard)))
     w = (
-        Window.partitionBy(shard_col)
+        Window.partitionBy(shard_col, "subshard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(n_tok).over(w)
-    return df.select(
-        F.col(id_col),
-        F.col(shard_col),
-        n_tok.alias("n_tokens"),
-        F.floor((cum - n_tok) / F.lit(int(seq_len))).alias("seq_id"),
+    cum = F.sum("n_tokens").over(w)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(shard_col),
+            sub.alias("subshard"),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn(
+            "seq_id", F.floor((cum - F.col("n_tokens")) / F.lit(int(seq_len)))
+        )
     )

@@ -26,6 +26,18 @@ from ..schema import EVENT_SCHEMA
 from .envelopes import explode_cloudwatch, strip_envelopes
 from .payloads import PayloadSpec, default_chain
 
+# matches any character that is NOT whitespace under the widest common
+# definition: Java regex \s ([ \t\n\x0B\f\r]) plus every extra char
+# Python's str.isspace() accepts (the set hypothesis draws from when
+# fuzzing parser totality). A line with no match is blank and drops.
+_NON_BLANK_RE = (
+    "[^\\s"                      # Java default: space \t \n \x0B \f \r
+    "\u001c-\u001f\u0085\u00a0"   # FS GS RS US, NEL, NBSP
+    "\u1680\u2000-\u200a"        # ogham space, en/em/thin spaces
+    "\u2028\u2029\u202f"         # LS, PS, NNBSP
+    "\u205f\u3000]"              # MMSP, ideographic space
+)
+
 _NORM_FIELDS = [
     "source_address",
     "subject_user",
@@ -159,8 +171,13 @@ def parse_events(
 
     # whitespace-only lines (trailing newlines, blank separators in
     # fixture/log files) carry no event — drop them at the scan rather
-    # than emitting empty raw-fallback events
-    df = df.where(F.trim(F.col(value_col)) != "")
+    # than emitting empty raw-fallback events. "Blank" means every char
+    # is whitespace in the widest sense (Java \s plus the unicode
+    # separators Python's str.isspace() recognizes: FS/GS/RS/US, NEL,
+    # NBSP, ogham/en/em spaces, LS/PS, NNBSP, MMSP, ideographic space)
+    # so the parser-totality property holds over the full range —
+    # F.trim only strips ASCII 0x20 and let form-feed-only lines leak.
+    df = df.where(F.col(value_col).rlike(_NON_BLANK_RE))
 
     if cfg.fast_matcher:
         # manual pushdown in the reference; free row-group pruning here

@@ -733,7 +733,7 @@ def q_embedding_int8_quantize(spark, sf_dir):
   FROM lab
 )
 SELECT cell, n_vecs, label AS top_label, c AS top_label_n,
-       round(c::DOUBLE / n_vecs, 6) AS purity
+       (c * 1000000) // n_vecs AS purity_ppm
 FROM top WHERE rn = 1
 """,
     doc="document clustering over the trained k-means codebook: every "
@@ -759,9 +759,9 @@ def q_embedding_cluster_summary(spark, sf_dir):
     )
     return agg.select(
         "cell", "n_vecs", "top_label", "top_label_n",
-        F.round(
-            F.col("top_label_n").cast("double") / F.col("n_vecs"), 6
-        ).alias("purity"),
+        # purity as exact parts-per-million (integer division) — no
+        # trailing double for value-hash canonicalization to trip on
+        F.expr("(top_label_n * 1000000L) div n_vecs").alias("purity_ppm"),
     )
 
 
@@ -967,10 +967,11 @@ def q_text_repetition(spark, sf_dir):
 @register(
     "sequence_packing",
     """
-SELECT doc_id, source,
+SELECT doc_id, source, doc_id // 256 AS subshard,
        len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
        CAST(floor((sum(len(string_split_regex(trim(text), '\\s+')))
-                     OVER (PARTITION BY source ORDER BY doc_id
+                     OVER (PARTITION BY source, doc_id // 256
+                           ORDER BY doc_id
                            ROWS UNBOUNDED PRECEDING)
                    - len(string_split_regex(trim(text), '\\s+')))
                   / 512.0) AS BIGINT) AS seq_id
@@ -978,9 +979,11 @@ FROM documents
 """,
     doc="sequence packing for pretraining batches: docs assigned to "
         "fixed-token-budget sequences by running token count, packed "
-        "per shard in deterministic id order (a global cumsum would be "
-        "a one-reducer global sort — shards pack independently, one "
-        "shuffle on the shard key)",
+        "per (source, id-range sub-shard) in deterministic id order — "
+        "a global cumsum would be a one-reducer global sort, and "
+        "source alone is an unbounded partition at corpus scale; the "
+        "256-doc sub-shard caps every window partition (≤ one partial "
+        "sequence of waste per sub-shard)",
 )
 def q_sequence_packing(spark, sf_dir):
     from ..operators.textanalysis import pack_sequences
@@ -2036,10 +2039,11 @@ WITH t AS (
   WHERE decisions.keep AND d.doc_id % 50 <> 0
     AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
 )
-SELECT doc_id, source,
+SELECT doc_id, source, doc_id // 256 AS subshard,
        len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
        CAST(floor((sum(len(string_split_regex(trim(text), '\\s+')))
-                     OVER (PARTITION BY source ORDER BY doc_id
+                     OVER (PARTITION BY source, doc_id // 256
+                           ORDER BY doc_id
                            ROWS UNBOUNDED PRECEDING)
                    - len(string_split_regex(trim(text), '\\s+')))
                   / 512.0) AS BIGINT) AS seq_id
@@ -2055,7 +2059,8 @@ FROM survivors
         "semi/anti joins on doc_id (no row ever carries text through "
         "a shuffle except into the final packing window); "
         "decontamination probes broadcast; packing is one shuffle on "
-        "the shard key. This is the query a corpus team actually "
+        "bounded (shard, id-range sub-shard) keys. This is the query "
+        "a corpus team actually "
         "ships — the composition proves the operator family composes "
         "without materialization barriers between stages",
 )

@@ -87,7 +87,7 @@ WITH big AS (
   HAVING sum(CAST(l_quantity AS BIGINT)) > 300
 )
 SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-       CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS total_price,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_price_cents,
        total_qty
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -116,8 +116,12 @@ def q_large_order_customers(spark, sf_dir):
         .join(F.broadcast(ob), F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
-            (F.round(F.col("o_totalprice") * 100).cast("long") / 100.0)
-            .alias("total_price"),
+            # exact integer cents in the FINAL projection too (not just
+            # the aggregates): a trailing double column is the one
+            # surface where two engines' float formatting can diverge
+            # under value-hash comparison even when every value is equal
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("total_price_cents"),
             "total_qty",
         )
     )

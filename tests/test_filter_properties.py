@@ -7,7 +7,7 @@ operator/nesting semantics, the part most likely to drift.)"""
 import re
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
 
@@ -181,6 +181,13 @@ _JUNK_LINES = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(lines=_JUNK_LINES)
+# pinned regressions: exotic whitespace-only lines must DROP, and
+# mixed lines must survive, deterministically on every run (round-3
+# failure was \x0c; \x1c and \xa0 are isspace() but outside both
+# Java \\s and Unicode White_Space / trim semantics respectively)
+@example(lines=["\x0c"])
+@example(lines=["\x1c", "\x85", "\xa0", "\u2028", "\u3000"])
+@example(lines=["\xa0x\xa0", " ok ", ""])
 def test_parser_total_on_arbitrary_input(spark, lines):
     """Parse is TOTAL on non-blank input: any junk line lands in the
     raw fallback (or a real payload if it happens to match a probe) —

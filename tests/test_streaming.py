@@ -198,7 +198,7 @@ def test_suppress_session_sliding_ttl(spark, tmpdir):
     assert got == {"a": 1, "b": 4}
 
 
-def test_streaming_session_window_matches_batch(spark, tmpdir):
+def test_streaming_session_window_synthetic_rows(spark, tmpdir):
     """W5-W8: session_window under readStream produces the same final
     sessions as batch (gap merging happens in the streaming state
     operator; complete output = final windows)."""
