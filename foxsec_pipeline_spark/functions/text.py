@@ -165,3 +165,23 @@ def normalize_email_plus_dot_strip(email: Column) -> Column:
         plus_stripped.rlike("^[^@]*@.+") & (F.regexp_replace(local, r"\.", "") != ""),
         normalized,
     ).otherwise(plus_stripped)
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonicalize a request URL for counting/blocklist matching —
+    the normalization the reference applies when it splits
+    `requestUrl` into host/path legs (`parser/Normalized.java:48,
+    469-478`, consumed as `getUrlRequestPath`/`getUrlRequestHost` by
+    `httprequest/HTTPRequest.java:128` and the path/host standard
+    filters): lowercase scheme+host, drop a default :80/:443 port,
+    drop query string and fragment, collapse duplicate slashes in the
+    path, strip the trailing slash. Pure string expressions — stays
+    in whole-stage codegen.
+    """
+    scheme_host = F.regexp_extract(url, r"^([^/]*//[^/?#]*)", 1)
+    path = F.regexp_extract(url, r"^[^/]*//[^/?#]*(/[^?#]*)", 1)
+    host_norm = F.regexp_replace(F.lower(scheme_host), r":(80|443)$", "")
+    path_norm = F.regexp_replace(
+        F.regexp_replace(path, r"/{2,}", "/"), r"/$", ""
+    )
+    return F.concat(host_norm, path_norm)

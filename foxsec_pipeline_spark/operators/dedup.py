@@ -553,3 +553,128 @@ def simhash_hamming_pairs(
         .where(F.col("hamming") <= int(max_hamming))
         .distinct()
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_ppm: int = 800_000,
+    df_cap: int = 64,
+) -> DataFrame:
+    """Near-duplicate ORDERED pairs by shingle containment
+    C(a→b) = |A∩B| / |A| ≥ threshold — the asymmetric measure that
+    catches subset/superset duplication (a doc embedded in a longer
+    one), which symmetric Jaccard structurally misses: a 100-shingle
+    doc fully contained in a 10,000-shingle doc has C = 1.0 but
+    jaccard ≈ 0.01. The standard second pass of a corpus dedup after
+    Jaccard (quotes, boilerplate-wrapped reposts, truncated copies).
+
+    Same candidate machinery as `ngram_jaccard_pairs` (shingle
+    group + in-array pair generation, df_cap prunes the quadratic
+    skew bomb); emits BOTH directions of each pair since containment
+    is directional. Threshold and ratio in integer ppm — the filter
+    compares `common * 1e6 >= threshold * n_a` in exact int64
+    arithmetic (n_sh and common are ≤ doc length, no overflow).
+    """
+    ex = _shingled(df, id_col, text_col, n)
+    grouped = (
+        ex.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct(id_col, "n_sh"))).alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= int(df_cap)))
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        grouped.repartition(par)
+        .select("docs", F.explode("docs").alias("a"))
+        .select("a", F.explode("docs").alias("b"))
+        .where(F.col("a")[id_col] != F.col("b")[id_col])
+        .groupBy(
+            F.col("a")[id_col].alias("doc_a"),
+            F.col("b")[id_col].alias("doc_b"),
+            F.col("a")["n_sh"].alias("n_a"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.where(
+            F.col("common") * 1_000_000 >= F.lit(int(threshold_ppm)) * F.col("n_a")
+        )
+        .select(
+            "doc_a", "doc_b", "n_a", "common",
+            F.expr("(common * 1000000) div n_a").alias("containment_ppm"),
+        )
+    )
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    probe_predicate,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 63488,
+    k: int = 3,
+) -> DataFrame:
+    """Decontamination via a DETERMINISTIC Bloom filter — the scale
+    path of `decontaminate`: instead of broadcasting the probe set's
+    distinct shingles (O(probe-shingles) strings per executor), build
+    an m-bit Bloom filter (m_bits/62 int64 words, k hash probes per
+    shingle) and broadcast THAT — a fixed few KB regardless of probe
+    size. False positives over-flag at the standard Bloom rate
+    (~(1-e^{-kn/m})^k; with the 63,488-bit default and a few thousand
+    probe shingles, well under 1%); false negatives are impossible,
+    which is the direction that matters for decontamination.
+
+    Every hash is integer arithmetic on the shingle's 60-bit md5
+    prefix (h1 = low 32 bits, h2 = odd form of the high bits,
+    pos_i = (h1 + i*h2) mod m — Kirsch-Mitzenmacher double hashing),
+    so filter contents and membership answers are bit-identical
+    across engines, partitionings, and retries — unlike
+    DataFrame.stat.bloomFilter, whose seeds are engine-internal.
+    Returns (id, n_shingles, n_flagged, is_contaminated) for every
+    training (non-probe) doc. 62 usable bits per word keeps the
+    1<<bit shift overflow-free on engines that check (DuckDB errors
+    on 1<<63).
+    """
+    words = int(m_bits) // 62 * 62  # whole words only
+    sh = _shingled(df, id_col, text_col, n)
+    h1 = F.expr("shingle % 4294967296")
+    h2 = F.expr("(shingle div 4294967296) * 2 + 1")
+    probes = (
+        sh.select(
+            F.col(id_col), F.col("n_sh"), F.col("shingle"),
+            F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("i"),
+        )
+        .withColumn("pos", (h1 + F.col("i") * h2) % F.lit(words))
+        .withColumn("word", F.expr("pos div 62"))
+        .withColumn("bit", (F.col("pos") % 62).cast("int"))
+    )
+    bloom = (
+        probes.where(probe_predicate)
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("wbits"))
+    )
+    hits = (
+        probes.where(~probe_predicate)
+        .join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "hit",
+            F.when(
+                F.col("wbits").isNotNull()
+                & (
+                    F.expr("wbits & shiftleft(CAST(1 AS BIGINT), bit)") != 0
+                ),
+                1,
+            ).otherwise(0),
+        )
+    )
+    per_shingle = hits.groupBy(id_col, "shingle").agg(
+        F.max("n_sh").alias("n_sh"), F.min("hit").alias("all_hit")
+    )
+    return per_shingle.groupBy(id_col).agg(
+        F.max("n_sh").alias("n_shingles"),
+        F.sum("all_hit").cast("long").alias("n_flagged"),
+        (F.sum("all_hit") > 0).alias("is_contaminated"),
+    )

@@ -77,6 +77,7 @@ def registry() -> dict[str, QuerySpec]:
         catalog_customs,
         catalog_data,
         catalog_detectors,
+        catalog_ingest,
         catalog_pipeline,
         catalog_relational,
         catalog_relational2,

@@ -2086,3 +2086,173 @@ def q_training_data_pipeline(spark, sf_dir):
         .join(contaminated, "doc_id", "left_anti")
     )
     return pack_sequences(survivors, seq_len=512)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: bloom-filter decontamination, containment dedup, corpus
+# language mix
+# ---------------------------------------------------------------------------
+
+@register(
+    "bloom_decontaminate",
+    _SHINGLE_CTE
+    + """
+, hs AS (
+  SELECT doc_id, n_sh,
+         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h
+  FROM ex
+), pr AS (
+  SELECT doc_id, n_sh, h,
+         (h % 4294967296 + i.i * ((h // 4294967296) * 2 + 1)) % 63488
+           AS pos
+  FROM hs, (VALUES (0), (1), (2)) i(i)
+), bloom AS (
+  SELECT pos // 62 AS word,
+         bit_or(1::BIGINT << CAST(pos % 62 AS INTEGER)) AS wbits
+  FROM pr WHERE doc_id % 50 = 0 GROUP BY 1
+), hits AS (
+  SELECT p.doc_id, p.n_sh, p.h,
+         CASE WHEN b.wbits IS NOT NULL
+                AND (b.wbits
+                     & (1::BIGINT << CAST(p.pos % 62 AS INTEGER))) != 0
+              THEN 1 ELSE 0 END AS hit
+  FROM pr p LEFT JOIN bloom b ON p.pos // 62 = b.word
+  WHERE p.doc_id % 50 <> 0
+), per_sh AS (
+  SELECT doc_id, max(n_sh) AS n_sh, h, min(hit) AS all_hit
+  FROM hits GROUP BY doc_id, h
+)
+SELECT doc_id, max(n_sh) AS n_shingles,
+       CAST(sum(all_hit) AS BIGINT) AS n_flagged,
+       sum(all_hit) > 0 AS is_contaminated
+FROM per_sh GROUP BY doc_id
+""",
+    doc="decontamination at broadcast-proof scale: the probe set is "
+        "compressed into a deterministic 63,488-bit Bloom filter "
+        "(1024 int64 words, 3 Kirsch-Mitzenmacher double-hash probes "
+        "per shingle off the 60-bit md5 prefix) and the FILTER "
+        "broadcasts — fixed KBs per executor where `decontaminate` "
+        "broadcasts the probe shingle set itself. No false negatives "
+        "(the property that matters); false positives over-flag at "
+        "the standard Bloom rate, measured against the exact operator "
+        "in tests/test_ingest_ops.py. Every bit is integer arithmetic "
+        "-> the filter and every membership answer are bit-identical "
+        "across engines (DataFrame.stat.bloomFilter seeds are not)",
+)
+def q_bloom_decontaminate(spark, sf_dir):
+    from ..operators.dedup import bloom_decontaminate
+
+    return bloom_decontaminate(
+        _docs(spark, sf_dir), probe_predicate=F.col("doc_id") % 50 == 0
+    )
+
+
+@register(
+    "containment_dedup",
+    _SHINGLE_CTE
+    + """
+, kept AS (
+  SELECT shingle FROM ex GROUP BY shingle HAVING count(*) BETWEEN 2 AND 64
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a,
+         count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle
+                     AND a.doc_id <> b.doc_id
+  JOIN kept k ON a.shingle = k.shingle
+  GROUP BY 1, 2, 3
+)
+SELECT doc_a, doc_b, n_a, CAST(common AS BIGINT) AS common,
+       (common * 1000000) // n_a AS containment_ppm
+FROM pairs WHERE common * 1000000 >= 800000 * n_a
+""",
+    doc="asymmetric near-dup by shingle CONTAINMENT |A∩B|/|A| >= 0.8 "
+        "— catches subset/superset duplication (a doc quoted inside a "
+        "longer one: containment 1.0, jaccard ~0.01) that symmetric "
+        "Jaccard structurally misses; the standard second dedup pass "
+        "of a corpus pipeline. Same df_cap-pruned shingle-group "
+        "candidate machinery as dedup_ngram_jaccard, pairs emitted in "
+        "BOTH directions (the measure is directional), ratio and "
+        "threshold in exact int64 ppm arithmetic",
+)
+def q_containment_dedup(spark, sf_dir):
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs(spark, sf_dir), n=3, threshold_ppm=800_000, df_cap=64
+    )
+
+
+@register(
+    "doc_language_mix",
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+  FROM documents
+), scores AS (
+  SELECT doc_id, l.lang,
+         round(len(list_filter(tok, s -> list_contains(l.words, s)))
+               / greatest(len(tok), 1), 6) AS score
+  FROM t CROSS JOIN (
+    SELECT * FROM (VALUES
+      ('de', ['der','die','das','und','ist','ein','zu']),
+      ('en', ['the','a','of','and','is','to','in']),
+      ('es', ['el','la','de','y','es','en','un']),
+      ('fr', ['le','la','de','et','est','en','un'])
+    ) AS v(lang, words)) l
+), lid AS (
+  SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang
+  FROM (SELECT doc_id, lang, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang DESC) AS rn
+        FROM scores) WHERE rn = 1
+), per AS (
+  SELECT d.source, lid.pred_lang, count(*) AS n
+  FROM lid JOIN documents d USING (doc_id) GROUP BY 1, 2
+), ranked AS (
+  SELECT source, pred_lang, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, pred_lang) AS rn,
+         CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS total
+  FROM per
+)
+SELECT source, max(total) AS n_docs, count(*) AS n_langs,
+       max(CASE WHEN rn = 1 THEN pred_lang END) AS top_lang,
+       CAST(max(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS top_lang_n,
+       (max(CASE WHEN rn = 1 THEN n END) * 1000000) // max(total)
+         AS top_lang_ppm
+FROM ranked GROUP BY source
+""",
+    doc="corpus language mix per source: the language_id operator "
+        "(`operators/textanalysis.py`) rolled up to the domain level "
+        "— doc counts, distinct predicted languages, majority "
+        "language + its share in integer ppm. The per-source language "
+        "histogram is what drives domain-mixing decisions in a "
+        "training-data pipeline (and the monitoring readout that "
+        "catches a crawler regression flooding one source with the "
+        "wrong language). Two hash-agg shuffles (doc->lang, "
+        "(source,lang)->source), majority via min_by on "
+        "(-n, lang) — no window over unaggregated rows",
+)
+def q_doc_language_mix(spark, sf_dir):
+    from ..operators.textanalysis import language_id
+
+    docs = _docs(spark, sf_dir)
+    lid = language_id(docs).select("doc_id", "pred_lang")
+    per = (
+        lid.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = per.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.expr("min_by(struct(pred_lang, n), struct(-n, pred_lang))").alias(
+            "__top"
+        ),
+    )
+    return agg.select(
+        "source", "n_docs", "n_langs",
+        F.col("__top.pred_lang").alias("top_lang"),
+        F.col("__top.n").alias("top_lang_n"),
+        F.expr("(__top.n * 1000000) div n_docs").alias("top_lang_ppm"),
+    )

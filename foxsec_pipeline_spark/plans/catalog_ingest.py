@@ -1,0 +1,466 @@
+"""Catalog tranche (round 4): ingestion & serving shapes — CDC
+changelog apply, replay-window dedup, deterministic quantile
+sampling, fixed-width histograms, ROLLUP readouts, URL
+canonicalization, full clickstream sessionization, time-of-day pivot
+matrices, and infrastructure co-occurrence correlation.
+
+These complete the warehouse side of the reference's pipeline: the
+event stream lands in a warehouse (`output/CompositeOutput.java:
+86-105`), and these are the maintenance/readout jobs that run there.
+Determinism discipline matches the rest of the catalog: money through
+integer cents, ratios as integer ppm, orderings carry an event_id
+tie-break, deterministic md5 draws instead of rand(), and every
+floating column is rounded identically on both engines.
+
+Scale notes per query live in the `doc=`; the tranche-wide posture:
+every query is ONE shuffle on its natural key (hash-agg where the
+semantics allow, window only where order is the semantics), windows
+only ever run over bounded partitions or post-aggregation outputs,
+and the one self-join (co-occurrence) is keyed so its fan-out equals
+the output's information content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_url
+from ..operators.ingest import (
+    cdc_apply_latest,
+    dedup_keep_latest,
+    histogram_fixed_width,
+    sample_quantiles,
+    sessionize_full,
+)
+from ..session import load_tables
+from .catalog import register
+
+
+def _events(spark, sf_dir):
+    return load_tables(spark, sf_dir, "events")["events"]
+
+
+@register(
+    "cdc_merge_upserts",
+    """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+)
+SELECT user_id,
+       CAST(round(value * 100) AS BIGINT) AS value_cents,
+       ts, n_changes
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+""",
+    doc="CDC changelog apply (Debezium-style latest-wins snapshot): "
+        "the events stream read as a changelog keyed on user_id — "
+        "'error' rows are delete markers, everything else upserts; "
+        "the snapshot is the latest surviving row per key plus a "
+        "change count. Spark plan is a HASH aggregation (max_by over "
+        "the (ts, event_id) struct ordering, map-side partials) — "
+        "one shuffle, NO per-key sort; the oracle's row_number "
+        "formulation is the same function computed the slow way. "
+        "At 100 TB this is how a serving table is rebuilt from a log "
+        "compaction: partition-parallel, no row-at-a-time MERGE",
+)
+def q_cdc_merge_upserts(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    snap = cdc_apply_latest(
+        ev,
+        key_cols=["user_id"],
+        op_col="event_type",
+        delete_op="error",
+        seq_cols=["ts", "event_id"],
+        value_cols=["value"],
+    )
+    return snap.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        "ts",
+        "n_changes",
+    )
+
+
+@register(
+    "window_dedup_latest",
+    """
+WITH b AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         epoch_us(ts) // 600000000 AS bucket_id
+  FROM events
+), r AS (
+  SELECT user_id, event_type, bucket_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type, bucket_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type, bucket_id)
+           AS n
+  FROM b
+)
+SELECT user_id, event_type, bucket_id,
+       event_id AS last_event_id, ts AS last_ts, n - 1 AS n_dups
+FROM r WHERE rn = 1 AND n > 1
+""",
+    doc="replay dedup within a 10-minute bucket: retried/replayed "
+        "deliveries of the same logical event (same user, same type, "
+        "same time bucket) collapse to the latest copy, reporting how "
+        "many were dropped — the batch twin of streaming "
+        "dropDuplicatesWithinWatermark, where the time bucket is what "
+        "bounds state. Hash-agg (max_by), one shuffle on the "
+        "(user, type, bucket) key, output restricted to keys that "
+        "actually had duplicates",
+)
+def q_window_dedup_latest(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "bucket_id", F.expr("unix_micros(ts) div 600000000")
+    )
+    out = dedup_keep_latest(
+        ev,
+        key_cols=["user_id", "event_type", "bucket_id"],
+        seq_cols=["ts", "event_id"],
+        keep_cols=["event_id", "ts"],
+    )
+    return out.where(F.col("n_dups") > 0).select(
+        "user_id", "event_type", "bucket_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        "n_dups",
+    )
+
+
+@register(
+    "approx_quantile_sketch",
+    """
+WITH h AS (
+  SELECT event_type, event_id, value,
+         md5(event_id::VARCHAR) AS hh
+  FROM events
+), samp AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY hh, event_id) AS rn
+  FROM h
+), s AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS vr,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM samp WHERE rn <= 200
+), d AS (SELECT unnest(range(1, 10)) AS quantile)
+SELECT s.event_type, d.quantile,
+       CAST(round(s.value * 100) AS BIGINT) AS value_cents,
+       s.n AS n_sample
+FROM s JOIN d ON s.vr = ((s.n - 1) * d.quantile) // 10 + 1
+""",
+    doc="deterministic quantile sketch: per-group deciles from the "
+        "bottom-200-by-md5(id) sample — a mergeable order-statistic "
+        "sketch whose draw is the hash, so the result is bit-identical "
+        "across engines, retries, and partitionings (percentile_approx "
+        "and rand()-samples are neither). Spark computes the bottom-k "
+        "in TWO bounded phases (per-salt top-k, then top-k of the "
+        "<=32*200 survivors) so no window partition scales with group "
+        "size; the oracle's single window is the same selection. "
+        "Quantiles by explicit LOWER-rank selection, never an "
+        "interpolating builtin. Accuracy vs exact deciles is "
+        "measured in tests/test_ingest_ops.py",
+)
+def q_approx_quantile_sketch(spark, sf_dir):
+    return sample_quantiles(
+        _events(spark, sf_dir),
+        group_col="event_type",
+        value_col="value",
+        id_col="event_id",
+        k=200,
+        n_quantiles=10,
+    )
+
+
+@register(
+    "value_histogram",
+    """
+WITH agg AS (
+  SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+         count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket, bucket * 2500 AS bucket_lo_cents, n,
+       sum_cents,
+       CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+FROM agg
+""",
+    doc="fixed-width histogram + CDF per event_type: one partial-agged "
+        "shuffle on (type, bucket) — the map side collapses each "
+        "partition to at most n_types*n_buckets rows, so shuffle bytes "
+        "are O(buckets) not O(rows); the cumulative window runs over "
+        "the tiny aggregated output. The at-scale readout behind every "
+        "latency/value dashboard",
+)
+def q_value_histogram(spark, sf_dir):
+    return histogram_fixed_width(
+        _events(spark, sf_dir),
+        group_col="event_type",
+        value_col="value",
+        width=25.0,
+    )
+
+
+@register(
+    "order_rollup_revenue",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n_orders,
+       CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+    doc="ROLLUP grouping-sets aggregation: revenue by "
+        "(status, priority) with per-status subtotals and a grand "
+        "total in ONE pass — Spark expands the grouping sets before "
+        "the exchange, so the three granularities cost one shuffle, "
+        "not three jobs; grouping_id disambiguates NULL-as-rolled-up "
+        "from NULL-in-data on both engines (bit order: first grouping "
+        "column is the MSB in Spark AND DuckDB/Postgres)",
+)
+def q_order_rollup_revenue(spark, sf_dir):
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+@register(
+    "url_normalize_stats",
+    """
+WITH raw AS (
+  SELECT user_id, event_id,
+         'HTTP://Shop-' || (user_id % 3)::VARCHAR || '.Example.COM'
+         || CASE WHEN event_id % 2 = 0 THEN ':80' ELSE '' END
+         || '/' || CASE WHEN event_id % 4 = 0 THEN '/' ELSE '' END
+         || event_type
+         || CASE WHEN event_id % 3 = 0 THEN '/' ELSE '' END
+         || '?utm_source=' || (event_id % 7)::VARCHAR
+         || CASE WHEN event_id % 5 = 0 THEN '#top' ELSE '' END AS url
+  FROM events
+), norm AS (
+  SELECT user_id,
+         regexp_replace(lower(regexp_extract(url, '^([^/]*//[^/?#]*)', 1)),
+                        ':(80|443)$', '')
+         || regexp_replace(
+              regexp_replace(
+                regexp_extract(url, '^[^/]*//[^/?#]*(/[^?#]*)', 1),
+                '/{2,}', '/', 'g'),
+              '/$', '') AS url
+  FROM raw
+)
+SELECT url, count(*) AS n_requests,
+       count(DISTINCT user_id) AS n_users
+FROM norm GROUP BY url
+""",
+    doc="URL canonicalization + per-URL traffic counts — the "
+        "normalization the reference applies when splitting "
+        "requestUrl into host/path legs (parser/Normalized.java:48, "
+        "469-478; consumed by httprequest/HTTPRequest.java:128 and "
+        "the path/host standard filters): lowercase scheme+host, drop "
+        "default ports, drop query+fragment, collapse duplicate "
+        "slashes, strip trailing slash. Raw URLs are synthesized "
+        "deterministically from the events table (the corpus has no "
+        "URL column) with every normalization case exercised. Pure "
+        "string expressions -> whole-stage codegen; one agg shuffle "
+        "on the normalized key",
+)
+def q_url_normalize_stats(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    raw = ev.select(
+        "user_id",
+        F.concat(
+            F.lit("HTTP://Shop-"),
+            (F.col("user_id") % 3).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(F.col("event_id") % 2 == 0, ":80").otherwise(""),
+            F.lit("/"),
+            F.when(F.col("event_id") % 4 == 0, "/").otherwise(""),
+            F.col("event_type"),
+            F.when(F.col("event_id") % 3 == 0, "/").otherwise(""),
+            F.lit("?utm_source="),
+            (F.col("event_id") % 7).cast("string"),
+            F.when(F.col("event_id") % 5 == 0, "#top").otherwise(""),
+        ).alias("url"),
+    )
+    return (
+        raw.select("user_id", normalize_url(F.col("url")).alias("url"))
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "sessionize_clickstream",
+    """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events
+), f AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM o
+), s AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_n
+  FROM f
+), p AS (
+  SELECT *,
+         first_value(event_type) OVER w AS landing,
+         last_value(event_type) OVER
+           (PARTITION BY user_id, session_n ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS exit
+  FROM s
+  WINDOW w AS (PARTITION BY user_id, session_n ORDER BY ts, event_id)
+)
+SELECT user_id, session_n, landing, exit,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+         AS duration_sec
+FROM p GROUP BY user_id, session_n, landing, exit
+""",
+    doc="full clickstream sessionization (30-min gap) with per-session "
+        "landing/exit pages, duration, and size — the per-session "
+        "readout the reference's session heuristics summarize "
+        "(`customs/CustomsSessions`, `HTTPRequest` session legs) plus "
+        "the page attribution a product-analytics pipeline adds. ONE "
+        "shuffle + sort on user_id serves the lag, the session-number "
+        "cumsum, and the first/last-page windows (same partitioning + "
+        "ordering -> Catalyst reuses the exchange and sort); the final "
+        "agg is 1:1 with sessions",
+)
+def q_sessionize_clickstream(spark, sf_dir):
+    out = sessionize_full(
+        _events(spark, sf_dir),
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        page_col="event_type",
+        gap_seconds=1800,
+    )
+    return out.select(
+        "user_id", "session_n", "landing", "exit",
+        "session_start", "session_end", "n_events", "duration_sec",
+    )
+
+
+@register(
+    "pivot_event_matrix",
+    """
+SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'view')     AS view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) AS total,
+       (count(*) FILTER (WHERE event_type = 'purchase') * 1000000)
+         // count(*) AS purchase_ppm
+FROM events GROUP BY 1
+""",
+    doc="time-of-day x event-type activity matrix via pivot with an "
+        "EXPLICIT value list (groupBy(hour).pivot(type, [...])): the "
+        "explicit list keeps the plan a single-pass pivot aggregation "
+        "— without it Spark runs an extra distinct job to discover "
+        "columns, a full scan at 100 TB; with it the pivot is one "
+        "partial-agged shuffle on 24 keys. Conversion share as "
+        "integer ppm",
+)
+def q_pivot_event_matrix(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    piv = (
+        ev.groupBy(F.hour("ts").cast("long").alias("hour"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    piv = piv.select(
+        "hour",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+    )
+    total = sum((F.col(t) for t in types[1:]), F.col(types[0]))
+    return piv.withColumn("total", total).withColumn(
+        "purchase_ppm", F.expr("(purchase * 1000000) div total")
+    )
+
+
+@register(
+    "suspicious_ip_cooccurrence",
+    """
+WITH base AS (
+  SELECT DISTINCT
+         CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER) AS ip,
+         user_id, date_trunc('hour', ts) AS hw
+  FROM events
+)
+SELECT a.ip AS ip_a, b.ip AS ip_b, count(*) AS n_shared,
+       count(DISTINCT a.user_id) AS n_users
+FROM base a JOIN base b ON a.user_id = b.user_id AND a.hw = b.hw
+                        AND a.ip < b.ip
+GROUP BY 1, 2 HAVING count(*) >= 2
+""",
+    doc="infrastructure co-occurrence: pairs of source addresses (the "
+        "payload's k field as the address id) that act on the SAME "
+        "user within the SAME hour, counted across (user, hour) cells "
+        "— shared-botnet/proxy-cluster detection, the pairwise "
+        "generalization of the reference's source correlator "
+        "(`SourceCorrelation.java` family). The self-join is keyed on "
+        "(user_id, hour) AFTER a distinct projection, so per-key "
+        "fan-out is quadratic only in that user-hour's distinct "
+        "address count (bounded by per-user activity, never by corpus "
+        "size), and the pair count IS the output's information "
+        "content. One distinct shuffle + one equi-join shuffle",
+)
+def q_suspicious_ip_cooccurrence(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        F.regexp_extract("props", r"([0-9]+)", 1).cast("int").alias("ip"),
+        "user_id",
+        F.date_trunc("hour", "ts").alias("hw"),
+    ).distinct()
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.hw") == F.col("b.hw"))
+        & (F.col("a.ip") < F.col("b.ip")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.ip").alias("ip_a"), F.col("b.ip").alias("ip_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.countDistinct(F.col("a.user_id")).alias("n_users"),
+        )
+        .where(F.col("n_shared") >= 2)
+    )
