@@ -75,6 +75,14 @@ _MOZ_FIELDS = T.StructType(
         _s("statusCode"),
         _s("name"),
         _s("resource"),
+        # Duopull (models/duopull/Duopull.java — the record rides
+        # inside mozlog Fields in every enveloped form)
+        _s("event_action"),
+        _s("event_username"),
+        _s("event_description_ip_address"),
+        _s("event_timestamp"),
+        _s("event_object"),
+        _s("event_reason"),
         # IPrepdLog (parser/IPrepdLog.java)
         _s("violation"),
         _s("decay_after"),
@@ -102,6 +110,21 @@ WIDE_SCHEMA = T.StructType(
                     _s("type"),
                     T.StructField(
                         "labels", T.StructType([_s("project_id")])
+                    ),
+                    # bare GuardDuty finding resource block (same JSON
+                    # key, disjoint fields — GuardDuty.java:35-47
+                    # parses findings WITHOUT the CloudWatch wrapper)
+                    _s("resourceType"),
+                    T.StructField(
+                        "accessKeyDetails",
+                        T.StructType(
+                            [_s("accessKeyId"), _s("principalId"),
+                             _s("userType"), _s("userName")]
+                        ),
+                    ),
+                    T.StructField(
+                        "instanceDetails",
+                        T.StructType([_s("instanceId")]),
                     ),
                 ]
             ),
@@ -139,6 +162,7 @@ WIDE_SCHEMA = T.StructType(
                     _s("user_agent"),
                     _s("host"),
                     _s("x_forwarded_for"),
+                    _s("x_pipeline_proxy"),
                     # mozlog nested inside stackdriver
                     _s("Type"),
                     _s("Logger"),
@@ -188,6 +212,11 @@ WIDE_SCHEMA = T.StructType(
                     # payload family can arrive wrapped)
                     _s("eventVersion"),
                     _s("eventName"),
+                    # eventTime already declared above (ETD block —
+                    # same struct, shared key)
+                    _s("eventType"),
+                    _s("eventID"),
+                    _s("errorCode"),
                     _s("eventSource"),
                     _s("recipientAccountId"),
                     _s("sourceIPAddress"),
@@ -234,9 +263,15 @@ WIDE_SCHEMA = T.StructType(
                                     T.StructType(
                                         [_s("arn"), _s("assumedRoleId")]
                                     ),
-                                )
+                                ),
+                                _s("ConsoleLogin"),
+                                _s("SwitchRole"),
                             ]
                         ),
+                    ),
+                    T.StructField(
+                        "additionalEventData",
+                        T.StructType([_s("SwitchFrom"), _s("MFAUsed")]),
                     ),
                 ]
             ),
@@ -254,6 +289,10 @@ WIDE_SCHEMA = T.StructType(
                     T.StructField(
                         "requestMetadata", T.StructType([_s("callerIp")])
                     ),
+                    T.StructField(
+                        "authorizationInfo",
+                        T.ArrayType(T.StructType([_s("resource")])),
+                    ),
                 ]
             ),
         ),
@@ -262,6 +301,9 @@ WIDE_SCHEMA = T.StructType(
         _s("eventVersion"),
         _s("eventName"),
         _s("eventTime"),
+        _s("eventType"),
+        _s("eventID"),
+        _s("errorCode"),
         _s("eventSource"),
         _s("recipientAccountId"),
         _s("sourceIPAddress"),
@@ -279,9 +321,15 @@ WIDE_SCHEMA = T.StructType(
                     T.StructField(
                         "assumedRoleUser",
                         T.StructType([_s("arn"), _s("assumedRoleId")]),
-                    )
+                    ),
+                    _s("ConsoleLogin"),
+                    _s("SwitchRole"),
                 ]
             ),
+        ),
+        T.StructField(
+            "additionalEventData",
+            T.StructType([_s("SwitchFrom"), _s("MFAUsed")]),
         ),
         T.StructField(
             "userIdentity",
@@ -332,6 +380,8 @@ WIDE_SCHEMA = T.StructType(
         ),
         # --- duopull event (parser/Duopull.java, models/duopull/Duopull.java)
         _s("msg"),
+        _s("path"),
+        _s("event_reason"),
         _s("event_action"),
         _s("event_username"),
         _s("event_description_ip_address"),
@@ -350,6 +400,65 @@ WIDE_SCHEMA = T.StructType(
         _s("time"),
         _s("account"),
         _s("region"),
+        # bare GuardDuty finding at top level (GuardDuty.java:35-47 —
+        # type/arn/accountId/title/description are the identity)
+        _s("schemaVersion"),
+        _s("accountId"),
+        _s("id"),
+        _s("arn"),
+        _s("title"),
+        _s("description"),
+        _s("createdAt"),
+        _s("updatedAt"),
+        T.StructField(
+            "service",
+            T.StructType(
+                [
+                    T.StructField(
+                        "action",
+                        T.StructType(
+                            [
+                                _s("actionType"),
+                                T.StructField(
+                                    "awsApiCallAction",
+                                    T.StructType(
+                                        [
+                                            _s("api"),
+                                            _s("serviceName"),
+                                            _s("callerType"),
+                                            T.StructField(
+                                                "remoteIpDetails",
+                                                T.StructType(
+                                                    [_s("ipAddressV4")]
+                                                ),
+                                            ),
+                                        ]
+                                    ),
+                                ),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        # bare ETD finding at top level (parser/ETDBeta.java — the
+        # finding body arrives without the Stackdriver envelope too;
+        # golden: ParserTest.testParseETDFinding)
+        _s("detectionPriority"),
+        T.StructField(
+            "detectionCategory",
+            T.StructType(
+                [_s("indicator"), _s("ruleName"), _s("subRuleName"),
+                 _s("technique")]
+            ),
+        ),
+        T.StructField(
+            "properties",
+            T.StructType(
+                [_s("ip"), _s("location"), _s("project_id"),
+                 _s("principalEmail"), _s("domain")]
+            ),
+        ),
         T.StructField(
             "detail",
             T.StructType(
@@ -471,6 +580,37 @@ def explode_cloudwatch(df: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+# auth0 LogEvent body (parser/Auth0.java, models/auth0/LogEvent.java) —
+# parsed as its OWN tiny schema because the event arrives both bare and
+# under a Stackdriver jsonPayload, and the wide jsonPayload struct
+# already carries the mozlog "Type" key (a lowercase "type" sibling
+# would be ambiguous under Spark's case-insensitive resolution)
+AUTH0_BODY = T.StructType(
+    [
+        _s("_id"),
+        _s("date"),
+        _s("type"),
+        _s("client_name"),
+        _s("client_id"),
+        _s("ip"),
+        _s("user_id"),
+        T.StructField(
+            "details",
+            T.StructType(
+                [
+                    T.StructField(
+                        "prompts",
+                        T.ArrayType(T.StructType([_s("user_name")])),
+                    )
+                ]
+            ),
+        ),
+    ]
+)
+
+_AUTH0_WRAPPED = T.StructType([T.StructField("jsonPayload", AUTH0_BODY)])
+
+
 def strip_envelopes(df: DataFrame, value_col: str = "value") -> DataFrame:
     """Attach the parsed wide struct (`j`) plus hoisted envelope
     columns: `moz_fields` (top-level or stackdriver-nested mozlog),
@@ -486,16 +626,34 @@ def strip_envelopes(df: DataFrame, value_col: str = "value") -> DataFrame:
     out = (
         df.withColumn("j", j)
         .withColumn("m", m)
+        # a Stackdriver textPayload may itself BE a mozlog JSON string
+        # (Parser.java strips the Stackdriver envelope, then probes the
+        # inner text — ParserTest.testParseStackdriverTextDuopullBypass);
+        # gated on the mozlog markers so only such lines pay the parse
+        .withColumn(
+            "mt",
+            F.when(
+                F.col("j.textPayload").contains('"Fields"')
+                | F.col("j.textPayload").contains('"Timestamp"'),
+                F.from_json(F.col("j.textPayload"), MOZLOG_SCHEMA),
+            ),
+        )
         .withColumn(
             "moz_fields",
-            F.coalesce(F.col("j.jsonPayload.Fields"), F.col("m.Fields")),
+            F.coalesce(
+                F.col("j.jsonPayload.Fields"), F.col("m.Fields"),
+                F.col("mt.Fields"),
+            ),
         )
         .withColumn(
             "moz_logger",
-            F.coalesce(F.col("m.Logger"), F.col("j.jsonPayload.Logger")),
+            F.coalesce(F.col("m.Logger"), F.col("j.jsonPayload.Logger"),
+                       F.col("mt.Logger")),
         )
         .withColumn(
-            "moz_type", F.coalesce(F.col("m.Type"), F.col("j.jsonPayload.Type"))
+            "moz_type",
+            F.coalesce(F.col("m.Type"), F.col("j.jsonPayload.Type"),
+                       F.col("mt.Type")),
         )
         .withColumn(
             "moz_ts_ns",
@@ -506,12 +664,14 @@ def strip_envelopes(df: DataFrame, value_col: str = "value") -> DataFrame:
             F.coalesce(
                 F.try_to_number(
                     F.coalesce(
-                        F.col("m.Timestamp"), F.col("j.jsonPayload.Timestamp")
+                        F.col("m.Timestamp"), F.col("j.jsonPayload.Timestamp"),
+                        F.col("mt.Timestamp"),
                     ),
                     F.lit("S" + "9" * 19),
                 ).cast("long"),
                 F.coalesce(
-                    F.col("m.Timestamp"), F.col("j.jsonPayload.Timestamp")
+                    F.col("m.Timestamp"), F.col("j.jsonPayload.Timestamp"),
+                    F.col("mt.Timestamp"),
                 )
                 .try_cast("double")
                 .cast("long"),
@@ -523,6 +683,20 @@ def strip_envelopes(df: DataFrame, value_col: str = "value") -> DataFrame:
         )
         .withColumn(
             "payload_text", F.coalesce(F.col("j.textPayload"), F.col(value_col))
+        )
+        .withColumn(
+            "a0",
+            # gated on the _id marker so the two extra JSON parses run
+            # only on auth0-shaped lines (same trick as moz_shaped)
+            F.when(
+                F.col(value_col).contains('"_id"'),
+                F.coalesce(
+                    F.from_json(F.col(value_col), _AUTH0_WRAPPED)[
+                        "jsonPayload"
+                    ],
+                    F.from_json(F.col(value_col), AUTH0_BODY),
+                ),
+            ),
         )
     )
     # mozlog ns Timestamp WINS over the Stackdriver envelope ts when

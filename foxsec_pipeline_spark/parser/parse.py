@@ -58,6 +58,12 @@ class ParserCfg:
     max_timestamp_skew_seconds: int | None = None  # EventTooOld drop
     use_event_timestamp: bool = True         # ParserDoFn.java:116-118
     xff_trusted_cidrs: list[str] = field(default_factory=list)
+    # ParserCfg.setUseXffAsRemote — XFF header overrides remote_addr
+    # (Nginx.java:215-224); default OFF like the reference
+    use_xff_as_remote: bool = False
+    # ParserCfg.setUseProxyXff — trust the x_pipeline_proxy marker and
+    # take the second/third-from-last XFF hop (Parser.java:211-238)
+    use_proxy_xff: bool = False
     chain: list[PayloadSpec] | None = None
 
 
@@ -65,10 +71,15 @@ _CHAIN_CACHE: dict[tuple, list[PayloadSpec]] = {}
 _PROJ_CACHE: dict[tuple, tuple] = {}
 
 
-def _cached_chain(xff_trusted_cidrs: list[str]) -> list[PayloadSpec]:
-    key = tuple(xff_trusted_cidrs)
+def _cached_chain(
+    xff_trusted_cidrs: list[str],
+    use_xff_as_remote: bool = False,
+    use_proxy_xff: bool = False,
+) -> list[PayloadSpec]:
+    key = (tuple(xff_trusted_cidrs), bool(use_xff_as_remote),
+           bool(use_proxy_xff))
     if key not in _CHAIN_CACHE:
-        _CHAIN_CACHE[key] = default_chain(list(key))
+        _CHAIN_CACHE[key] = default_chain(list(key[0]), key[1], key[2])
     return _CHAIN_CACHE[key]
 
 
@@ -167,7 +178,9 @@ def parse_events(
     literal; production uses current_timestamp per micro-batch).
     """
     cfg = cfg or ParserCfg()
-    chain = cfg.chain or _cached_chain(cfg.xff_trusted_cidrs)
+    chain = cfg.chain or _cached_chain(
+        cfg.xff_trusted_cidrs, cfg.use_xff_as_remote, cfg.use_proxy_xff
+    )
 
     # whitespace-only lines (trailing newlines, blank separators in
     # fixture/log files) carry no event — drop them at the scan rather

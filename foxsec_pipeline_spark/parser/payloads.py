@@ -59,11 +59,14 @@ def glb_spec() -> PayloadSpec:
     hr = F.col("j.httpRequest")
     return PayloadSpec(
         name="glb",
+        # EXACT @type equality, no httpRequest fallback — GLB.java:
+        # 29-36 matches only the LoadBalancerLogEntry type value; a
+        # LogEntry with an httpRequest block but no @type is RAW
+        # (golden: ParserTest.testStackdriverJsonNoType)
         matcher=(
-            F.coalesce(F.col("j.jsonPayload.@type"), F.lit("")).rlike(
-                "LoadBalancerLogEntry"
-            )
-            | hr["requestUrl"].isNotNull()
+            F.col("j.jsonPayload.@type")
+            == "type.googleapis.com/google.cloud.loadbalancing.type"
+               ".LoadBalancerLogEntry"
         ),
         normalized_type=F.lit(NORMALIZED_HTTP_REQUEST),
         fields={
@@ -77,7 +80,11 @@ def glb_spec() -> PayloadSpec:
     )
 
 
-def nginx_spec(xff_trusted_cidrs: list[str] | None = None) -> PayloadSpec:
+def nginx_spec(
+    xff_trusted_cidrs: list[str] | None = None,
+    use_xff_as_remote: bool = False,
+    use_proxy_xff: bool = False,
+) -> PayloadSpec:
     """nginx access log via Stackdriver jsonPayload, BOTH reference
     variants (`parser/Nginx.java:40-55` matchesStackdriverVariant1/2;
     FIXTURES.md F2):
@@ -88,10 +95,17 @@ def nginx_spec(xff_trusted_cidrs: list[str] | None = None) -> PayloadSpec:
     - variant2 (EC2): remote_ip / referrer / req_time / agent /
       request / code.
 
-    The XFF header goes through the client selector
-    (`Parser.applyXffAddressSelector`, Parser.java:164-238) — a raw
-    multi-hop chain ('ip1, ip2') is never used verbatim as
-    source_address (it would null ipv4 math downstream)."""
+    Source-address semantics follow `Nginx.java:207-231` exactly: the
+    remote_addr/remote_ip field is the source (a '-' counts as
+    absent); the x_forwarded_for header OVERRIDES it only when the
+    parser is configured with use_xff_as_remote
+    (`ParserCfg.setUseXffAsRemote` — default OFF; golden:
+    ParserTest.testParseNginxStackdriverVariant1 asserts remote_addr
+    wins over the XFF chain by default, the XFF*Selector variants
+    assert the override). Either way the final value runs through the
+    XFF client selector (`Parser.applyXffAddressSelector`,
+    Parser.java:164-238) so a multi-hop chain is never used verbatim
+    as source_address (it would null ipv4 math downstream)."""
     p = F.col("j.jsonPayload")
     req = p["request"]
     v1 = (
@@ -101,18 +115,49 @@ def nginx_spec(xff_trusted_cidrs: list[str] | None = None) -> PayloadSpec:
         & p["request_time"].isNotNull()
     )
     v2 = p["remote_ip"].isNotNull() & req.isNotNull()
+    base = F.coalesce(
+        F.nullif(p["remote_addr"], F.lit("-")), p["remote_ip"]
+    )
+    if use_xff_as_remote:
+        xff = p["x_forwarded_for"]
+        xff_ok = xff.isNotNull() & (xff != "-") & (xff != "")
+        if use_proxy_xff:
+            # Parser.java:211-238 applyProxyXFFAddressSelector: the
+            # client hop sits before the pipeline's own proxies —
+            # second-from-last normally, third-from-last when the
+            # x_pipeline_proxy marker says an extra proxy hop was
+            # appended; single-entry chains pass through
+            xpp = p["x_pipeline_proxy"]
+            proxied = xpp.isNotNull() & (xpp != "-") & (xpp != "")
+            # NB lambda wrapper: F.trim has an optional second param,
+            # so passing it bare makes transform bind (element, index)
+            # to TRIM(str, trimStr)
+            arr = F.transform(F.split(xff, ","), lambda s: F.trim(s))
+            n = F.size(arr)
+            picked = (
+                F.when(n <= 1, F.trim(xff))
+                .when(~proxied | (n == 2), F.element_at(arr, -2))
+                .otherwise(F.element_at(arr, -3))
+            )
+            source = F.when(xff_ok, picked).otherwise(
+                xff_select_client(base, xff_trusted_cidrs)
+            )
+        else:
+            source = F.when(
+                xff_ok, xff_select_client(xff, xff_trusted_cidrs)
+            ).otherwise(xff_select_client(base, xff_trusted_cidrs))
+    else:
+        source = xff_select_client(base, xff_trusted_cidrs)
     return PayloadSpec(
         name="nginx",
         matcher=v1 | v2,
         normalized_type=F.lit(NORMALIZED_HTTP_REQUEST),
         fields={
-            "source_address": F.coalesce(
-                xff_select_client(p["x_forwarded_for"], xff_trusted_cidrs),
-                p["remote_ip"],
-                p["remote_addr"],
-            ),
+            "source_address": source,
             "request_method": F.split(req, " ").getItem(0),
-            "request_path": F.split(req, " ").getItem(1),
+            "request_path": F.regexp_replace(
+                F.split(req, " ").getItem(1), r"[?#].*$", ""
+            ),
             "request_host": p["host"],
             "request_status": F.coalesce(p["code"], p["status"]).cast("int"),
             "user_agent": F.coalesce(p["agent"], p["user_agent"]),
@@ -205,24 +250,54 @@ def fxaauth_spec(xff_trusted_cidrs: list[str] | None = None) -> PayloadSpec:
 
 
 def openssh_spec() -> PayloadSpec:
-    """OpenSSH syslog auth line (`parser/OpenSSH.java`):
-    'sshd[pid]: Accepted publickey for user from 1.2.3.4 port ...'.
-    Regex over the text body (Stackdriver textPayload or the raw
-    line)."""
+    """OpenSSH syslog line (`parser/OpenSSH.java:13-16,53-70`, golden
+    parity `ParserTest.java:162-244`). Reference semantics, matched
+    exactly:
+
+    - the MATCHER is any sshd line behind a syslog timestamp
+      (`matchRe` :13) — a failed/other sshd line is still an OPENSSH
+      payload, just with no extracted fields and no normalized type;
+    - field extraction happens only for the Accepted form
+      (`authAcceptedRe` :16): normalized AUTH with subject_user=user,
+      source_address=addr, object=HOSTNAME (`:65 n.setObject`), and
+      the auth method as a payload field;
+    - the event timestamp is the SYSLOG prefix re-yeared to the
+      envelope timestamp's year — or the current year for a raw line
+      (`Parser.parseAndCorrectSyslogTs` :129-139; the ±3-day guard
+      there compares the year-2000 Joda default parse against a
+      modern event ts, so it never passes and the behavior IS plain
+      withYear — including the documented quirk that a Dec 31 syslog
+      line under a Jan 2 envelope lands 11 months in the future).
+    """
     p = F.col("payload_text")
-    rx = r"sshd\[\d+\]: (Accepted|Failed) (\S+) for (?:invalid user )?(\S+) from (\S+) port"
+    syslog = r"\S{3} {1,2}\d{1,2} \d{1,2}:\d{1,2}:\d{1,2}"
+    match_rx = rf"^{syslog} \S+ \S*sshd\[\d+\]: .+"
+    rx = (
+        rf"({syslog}) (\S+) sshd\[\d+\]: Accepted (\S+) for (\S+) "
+        rf"from (\S+) port (\d+).*"
+    )
+    accepted = p.rlike(rx)
+    ref_year = F.year(F.coalesce(F.col("envelope_ts"), F.current_timestamp()))
+    body = F.regexp_replace(F.regexp_extract(p, rx, 1), r"\s+", " ")
     return PayloadSpec(
         name="openssh",
-        matcher=p.rlike(rx),
-        normalized_type=F.lit(NORMALIZED_AUTH),
+        matcher=p.rlike(match_rx),
+        normalized_type=F.when(accepted, F.lit(NORMALIZED_AUTH)),
         fields={
-            "source_address": F.regexp_extract(p, rx, 4),
-            "subject_user": F.regexp_extract(p, rx, 3),
-            "object": F.regexp_extract(p, rx, 2),  # auth method
-            "request_status": F.when(
-                F.regexp_extract(p, rx, 1) == "Accepted", 0
-            ).otherwise(1),
+            "source_address": F.when(accepted, F.regexp_extract(p, rx, 5)),
+            "subject_user": F.when(accepted, F.regexp_extract(p, rx, 4)),
+            "object": F.when(accepted, F.regexp_extract(p, rx, 2)),
         },
+        extras={
+            "auth_method": F.when(accepted, F.regexp_extract(p, rx, 3)),
+        },
+        event_ts=F.when(
+            accepted,
+            F.try_to_timestamp(
+                F.concat(ref_year.cast("string"), F.lit(" "), body),
+                F.lit("yyyy MMM d HH:mm:ss"),
+            ),
+        ),
     )
 
 
@@ -238,6 +313,57 @@ def cloudtrail_spec() -> PayloadSpec:
         return F.coalesce(F.col(f"j.{path}"), F.col(f"j.jsonPayload.{path}"))
 
     return _cloudtrail_spec_from(ct)
+
+
+def _ct_is_auth(ct, j):
+    """`Cloudtrail.java:175-208 isAuthEvent` verbatim: ConsoleLogin /
+    SwitchRole need the AwsConsoleSignIn eventType AND the Success
+    responseElements value; GetSessionToken / AssumeRole need an
+    IAMUser (or, for AssumeRole, AWSAccount — the cross-account form)
+    with no errorCode."""
+    user_type = ct("userIdentity.type")
+    no_err = ct("errorCode").isNull()
+    console = ct("eventType") == "AwsConsoleSignIn"
+    return (
+        ((j["eventName"] == "ConsoleLogin") & console
+         & (ct("responseElements.ConsoleLogin") == "Success"))
+        | ((j["eventName"] == "GetSessionToken")
+           & (user_type == "IAMUser") & no_err)
+        | ((j["eventName"] == "AssumeRole")
+           & user_type.isin("IAMUser", "AWSAccount") & no_err)
+        | ((j["eventName"] == "SwitchRole") & console
+           & (ct("responseElements.SwitchRole") == "Success"))
+    )
+
+
+def _ct_identity_name(ct, ui):
+    """`Cloudtrail.java:153-172 getUser` + `CloudtrailEvent.java:
+    134-146 getIdentityName`: a successful SwitchRole names the user
+    from the additionalEventData.SwitchFrom ARN's user/ resource
+    (the identity that switched IN — userIdentity only carries the
+    assumed role); everything else resolves the acting identity by
+    userIdentity.type. Kept for every cloudtrail row (the
+    payload-level user surface the matchers/queries filter on); the
+    reference only copies it into the NORMALIZED subject for auth
+    events, but leaves the payload getter total."""
+    user_type = ct("userIdentity.type")
+    switch_user = F.regexp_extract(
+        ct("additionalEventData.SwitchFrom"), r":user/([^:]+)$", 1
+    )
+    by_type = (
+        F.when(user_type == "IAMUser", ui["userName"])
+        .when(user_type == "AssumedRole",
+              ui["sessionContext.sessionIssuer.userName"])
+        .when(user_type == "AWSService", ui["invokedBy"])
+        .when(user_type == "AWSAccount", ct("userIdentity.accountId"))
+    )
+    return F.when(
+        (ct("eventName") == "SwitchRole")
+        & (ct("eventType") == "AwsConsoleSignIn")
+        & (ct("responseElements.SwitchRole") == "Success")
+        & (switch_user != ""),
+        switch_user,
+    ).otherwise(by_type)
 
 
 def _cloudtrail_spec_from(ct) -> PayloadSpec:
@@ -270,21 +396,29 @@ def _cloudtrail_spec_from(ct) -> PayloadSpec:
             ct("requestParameters.roleSessionName").isNotNull()
             & ct("eventSource").isNotNull()
         ),
-        normalized_type=F.when(
-            j["eventName"].isin("ConsoleLogin", "AssumeRole"),
-            F.lit(NORMALIZED_AUTH),
-        ),
+        normalized_type=F.when(_ct_is_auth(ct, j), F.lit(NORMALIZED_AUTH)),
         fields={
             "source_address": j["sourceIPAddress"],
-            "subject_user": F.coalesce(
-                ui["userName"],
-                ui["sessionContext.sessionIssuer.userName"],
-                ui["arn"],
-            ),
-            "object": j["eventName"],
+            "subject_user": _ct_identity_name(ct, ui),
+            # Cloudtrail.java:86 — the normalized object of an auth
+            # event is the RECIPIENT ACCOUNT (optionally renamed via
+            # the identity manager's aws_account_map downstream), not
+            # the event name; non-auth events leave it unset
+            "object": F.when(_ct_is_auth(ct, j), j["recipientAccountId"]),
             "user_agent": j["userAgent"],
         },
         extras={
+            # Cloudtrail.java:81 n.setReferenceID(eventID) — every
+            # cloudtrail event carries its upstream id
+            "reference_id": ct("eventID"),
+            # Cloudtrail.java:90-92 cross-account AssumeRole is
+            # flagged for subject fixup by the correlator
+            "status_tag": F.when(
+                (j["eventName"] == "AssumeRole")
+                & (ct("userIdentity.type") == "AWSAccount")
+                & ct("errorCode").isNull(),
+                "requires_subject_user_fixup",
+            ),
             # the AwsBehavior matcher field surface
             # (awsbehavior/CloudtrailMatcher.java; event_matchers.json)
             "event_name": j["eventName"],
@@ -310,26 +444,50 @@ def gcpaudit_spec() -> PayloadSpec:
     `parser/GcpAudit.java`): principal + method + resource, callerIp;
     the Pioneer pipeline's input."""
     pp = F.col("j.protoPayload")
+    principal = pp["authenticationInfo"]["principalEmail"]
+    caller = pp["requestMetadata"]["callerIp"]
+    # GcpAudit.java:198-206: the normalized object is
+    # authorizationInfo[0].resource, and the event normalizes to
+    # AUTH_SESSION (on-going use of an authenticated session, NOT a
+    # fresh AUTH) only when principal+source+resource are ALL present
+    # (golden: ParserTest.testParseGcpAudit)
+    resource = F.try_element_at(pp["authorizationInfo"], F.lit(1))["resource"]
     return PayloadSpec(
         name="gcpaudit",
-        matcher=pp["methodName"].isNotNull()
-        & pp["authenticationInfo"]["principalEmail"].isNotNull(),
-        normalized_type=F.lit(NORMALIZED_AUTH),
+        matcher=pp["methodName"].isNotNull() & principal.isNotNull(),
+        normalized_type=F.when(
+            principal.isNotNull() & caller.isNotNull()
+            & resource.isNotNull(),
+            F.lit(NORMALIZED_AUTH_SESSION),
+        ),
         fields={
-            "source_address": pp["requestMetadata"]["callerIp"],
-            "subject_user": pp["authenticationInfo"]["principalEmail"],
-            "object": F.coalesce(pp["resourceName"], pp["methodName"]),
+            "source_address": caller,
+            "subject_user": principal,
+            "object": resource,
+        },
+        extras={
+            "method_name": pp["methodName"],
+            "resource_name": pp["resourceName"],
         },
     )
 
 
+# the remote host may be emitted quoted ("%h" LogFormat variants) —
+# the reference strips the quotes (ParserTest.testParseApacheCombined
+# feeds '"216.160.83.56" - - [...]' and asserts the bare address)
+# the remote host field may be a QUOTED XFF-style chain ('"ip1, ip2"
+# riker - [...]' — ParserTest.testParseApacheCombinedXffUser) or a
+# bare token; the chain goes through the XFF client selector like
+# every other multi-address source
 _APACHE_RX = (
-    r'^(\S+) \S+ (\S+) \[([^\]]+)\] "(\S+) (\S+)[^"]*" (\d{3}) \S+'
+    r'^"?([^"]*?)"? \S+ (\S+) \[([^\]]+)\] "(\S+) (\S+)[^"]*" (\d{3}) \S+'
     r'(?: "([^"]*)" "([^"]*)")?'
 )
 
 
-def apache_combined_spec() -> PayloadSpec:
+def apache_combined_spec(
+    xff_trusted_cidrs: list[str] | None = None,
+) -> PayloadSpec:
     """Apache/nginx combined access log as plain text
     (`parser/ApacheCombined.java`): classic
     'ip - user [ts] "GET /path HTTP/1.1" status size "ref" "ua"'."""
@@ -339,13 +497,20 @@ def apache_combined_spec() -> PayloadSpec:
         matcher=p.rlike(_APACHE_RX),
         normalized_type=F.lit(NORMALIZED_HTTP_REQUEST),
         fields={
-            "source_address": F.regexp_extract(p, _APACHE_RX, 1),
+            "source_address": xff_select_client(
+                F.regexp_extract(p, _APACHE_RX, 1), xff_trusted_cidrs
+            ),
             "subject_user": F.when(
                 F.regexp_extract(p, _APACHE_RX, 2) != "-",
                 F.regexp_extract(p, _APACHE_RX, 2),
             ),
             "request_method": F.regexp_extract(p, _APACHE_RX, 4),
-            "request_path": F.regexp_extract(p, _APACHE_RX, 5),
+            # normalized UrlRequestPath carries no query component
+            # (ParserTest.testParseApacheCombined: '/assets/scripts/'
+            # 'main.js?t=t' -> '/assets/scripts/main.js')
+            "request_path": F.regexp_replace(
+                F.regexp_extract(p, _APACHE_RX, 5), r"[?#].*$", ""
+            ),
             "request_status": F.regexp_extract(p, _APACHE_RX, 6).cast("int"),
             "user_agent": F.when(
                 F.regexp_extract(p, _APACHE_RX, 8) != "",
@@ -371,7 +536,7 @@ def auth0_spec() -> PayloadSpec:
     email the IdentityManager resolves; golden-verified on
     authprof_buffer6); user_id (the LDAP connection id) is the
     fallback."""
-    j = F.col("j")
+    j = F.col("a0")
     prompt_user = F.try_element_at(
         F.filter(
             F.coalesce(
@@ -384,9 +549,14 @@ def auth0_spec() -> PayloadSpec:
     )["user_name"]
     return PayloadSpec(
         name="auth0",
+        # the client_id-as-ARRAY bug case is deliberately RAW
+        # (ParserTest.testAuth0EventClientIdArrayAsRaw — Jackson fails
+        # to read the LogEvent model, so the reference never matches);
+        # the textual probe mirrors that deserialization failure
         matcher=j["_id"].isNotNull()
         & j["date"].isNotNull()
-        & j["type"].isNotNull(),
+        & j["type"].isNotNull()
+        & ~F.col("payload_text").rlike(r'"client_id"\s*:\s*\['),
         normalized_type=F.when(
             j["type"].isin(_AUTH0_AUTH_TYPES), F.lit(NORMALIZED_AUTH)
         ),
@@ -406,21 +576,36 @@ def auth0_spec() -> PayloadSpec:
 
 def duopull_spec() -> PayloadSpec:
     """Duo Security audit pull (`parser/Duopull.java`,
-    `models/duopull/Duopull.java`): flat mozlog-ish record with
-    msg='duopull event'; admin_login actions normalize to AUTH."""
+    `models/duopull/Duopull.java`): flat record with msg='duopull
+    event', arriving BARE or inside mozlog Fields under any envelope
+    (bare mozlog / Stackdriver jsonPayload / Stackdriver textPayload
+    — golden: ParserTest.testParse*DuopullBypass x4). Every field
+    coalesces the top level with mozlog Fields; admin_login actions
+    normalize to AUTH; the payload event_timestamp overrides both the
+    mozlog and envelope timestamps."""
     j = F.col("j")
+    mf = F.col("moz_fields")
+
+    def dp(k):
+        return F.coalesce(j[k], mf[k])
+
     return PayloadSpec(
         name="duopull",
-        matcher=j["msg"] == "duopull event",
+        matcher=dp("msg") == "duopull event",
         normalized_type=F.when(
-            j["event_action"] == "admin_login", F.lit(NORMALIZED_AUTH)
+            dp("event_action") == "admin_login", F.lit(NORMALIZED_AUTH)
         ),
         fields={
-            "source_address": j["event_description_ip_address"],
-            "subject_user": j["event_username"],
-            "object": F.coalesce(j["event_object"], j["event_action"]),
+            "source_address": dp("event_description_ip_address"),
+            "subject_user": dp("event_username"),
+            "object": F.coalesce(dp("event_object"), dp("event_action")),
         },
-        event_ts=F.timestamp_seconds(j["event_timestamp"].cast("long")),
+        extras={
+            "event_action": dp("event_action"),
+            "event_reason": dp("event_reason"),
+            "path": F.coalesce(j["path"], mf["path"]),
+        },
+        event_ts=F.timestamp_seconds(dp("event_timestamp").cast("long")),
     )
 
 
@@ -495,65 +680,110 @@ def privaterelay_spec() -> PayloadSpec:
 
 
 def guardduty_spec() -> PayloadSpec:
-    """AWS GuardDuty finding via CloudWatch Event wrapper
-    (`parser/GuardDuty.java`: source == aws.guardduty; finding model
-    fields type/arn/accountId/title/description are the identity)."""
+    """AWS GuardDuty finding (`parser/GuardDuty.java:25-50`): the
+    normal path is the CloudWatch Event wrapper (source ==
+    aws.guardduty); a BARE finding also matches when its
+    GuardDuty-specific identity fields are all present
+    (type+arn+accountId+title+description — the reference's guard
+    against generic JSON reading onto the Finding model,
+    golden-verified by ParserTest.testParseGuardDutyFinding). Every
+    field coalesces detail.* (wrapped) with the top level (bare)."""
     d = F.col("j.detail")
+
+    def gd(field):
+        return F.coalesce(d[field], F.col(f"j.{field}"))
+
+    bare = (
+        F.col("j.type").isNotNull()
+        & F.col("j.arn").isNotNull()
+        & F.col("j.accountId").isNotNull()
+        & F.col("j.title").isNotNull()
+        & F.col("j.description").isNotNull()
+    )
+    res = F.coalesce(d["resource"]["resourceType"],
+                     F.col("j.resource.resourceType"))
+    ip = F.coalesce(
+        d["service"]["action"]["awsApiCallAction"]["remoteIpDetails"][
+            "ipAddressV4"
+        ],
+        F.col("j.service.action.awsApiCallAction.remoteIpDetails.ipAddressV4"),
+    )
+    user = F.coalesce(
+        d["resource"]["accessKeyDetails"]["userName"],
+        F.col("j.resource.accessKeyDetails.userName"),
+    )
     return PayloadSpec(
         name="guardduty",
-        matcher=(F.col("j.source") == "aws.guardduty")
-        & d["type"].isNotNull()
-        & d["arn"].isNotNull(),
+        matcher=(
+            (F.col("j.source") == "aws.guardduty")
+            & d["type"].isNotNull()
+            & d["arn"].isNotNull()
+        )
+        | bare,
         normalized_type=F.lit(None).cast("string"),
         fields={
-            "source_address": d["service"]["action"]["awsApiCallAction"][
-                "remoteIpDetails"
-            ]["ipAddressV4"],
-            "subject_user": d["resource"]["accessKeyDetails"]["userName"],
-            "object": d["arn"],
+            "source_address": ip,
+            "subject_user": user,
+            "object": gd("arn"),
         },
         extras={
-            "finding_type": d["type"],
-            "finding_id": d["id"],
-            "account_id": d["accountId"],
+            "finding_type": gd("type"),
+            "finding_id": gd("id"),
+            "account_id": gd("accountId"),
             "region": F.coalesce(d["region"], F.col("j.region")),
-            "severity": d["severity"],
-            "title": d["title"],
-            "description": d["description"],
-            "resource_type": d["resource"]["resourceType"],
-            "instance_id": d["resource"]["instanceDetails"]["instanceId"],
+            "severity": gd("severity"),
+            "title": gd("title"),
+            "description": gd("description"),
+            "resource_type": res,
+            "instance_id": F.coalesce(
+                d["resource"]["instanceDetails"]["instanceId"],
+                F.col("j.resource.instanceDetails.instanceId"),
+            ),
         },
         event_ts=F.to_timestamp(F.col("j.time")),
     )
 
 
 def etdbeta_spec() -> PayloadSpec:
-    """GCP Event Threat Detection finding (`parser/ETDBeta.java`):
-    Stackdriver LogEntry with resource.type == threat_detector;
-    finding body in jsonPayload (models/etd/*)."""
+    """GCP Event Threat Detection finding (`parser/ETDBeta.java:
+    matcher`): normally a Stackdriver LogEntry with resource.type ==
+    threat_detector and the finding body in jsonPayload (models/etd/*);
+    a BARE finding also matches when detectionPriority+eventTime are
+    present (the reference's consistency fallback — golden:
+    ParserTest.testParseETDFinding). Fields coalesce both shapes."""
     p = F.col("j.jsonPayload")
-    dc = p["detectionCategory"]
+
+    def ed(path):
+        cur_p, cur_t = p, F.col("j")
+        for part in path.split("."):
+            cur_p, cur_t = cur_p[part], cur_t[part]
+        return F.coalesce(cur_p, cur_t)
+
+    bare = (
+        F.col("j.detectionPriority").isNotNull()
+        & F.col("j.eventTime").isNotNull()
+    )
     return PayloadSpec(
         name="etd",
-        matcher=F.col("j.resource.type") == "threat_detector",
+        matcher=(F.col("j.resource.type") == "threat_detector") | bare,
         normalized_type=F.lit(None).cast("string"),
         fields={
-            "source_address": p["properties"]["ip"],
-            "subject_user": p["properties"]["principalEmail"],
-            "object": dc["ruleName"],
+            "source_address": ed("properties.ip"),
+            "subject_user": ed("properties.principalEmail"),
+            "object": ed("detectionCategory.ruleName"),
         },
         extras={
-            "rule_name": dc["ruleName"],
-            "sub_rule_name": dc["subRuleName"],
-            "technique": dc["technique"],
-            "indicator": dc["indicator"],
-            "detection_priority": p["detectionPriority"],
+            "rule_name": ed("detectionCategory.ruleName"),
+            "sub_rule_name": ed("detectionCategory.subRuleName"),
+            "technique": ed("detectionCategory.technique"),
+            "indicator": ed("detectionCategory.indicator"),
+            "detection_priority": ed("detectionPriority"),
             "severity": F.col("j.severity"),
-            "project_id": p["properties"]["project_id"],
-            "location": p["properties"]["location"],
+            "project_id": ed("properties.project_id"),
+            "location": ed("properties.location"),
             "project_number": p["sourceId"]["projectNumber"],
         },
-        event_ts=F.to_timestamp(p["eventTime"]),
+        event_ts=F.to_timestamp(ed("eventTime")),
     )
 
 
@@ -816,18 +1046,22 @@ def cfgtick_spec() -> PayloadSpec:
     )
 
 
-def default_chain(xff_trusted_cidrs: list[str] | None = None) -> list[PayloadSpec]:
+def default_chain(
+    xff_trusted_cidrs: list[str] | None = None,
+    use_xff_as_remote: bool = False,
+    use_proxy_xff: bool = False,
+) -> list[PayloadSpec]:
     """Fixed probe order, mirroring Parser.java:597-619 (most-specific
     first, raw fallback implicit)."""
     return [
         glb_spec(),
-        nginx_spec(xff_trusted_cidrs),
+        nginx_spec(xff_trusted_cidrs, use_xff_as_remote, use_proxy_xff),
         fxaauth_spec(xff_trusted_cidrs),
         fxacontent_spec(xff_trusted_cidrs),
         cloudtrail_spec(),
         gcpaudit_spec(),
         gcpvpcflow_spec(),
-        apache_combined_spec(),
+        apache_combined_spec(xff_trusted_cidrs),
         bmoaudit_spec(),
         iprepdlog_spec(),
         taskcluster_spec(),

@@ -168,6 +168,8 @@ def test_multiplex_read_parsed(spark, tmp_path):
         {
             "timestamp": "1970-01-01T00:00:30.000Z",
             "resource": {"labels": {"project_id": "p1"}},
+            "jsonPayload": {"@type": "type.googleapis.com/google.cloud"
+                            ".loadbalancing.type.LoadBalancerLogEntry"},
             "httpRequest": {
                 "remoteIp": "1.1.1.1", "requestMethod": "GET",
                 "requestUrl": "https://a.example.com/x", "status": 200,
@@ -175,7 +177,7 @@ def test_multiplex_read_parsed(spark, tmp_path):
             },
         }
     )
-    ssh = ("Jan  1 00:02:00 host sshd[7]: Failed password for invalid user x "
+    ssh = ("Jan  1 00:02:00 host sshd[7]: Accepted publickey for x "
            "from 9.9.9.9 port 22 ssh2")
     d1 = tmp_path / "glb"; d1.mkdir(); (d1 / "a.txt").write_text(glb + "\n")
     d2 = tmp_path / "ssh"; d2.mkdir(); (d2 / "b.txt").write_text(ssh + "\n")
@@ -192,7 +194,9 @@ def test_multiplex_read_parsed(spark, tmp_path):
     assert rows["web"].source_address == "1.1.1.1"
     assert rows["bastion"].payload_type == "openssh"
     assert rows["bastion"].subject_user == "x"
-    assert rows["bastion"].request_status == 1
+    # reference mapping: hostname as object, auth method as a field
+    assert rows["bastion"].object == "host"
+    assert rows["bastion"].fields["auth_method"] == "publickey"
 
 
 def test_notify_merge_windowed(spark):

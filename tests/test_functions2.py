@@ -104,6 +104,8 @@ def test_streaming_parse_to_alert_end_to_end(spark, tmp_path):
             {
                 "timestamp": f"1970-01-01T00:00:{s:02d}.000Z",
                 "resource": {"labels": {"project_id": "p"}},
+                "jsonPayload": {"@type": "type.googleapis.com/google.cloud"
+                                ".loadbalancing.type.LoadBalancerLogEntry"},
                 "httpRequest": {
                     "remoteIp": "10.0.0.9",
                     "requestMethod": "GET",

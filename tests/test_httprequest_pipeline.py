@@ -18,6 +18,8 @@ def _glb(second: int, ip: str, status: int = 200, ua: str = "ok-agent"):
         {
             "timestamp": f"1970-01-01T00:00:{second:02d}.000Z",
             "resource": {"labels": {"project_id": "p"}},
+            "jsonPayload": {"@type": "type.googleapis.com/google.cloud"
+                            ".loadbalancing.type.LoadBalancerLogEntry"},
             "httpRequest": {
                 "remoteIp": ip,
                 "requestMethod": "GET",

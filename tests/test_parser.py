@@ -142,10 +142,15 @@ def test_openssh(spark):
     r = _parse(spark, [SSH_LINE]).collect()[0]
     assert r.payload_type == "openssh"
     assert r.normalized_type == "auth"
+    # reference mapping (OpenSSH.java:58-65, ParserTest.java:162-186):
+    # normalized object is the HOSTNAME; the auth method is a payload
+    # field, not a normalized column
     assert (r.subject_user, r.source_address, r.object) == (
-        "riker", "216.160.83.56", "publickey",
+        "riker", "216.160.83.56", "host",
     )
-    assert r.request_status == 0
+    assert r.fields["auth_method"] == "publickey"
+    # event ts = syslog prefix re-yeared to the envelope year
+    assert str(r.timestamp) == "1970-01-01 00:02:00"
 
 
 def test_cloudtrail_and_cloudwatch_explode(spark):

@@ -361,9 +361,13 @@ def test_session_limit_reference_golden(spark):
         for i in (1, 2, 3)
     ]
     raw = spark.read.text(parts)
-    # trusted proxies cover the two intermediate XFF hops, so the
-    # selector walks right-to-left to the true client 192.168.0.1
-    ev = parse_events(raw, ParserCfg(xff_trusted_cidrs=["192.168.0.2/31"]))
+    # the reference test runs with useXffAsRemote + useProxyXff
+    # (TestSessionLimitAnalysis.java:63-64): the x_pipeline_proxy
+    # marker makes the selector take the third-from-last hop — the
+    # true client 192.168.0.1
+    ev = parse_events(
+        raw, ParserCfg(use_xff_as_remote=True, use_proxy_xff=True)
+    )
     assert ev.where(F.col("payload_type") == "raw").count() == 0
     monitored = ev.where(
         (F.col("request_method") == "POST")
@@ -787,7 +791,9 @@ def test_authprofile_reference_golden(spark):
     ssh = ev.where(F.col("payload_type") == "openssh").select(
         F.col("subject_user").alias("user"),
         F.col("source_address"), "timestamp", "event_id",
-        F.col("object").alias("auth_method"),
+        # auth method moved to the payload fields map when the openssh
+        # spec adopted the reference's object=hostname mapping
+        F.col("fields")["auth_method"].alias("auth_method"),
     )
     resolved = im.resolve_identity(ssh, "user")
     assert resolved.count() == 5
@@ -1257,14 +1263,25 @@ def test_aws_assume_role_correlation_reference_golden(spark):
     ct = ev.where(F.col("payload_type") == "cloudtrail").select(
         "event_id", "timestamp", "subject_user", "source_address",
         F.col("fields")["role_session_name"].alias("session_name"),
+        F.col("fields")["status_tag"].alias("status_tag"),
         F.regexp_extract(
             F.col("fields")["role_arn"], r"arn:aws:iam::(\d+):", 1
         ).alias("target_account"),
     ).localCheckpoint()
+    # the cross-account AssumeRole (userIdentity type AWSAccount) is
+    # tagged REQUIRES_SUBJECT_USER_FIXUP at parse time
+    # (Cloudtrail.java:90-92) — the correlator resolves exactly the
+    # tagged events from the untagged provider legs sharing the
+    # session name, the reference's own selection rule (the old
+    # null-subject heuristic broke once getIdentityName learned to
+    # name AWSAccount principals by account id, as the reference does)
+    fixup = F.col("status_tag") == "requires_subject_user_fixup"
     resolved = assume_role_correlate(
         ct, key="session_name",
-        provider_predicate=F.col("subject_user").isNotNull(),
-        consumer_predicate=F.col("subject_user").isNull(),
+        provider_predicate=F.col("subject_user").isNotNull() & ~F.coalesce(
+            fixup, F.lit(False)
+        ),
+        consumer_predicate=F.coalesce(fixup, F.lit(False)),
         subject_col="subject_user", ts="timestamp",
     )
     account_name = F.create_map(
