@@ -70,6 +70,11 @@ CLOUDTRAIL_LINE = json.dumps(
         "eventVersion": "1.05",
         "eventTime": "1970-01-01T00:03:00Z",
         "eventName": "ConsoleLogin",
+        # isAuthEvent (Cloudtrail.java:175-208) needs the console
+        # sign-in eventType AND the Success responseElements value
+        "eventType": "AwsConsoleSignIn",
+        "responseElements": {"ConsoleLogin": "Success"},
+        "recipientAccountId": "123456789012",
         "sourceIPAddress": "127.0.0.1",
         "userAgent": "aws-cli",
         "userIdentity": {"type": "IAMUser", "userName": "riker"},
@@ -205,6 +210,9 @@ GCPAUDIT_LINE = json.dumps(
             "resourceName": "projects/_/buckets/b/objects/o",
             "authenticationInfo": {"principalEmail": "riker@example.com"},
             "requestMetadata": {"callerIp": "198.51.100.7"},
+            "authorizationInfo": [
+                {"resource": "projects/_/buckets/b/objects/o"}
+            ],
         },
     }
 )
@@ -219,7 +227,9 @@ APACHE_LINE = (
 def test_gcpaudit(spark):
     r = _parse(spark, [GCPAUDIT_LINE]).collect()[0]
     assert r.payload_type == "gcpaudit"
-    assert r.normalized_type == "auth"
+    # AUTH_SESSION per GcpAudit.java:204 (on-going authenticated
+    # session, not a fresh login); object from authorizationInfo
+    assert r.normalized_type == "auth_session"
     assert r.subject_user == "riker@example.com"
     assert r.source_address == "198.51.100.7"
     assert r.object == "projects/_/buckets/b/objects/o"
@@ -299,6 +309,8 @@ def test_parse_metrics_observation(spark):
         {
             "timestamp": "1970-01-01T00:00:30.000Z",
             "resource": {"labels": {"project_id": "p"}},
+            "jsonPayload": {"@type": "type.googleapis.com/google.cloud"
+                            ".loadbalancing.type.LoadBalancerLogEntry"},
             "httpRequest": {
                 "remoteIp": "10.0.0.1", "requestMethod": "GET",
                 "requestUrl": "https://h/x", "status": 200, "userAgent": "ua",
@@ -309,6 +321,8 @@ def test_parse_metrics_observation(spark):
         {
             "timestamp": "1969-12-25T00:00:00.000Z",
             "resource": {"labels": {"project_id": "p"}},
+            "jsonPayload": {"@type": "type.googleapis.com/google.cloud"
+                            ".loadbalancing.type.LoadBalancerLogEntry"},
             "httpRequest": {
                 "remoteIp": "10.0.0.2", "requestMethod": "GET",
                 "requestUrl": "https://h/y", "status": 200, "userAgent": "ua",
