@@ -24,6 +24,42 @@ from pyspark.sql import functions as F
 from .net import cidr_in_any
 
 
+class IdentityPrefs:
+    """Per-identity notification routing (`identity/Identity.java`):
+    `notify` is the direct-to-user channel, `alert` the security-team
+    channel; each carries an email/slack destination and a Method.
+    should_*_via_* mirror Identity.java:81-125 — null prefs or null
+    method mean "do not route directly" (the alert falls back to the
+    global escalation address, Identity.java:27-38)."""
+
+    def __init__(self, spec: dict):
+        self.notify = spec.get("notify")
+        self.alert = spec.get("alert")
+        self.escalate_to = spec.get("escalate_to")
+
+    @staticmethod
+    def _via(prefs, method: str) -> bool:
+        return bool(prefs) and prefs.get("method") == method
+
+    def should_notify_via_email(self) -> bool:
+        return self._via(self.notify, "EMAIL")
+
+    def should_notify_via_slack(self) -> bool:
+        return self._via(self.notify, "SLACK")
+
+    def should_alert_via_email(self) -> bool:
+        return self._via(self.alert, "EMAIL")
+
+    def should_alert_via_slack(self) -> bool:
+        return self._via(self.alert, "SLACK")
+
+    def alert_email(self):
+        return (self.alert or {}).get("email")
+
+    def notify_email(self):
+        return (self.notify or {}).get("email")
+
+
 @dataclass
 class IdentityManager:
     """Parsed identity config.
@@ -31,11 +67,14 @@ class IdentityManager:
     `identities`: canonical identity -> list of known aliases.
     `named_subnets`: name -> list of CIDRs.
     `aws_accounts`: account id -> human name.
+    `prefs`: canonical identity -> IdentityPrefs (notification
+    routing, `identity/Identity.java`).
     """
 
     identities: dict[str, list[str]] = field(default_factory=dict)
     named_subnets: dict[str, list[str]] = field(default_factory=dict)
     aws_accounts: dict[str, str] = field(default_factory=dict)
+    prefs: dict[str, IdentityPrefs] = field(default_factory=dict)
 
     @classmethod
     def from_json(cls, text: str) -> IdentityManager:
@@ -43,6 +82,10 @@ class IdentityManager:
         return cls(
             identities={
                 ident: list(spec.get("aliases", []))
+                for ident, spec in cfg.get("identities", {}).items()
+            },
+            prefs={
+                ident: IdentityPrefs(spec)
                 for ident, spec in cfg.get("identities", {}).items()
             },
             # a named subnet may be one CIDR string or a list
@@ -82,6 +125,39 @@ class IdentityManager:
         return df.join(
             F.broadcast(dim), df[user_col] == dim["alias"], how
         ).drop("alias")
+
+    def lookup_alias(self, user):
+        """alias -> canonical identity (IdentityManager.lookupAlias:
+        the identity name itself resolves too; unknown/empty/None ->
+        None)."""
+        if not user:
+            return None
+        for ident, aliases in self.identities.items():
+            if user == ident or user in aliases:
+                return ident
+        return None
+
+    def get_identity(self, ident):
+        """canonical identity -> IdentityPrefs, None if unknown."""
+        if ident not in self.identities:
+            return None
+        return self.prefs.get(ident) or IdentityPrefs({})
+
+    def lookup_named_subnet(self, address):
+        """address -> first named subnet containing it
+        (IdentityManager.java:118-128); None for None/no-match,
+        ValueError for a non-IP string like the reference's
+        IllegalArgumentException."""
+        if address is None:
+            return None
+        import ipaddress
+
+        addr = ipaddress.ip_address(address)  # raises ValueError
+        for name, cidrs in self.named_subnets.items():
+            for c in cidrs:
+                if addr in ipaddress.ip_network(c, strict=False):
+                    return name
+        return None
 
     def subnet_membership(self, ip: Column, name: str) -> Column:
         """ip ∈ the named subnet list (constant-folded CIDR math)."""

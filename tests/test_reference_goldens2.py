@@ -105,3 +105,158 @@ def test_auth_state_model_time_sorted_and_update_semantics(spark):
     assert got[("picard", "2024-01-01 01:00:00")] is True   # repeat
     # 25h since last sighting > 12h horizon -> pruned -> new again
     assert got[("picard", "2024-01-02 02:00:00")] is False
+
+
+def _contains(spark, cidrs, ips):
+    from foxsec_pipeline_spark.functions.net import cidr_in_any
+
+    df = spark.createDataFrame([(ip,) for ip in ips], "ip string")
+    rows = df.select(
+        "ip", F.coalesce(cidr_in_any(F.col("ip"), cidrs), F.lit(False))
+        .alias("hit")
+    ).collect()
+    return {r.ip: r.hit for r in rows}
+
+
+def test_cidrutil_reference_golden(spark):
+    """TestCidrUtil.fileInputCidrMatchTest + cidrMatchTest
+    (`TestCidrUtil.java:12-29`): the reference's cidrutil1.txt list
+    (read from its checkout at runtime) and the inline /24-plus-/8
+    set, every documented membership answer. The GCP/AWS/DNS loader
+    tests need live network — permanent stubs."""
+    import os
+
+    fx = ("/root/reference/src/test/resources/testdata/cidrutil1.txt")
+    if not os.path.exists(fx):
+        import pytest
+
+        pytest.skip("reference checkout not available")
+    cidrs = [ln.strip() for ln in open(fx) if ln.strip()]
+    got = _contains(spark, cidrs, [
+        "10.0.0.10", "11.0.0.1", "192.168.1.254", "192.168.2.1",
+        "1.1.1.1", "1.1.1.2",
+    ])
+    assert got == {
+        "10.0.0.10": True, "11.0.0.1": False, "192.168.1.254": True,
+        "192.168.2.1": False, "1.1.1.1": True, "1.1.1.2": False,
+    }
+    got2 = _contains(
+        spark, ["200.200.200.0/24", "192.168.1.0/8"],
+        ["200.200.200.200", "200.201.200.200"],
+    )
+    assert got2 == {"200.200.200.200": True, "200.201.200.200": False}
+
+
+def test_inetradix_reference_golden(spark):
+    """TestInetRadix.testLookup (`TestInetRadix.java:8-116`): every
+    membership assertion of the reference's longest-prefix radix tree
+    against this engine's integer-mask CIDR matcher — same answers,
+    different structure (the radix tree is a per-row lookup
+    optimization; a vectorized mask test needs no tree)."""
+    cidrs = ["192.168.0.0/24", "10.10.10.10/32", "1.0.0.0/8",
+             "192.168.10.0/28"]
+    got = _contains(spark, cidrs, [
+        "10.0.0.1", "192.168.1.1", "10.10.10.9", "10.10.10.11",
+        "255.255.255.255", "0.0.0.0", "192.168.10.16",
+        "192.168.0.10", "10.10.10.10", "1.0.0.1", "1.255.255.255",
+        "192.168.10.1", "192.168.10.15",
+    ])
+    for ip in ("10.0.0.1", "192.168.1.1", "10.10.10.9", "10.10.10.11",
+               "255.255.255.255", "0.0.0.0", "192.168.10.16"):
+        assert got[ip] is False, ip
+    for ip in ("192.168.0.10", "10.10.10.10", "1.0.0.1",
+               "1.255.255.255", "192.168.10.1", "192.168.10.15"):
+        assert got[ip] is True, ip
+
+    # overlapping /32-inside-/30 additions
+    got = _contains(spark, ["1.2.3.4/32", "1.2.3.4/30", "1.2.4.4/30",
+                            "1.2.4.4/32"],
+                    ["1.2.3.3", "1.2.3.4", "1.2.3.5", "1.2.3.6",
+                     "1.2.3.7", "1.2.3.8", "1.2.4.3", "1.2.4.4",
+                     "1.2.4.5", "1.2.4.6", "1.2.4.7", "1.2.4.8"])
+    assert [ip for ip, v in sorted(got.items()) if v] == [
+        "1.2.3.4", "1.2.3.5", "1.2.3.6", "1.2.3.7",
+        "1.2.4.4", "1.2.4.5", "1.2.4.6", "1.2.4.7",
+    ]
+
+    # non-zero host bits in the cidr spec mask away
+    got = _contains(spark, ["1.0.0.0/24", "1.0.0.1/24", "1.0.0.2/24"],
+                    ["1.0.0.0", "1.0.0.1", "1.0.0.2", "1.0.0.200",
+                     "1.0.1.0"])
+    assert got == {"1.0.0.0": True, "1.0.0.1": True, "1.0.0.2": True,
+                   "1.0.0.200": True, "1.0.1.0": False}
+
+    # the wide even-/16 + even-/24 set
+    cidrs = [f"10.{i}.0.0/16" for i in range(0, 20, 2)] + [
+        f"10.{i}.0.0/24" for i in range(20, 30, 2)
+    ]
+    got = _contains(spark, cidrs, [
+        "10.0.0.1", "10.1.0.1", "10.2.0.1", "10.3.0.1", "10.4.0.1",
+        "10.5.0.1", "10.6.0.1", "10.7.0.1", "10.8.0.1",
+        "10.24.0.200", "10.24.1.200",
+    ])
+    assert got == {
+        "10.0.0.1": True, "10.1.0.1": False, "10.2.0.1": True,
+        "10.3.0.1": False, "10.4.0.1": True, "10.5.0.1": False,
+        "10.6.0.1": True, "10.7.0.1": False, "10.8.0.1": True,
+        "10.24.0.200": True, "10.24.1.200": False,
+    }
+
+
+def test_identity_manager_reference_golden():
+    """TestIdentityManager (`identity/TestIdentityManager.java:16-95`)
+    on the reference's own identitymanager.json: alias resolution
+    (including identity-name self-lookup and null/empty), the full
+    notification-preference surface (Identity.java:81-125 semantics —
+    null prefs mean no direct routing), the aws_account_map, and
+    named-subnet lookup incl. the invalid-address error."""
+    import os
+
+    import pytest
+
+    fx = ("/root/reference/src/test/resources/testdata/"
+          "identitymanager.json")
+    if not os.path.exists(fx):
+        pytest.skip("reference checkout not available")
+    from foxsec_pipeline_spark.functions.identity import IdentityManager
+
+    mgr = IdentityManager.from_json(open(fx).read())
+
+    assert mgr.lookup_alias("testuser") == "testuser@mozilla.com"
+    assert mgr.lookup_alias("test user") == "testuser@mozilla.com"
+    assert mgr.lookup_alias("unknown") is None
+    assert mgr.lookup_alias("") is None
+    assert mgr.lookup_alias(None) is None
+    assert (mgr.lookup_alias("testuser@mozilla.com")
+            == "testuser@mozilla.com")
+    assert mgr.get_identity("worf@mozilla.com") is None
+    assert mgr.get_identity("testuser@mozilla.com") is not None
+
+    wc = mgr.get_identity("wcrusher@mozilla.com")
+    assert wc.alert_email() == "testing-wcrusher@mozilla.com"
+    assert wc.should_alert_via_email() and wc.should_notify_via_email()
+
+    tu = mgr.get_identity("testuser@mozilla.com")
+    assert tu.escalate_to is None
+    assert not tu.should_alert_via_slack()
+    assert not tu.should_notify_via_slack()
+    assert not tu.should_alert_via_email()
+    assert not tu.should_notify_via_email()
+    assert tu.alert is None and tu.notify is None
+
+    wr = mgr.get_identity("wriker@mozilla.com")
+    assert wr.alert_email() == "holodeck-riker@mozilla.com"
+    assert wr.escalate_to == "picard@mozilla.com"
+    assert wr.should_alert_via_slack()
+    assert wr.should_notify_via_email()
+    assert not wr.should_notify_via_slack()
+    assert not wr.should_alert_via_email()
+
+    assert mgr.aws_accounts.get("000000000") is None
+    assert mgr.aws_accounts.get("123456789") == "riker-vacationing-on-risa"
+
+    assert mgr.lookup_named_subnet("fd00:0:0:0:0:0:0:1") == "office"
+    assert mgr.lookup_named_subnet("fd01:0:0:0:0:0:0:1") is None
+    assert mgr.lookup_named_subnet(None) is None
+    with pytest.raises(ValueError):
+        mgr.lookup_named_subnet("invalid")
