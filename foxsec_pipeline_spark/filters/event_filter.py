@@ -69,7 +69,9 @@ def _compile_matcher_raw(m: dict) -> Column:
     if op == "ne":
         return col != F.lit(m["value"])
     if op == "re":
-        return col.rlike(m["value"])
+        # FULL match, not find: the reference compiles the pattern and
+        # requires Matcher.matches() (EventFilterPayload.java:102-118)
+        return col.rlike("^(?:" + m["value"] + ")$")
     if op == "contains":
         return col.contains(m["value"])
     if op == "in":

@@ -45,7 +45,8 @@ def _eval_matcher(m, row):
     if op == "ne":
         return v != m["value"]
     if op == "re":
-        return re.search(m["value"], str(v)) is not None
+        # full-match like the reference's Matcher.matches()
+        return re.fullmatch(m["value"], str(v)) is not None
     if op == "contains":
         return m["value"] in str(v)
     if op == "in":
