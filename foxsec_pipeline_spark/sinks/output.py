@@ -145,27 +145,48 @@ def violations_by_generator_map(
     gm = generator_map or VIOLATION_GENERATOR_MAP
     branches = None
     for subcat, gens in gm.items():
-        entries = []
+        parts = []
         for kind, vname in gens:
             if kind == "ip":
-                entries.append(
-                    F.named_struct(
-                        F.lit("object"), F.col(ip_col),
-                        F.lit("type"), F.lit("ip"),
-                        F.lit("violation"), F.lit(vname),
+                parts.append(
+                    F.filter(
+                        F.array(
+                            F.named_struct(
+                                F.lit("object"), F.col(ip_col),
+                                F.lit("type"), F.lit("ip"),
+                                F.lit("violation"), F.lit(vname),
+                            )
+                        ),
+                        lambda x: x["object"].isNotNull(),
                     )
                 )
             else:
-                entries.append(
-                    F.named_struct(
-                        F.lit("object"), F.col(email_col),
-                        F.lit("type"), F.lit("email"),
-                        F.lit("violation"), F.lit(vname),
+                # the EMAIL metadata value is a comma-separated LIST
+                # and the reference emits ONE violation PER address
+                # (Violation.fromAlert splits it — golden:
+                # TestAlert.alertToAbusiveAccountViolationTest expects
+                # 3 email violations from 'a, b, c')
+                emails = F.filter(
+                    F.transform(
+                        F.split(F.coalesce(F.col(email_col), F.lit("")),
+                                r",\s*"),
+                        lambda e: F.trim(e),
+                    ),
+                    lambda e: e != "",
+                )
+                parts.append(
+                    F.transform(
+                        emails,
+                        lambda e: F.named_struct(
+                            F.lit("object"), e,
+                            F.lit("type"), F.lit("email"),
+                            F.lit("violation"), F.lit(vname),
+                        ),
                     )
                 )
-        arr = F.filter(
-            F.array(*entries), lambda x: x["object"].isNotNull()
-        )
+        arr = parts[0]
+        for p in parts[1:]:
+            arr = F.concat(arr, p)
         cond = F.col(subcategory_col) == subcat
         branches = (
             F.when(cond, arr) if branches is None else branches.when(cond, arr)

@@ -417,3 +417,44 @@ def test_event_filter_reference_golden(spark):
                        "value": "test"}]}]}]})
     assert not matches("glb", {"rules": [{"types": ["glb"], "except": [
         {"types": ["glb"], "matchers": [glb_get]}]}]})
+
+
+def test_alert_violation_conversion_reference_golden(spark):
+    """TestAlert.alertToAbusiveAccountViolationTest /
+    alertToErrorRateViolationTest / alertToUserAgentBlocklistViolation
+    (`alert/TestAlert.java:103-175`): the subcategory-keyed generator
+    map turns an abusive-account alert's comma-separated EMAIL list
+    into one email violation PER address (3 from 'a, b, c'), an
+    error-rate alert into one client_error_rate_violation ip row, and
+    a useragent-blocklist alert into the shared wire name
+    violation20."""
+    from foxsec_pipeline_spark.sinks.output import (
+        violations_by_generator_map,
+    )
+
+    alerts = spark.createDataFrame(
+        [
+            ("customs", "account_creation_abuse", None,
+             "user@mail.com, user.1@mail.com, user.1.@mail.com"),
+            ("httprequest", "error_rate", "10.0.0.2", None),
+            ("httprequest", "useragent_blocklist", "10.0.0.2", None),
+        ],
+        "category string, subcategory string, source_address string, "
+        "email string",
+    )
+    rows = violations_by_generator_map(alerts).collect()
+    acct = sorted(
+        (r.object, r.type, r.violation)
+        for r in rows if r.subcategory == "account_creation_abuse"
+    )
+    assert acct == [
+        ("user.1.@mail.com", "email", "abusive_account_violation"),
+        ("user.1@mail.com", "email", "abusive_account_violation"),
+        ("user@mail.com", "email", "abusive_account_violation"),
+    ]
+    er = [(r.object, r.type, r.violation) for r in rows
+          if r.subcategory == "error_rate"]
+    assert er == [("10.0.0.2", "ip", "client_error_rate_violation")]
+    ua = [(r.object, r.type, r.violation) for r in rows
+          if r.subcategory == "useragent_blocklist"]
+    assert ua == [("10.0.0.2", "ip", "violation20")]
