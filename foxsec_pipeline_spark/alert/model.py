@@ -109,13 +109,29 @@ def merge_for_notification(
         .agg(
             F.count(F.lit(1)).alias("n_alerts"),
             F.min("timestamp").alias("first_ts"),
-            F.sort_array(F.collect_list("summary")).alias("summaries"),
+            F.min("summary").alias("__summary"),
         )
         .select(
             "notify_merge",
             "first_ts",
             "n_alerts",
-            F.concat_ws(" | ", "summaries").alias("summary"),
+            # reference format (AlertIO.AlertNotifyMerge, golden
+            # TestAlertMerge.alertMergeTest): the surviving alert's
+            # summary gains ' (N-1 similar alerts)' and the
+            # notify_merged_count metadata ONLY when alerts actually
+            # merged — a lone alert with a key passes through clean.
+            # min(summary) is the deterministic stand-in for the
+            # reference's arbitrary-survivor pick.
+            F.when(
+                F.col("n_alerts") > 1,
+                F.concat(
+                    F.col("__summary"), F.lit(" ("),
+                    (F.col("n_alerts") - 1).cast("string"),
+                    F.lit(" similar alerts)"),
+                ),
+            ).otherwise(F.col("__summary")).alias("summary"),
+            F.when(F.col("n_alerts") > 1, F.col("n_alerts"))
+            .alias("notify_merged_count"),
         )
     )
     passthrough = alerts.where(F.col("notify_merge").isNull()).select(
@@ -123,5 +139,6 @@ def merge_for_notification(
         F.col("timestamp").alias("first_ts"),
         F.lit(1).cast("long").alias("n_alerts"),
         F.col("summary"),
+        F.lit(None).cast("long").alias("notify_merged_count"),
     )
     return merged.unionByName(passthrough)

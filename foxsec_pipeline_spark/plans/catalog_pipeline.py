@@ -315,19 +315,26 @@ WITH a AS (
   FROM events WHERE event_type = 'error'
 ), m AS (
   SELECT nm AS notify_merge, min(ts) AS first_ts,
-         count(*) AS n_alerts,
-         string_agg(summary, ' | ' ORDER BY summary) AS summary
+         count(*) AS n_alerts, min(summary) AS s
   FROM a WHERE nm IS NOT NULL GROUP BY date_trunc('hour', ts), nm
 )
-SELECT notify_merge, first_ts, n_alerts, summary FROM m
+SELECT notify_merge, first_ts, n_alerts,
+       CASE WHEN n_alerts > 1
+            THEN s || ' (' || (n_alerts - 1) || ' similar alerts)'
+            ELSE s END AS summary,
+       CASE WHEN n_alerts > 1 THEN n_alerts END AS notify_merged_count
+FROM m
 UNION ALL
-SELECT CAST(NULL AS VARCHAR), ts, CAST(1 AS BIGINT), summary
+SELECT CAST(NULL AS VARCHAR), ts, CAST(1 AS BIGINT), summary,
+       CAST(NULL AS BIGINT)
 FROM a WHERE nm IS NULL
 """,
-    doc="S14 AlertIO notify-merge (AlertIO.java:116-143): alerts sharing "
-        "a notify_merge key within the window become ONE notification "
-        "row with a deterministic combined summary; key-less alerts pass "
-        "through 1:1. Driver-verified (was pytest-only in round 1)",
+    doc="S14 AlertIO notify-merge (AlertIO.java:116-143, golden "
+        "TestAlertMerge.alertMergeTest): alerts sharing a notify_merge "
+        "key within the window become ONE notification whose summary "
+        "gains ' (N-1 similar alerts)' and a notify_merged_count — "
+        "ONLY when something actually merged; lone keyed alerts and "
+        "key-less alerts pass through clean",
 )
 def q_notify_merge(spark, sf_dir):
     from ..alert.model import merge_for_notification

@@ -220,8 +220,12 @@ def test_notify_merge_windowed(spark):
     merged = [r for r in out if r.notify_merge == "ip-1.2.3.4"]
     passthrough = [r for r in out if r.notify_merge is None]
     assert len(merged) == 1 and merged[0].n_alerts == 2
-    assert merged[0].summary == "s1 | s2"
+    # reference format (TestAlertMerge golden): survivor summary +
+    # ' (N-1 similar alerts)', merged-count metadata only when merged
+    assert merged[0].summary == "s1 (1 similar alerts)"
+    assert merged[0].notify_merged_count == 2
     assert len(passthrough) == 1 and passthrough[0].n_alerts == 1
+    assert passthrough[0].notify_merged_count is None
 
 
 def test_enrich_hostname_stub(spark):

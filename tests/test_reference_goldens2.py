@@ -458,3 +458,29 @@ def test_alert_violation_conversion_reference_golden(spark):
     ua = [(r.object, r.type, r.violation) for r in rows
           if r.subcategory == "useragent_blocklist"]
     assert ua == [("10.0.0.2", "ip", "violation20")]
+
+
+def test_alert_notify_merge_reference_golden(spark):
+    """TestAlertMerge.alertMergeTest (`alert/TestAlertMerge.java:
+    21-66`): four alerts — two sharing key 'key', one key-less, one
+    alone on 'something' — merge to THREE notifications; only the
+    merged pair carries the '(1 similar alerts)' suffix and
+    notify_merged_count=2."""
+    import datetime as dt
+
+    from foxsec_pipeline_spark.alert.model import merge_for_notification
+
+    t = dt.datetime(2024, 1, 1, 0, 0, 0)
+    alerts = spark.createDataFrame(
+        [(t, "test1", "key"), (t, "test2", None),
+         (t, "test3", "key"), (t, "test4", "something")],
+        "timestamp timestamp, summary string, notify_merge string",
+    )
+    rows = merge_for_notification(alerts, window="5 minutes").collect()
+    assert len(rows) == 3
+    got = {r.summary: r.notify_merged_count for r in rows}
+    assert got == {
+        "test1 (1 similar alerts)": 2,   # deterministic survivor: min
+        "test2": None,
+        "test4": None,
+    }
