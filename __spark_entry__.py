@@ -37,28 +37,47 @@ from foxsec_pipeline_spark.plans.catalog import registry  # noqa: E402
 # already-green backlog that only matters if the driver ever checks
 # more than a 50-row prefix.
 _VERIFY_FIRST = [
-    # (1-2) round-3 driver hash-red, judge-verified value-exact; final
-    # double columns replaced with exact integers this round
-    # (total_price_cents / purity_ppm) — MUST go green now
+    # (1-4) materially changed in round 5 — MUST re-green now:
+    # large_order_customers / embedding_cluster_summary (oracle HUGEINT
+    # columns cast to BIGINT per the r4 judge root-cause: DuckDB widens
+    # sum(BIGINT) to int128, which the driver value-hash canonicalizes
+    # differently; Spark side untouched), sketch_distinct_users (now an
+    # oracle-backed accuracy gate: bound-check booleans vs constant
+    # TRUE), suspicious_ip_cooccurrence (hot-cell bounds: lossless
+    # >=2-cells semi-join + deterministic 64-address per-cell cap,
+    # mirrored in the oracle)
     "large_order_customers", "embedding_cluster_summary",
-    # (3-5) NEVER had a driver row in any round (off-by-N twice);
-    # sketch_distinct_users is deliberately rows-only (sketch output
-    # has no SQL oracle; accuracy-tested in tests/test_sketches.py)
-    "sketch_distinct_users", "user_event_pivot", "value_deciles",
-    # (6-8) implementation changed materially since last driver row:
-    # parse_normalize (r3: labels/nginx-v1/wrapped-CloudTrail; r4:
-    # unicode blank-line predicate), sequence_packing +
-    # training_data_pipeline (r4: bounded sub-shard packing key)
-    "parse_normalize", "sequence_packing", "training_data_pipeline",
-    # (9-20) new in round 4
+    "sketch_distinct_users", "suspicious_ip_cooccurrence",
+    # (5-7) stalest driver evidence: green in ROUND 1 only, never
+    # re-checked across three rounds of shared-code churn
+    "ann_cosine_lsh", "text_quality", "text_stats",
+    # (8-50) next-stalest: last driver row was round 2 — all 43 of
+    # them, exactly filling the 50-row prefix (counted, not guessed)
+    "alert_pipeline", "alert_summary_rollup", "amo_addon_matcher",
+    "amo_cloud_submission", "amo_fxa_ban_pattern", "amo_multi_submit",
+    "amo_report_restriction", "ann_cosine_lsh_multiprobe",
+    "auth_state_decision", "authprofile_pipeline", "aws_behavior_match",
+    "content_server_variance", "customs_activity_monitor",
+    "customs_alert_fanout", "customs_prefilter_split", "decontaminate",
+    "dedup_clusters", "doc_fingerprint", "etd_finding_matcher",
+    "events_dim_join", "language_id", "login_failure_at_risk_account",
+    "multimodal_metadata", "notify_merge", "per_endpoint_error_rate",
+    "pii_scrub", "pricing_summary", "priority_semijoin",
+    "quality_filter_pipeline", "regional_revenue", "salted_hard_limit",
+    "segment_revenue", "session_limit_analysis", "source_login_failure",
+    "source_login_failure_dist", "status_comparator",
+    "stratified_sample", "text_repetition",
+    "threshold_with_nat_exclusion", "token_count_bpe", "topk_per_group",
+    "violation_projection", "xff_client_select",
+    # ---- slot 50 ends at xff_client_select ----
+    # backlog (driver-green r3/r4 in current form): only matters if the
+    # driver ever checks more than a 50-row prefix
+    "user_event_pivot", "value_deciles", "parse_normalize",
+    "sequence_packing", "training_data_pipeline",
     "approx_quantile_sketch", "bloom_decontaminate",
-    "cdc_merge_upserts", "window_dedup_latest",
-    "url_normalize_stats", "sessionize_clickstream",
-    "containment_dedup", "pivot_event_matrix",
-    "order_rollup_revenue", "value_histogram",
-    "suspicious_ip_cooccurrence", "doc_language_mix",
-    # (21-50) oldest driver evidence (green r1, never re-checked) +
-    # a representative spread of every operator family
+    "cdc_merge_upserts", "window_dedup_latest", "url_normalize_stats",
+    "sessionize_clickstream", "containment_dedup", "pivot_event_matrix",
+    "order_rollup_revenue", "value_histogram", "doc_language_mix",
     "threshold_analysis", "hard_limit_analysis", "error_rate_analysis",
     "detect_nat", "endpoint_sequence_abuse", "session_analysis",
     "alert_summary_sliding", "source_correlation", "event_filter_dsl",
@@ -69,8 +88,6 @@ _VERIFY_FIRST = [
     "addon_multi_match", "fxa_alias_abuse", "pioneer_exfil_sessions",
     "customs_summary", "email_normalize", "dedup_exact",
     "dedup_minhash_lsh", "ann_cosine_topk", "global_stats",
-    # ---- slot 50 ends at global_stats ----
-    # backlog: green in r1/r2/r3 driver rows for their current form
     "account_creation_dist", "dedup_ngram_jaccard",
     "account_enumeration", "dedup_embedding_cosine",
     "status_code_rate_analysis", "password_reset_abuse",
@@ -92,7 +109,6 @@ _VERIFY_FIRST = [
     "embedding_int8_quantize", "gopher_topngram", "asof_join_purchase",
     "interval_error_click_count", "rolling_user_value",
     "part_supplier_stats", "supplier_return_candidates",
-    "ann_cosine_lsh", "text_stats", "text_quality",
 ]
 
 def _ordered():
