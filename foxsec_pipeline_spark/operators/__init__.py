@@ -1,10 +1,12 @@
 from .heuristics import (  # noqa: F401
+    beam_session_gap,
     detect_nat,
     endpoint_abuse_analysis,
     endpoint_sequence_abuse,
     error_rate_analysis,
     hard_limit_analysis,
     per_endpoint_error_rate,
+    per_endpoint_error_rate_specs,
     per_key_stats,
     session_analysis,
     session_limit_analysis,

@@ -32,6 +32,46 @@ from pyspark.sql import functions as F
 from .windows import windowed_counts
 
 
+def beam_session_gap(gap: str) -> Column:
+    """Beam-exact session gap for Spark's session_window.
+
+    Beam merges two events into one session only when their interval
+    windows OVERLAP — inter-event delta strictly LESS than the gap
+    (`org.apache.beam.sdk.transforms.windowing.IntervalWindow
+    .intersects`: `!(start >= o.end || end <= o.start)`); Spark's
+    session_window also merges at delta == gap. Found by replaying
+    `TestPerEndpointErrorRateAnalysis.java:340-384` (stream3), whose
+    fixture places errors exactly 60 s apart around a 1-minute gap —
+    Beam splits them into sessions of 3 and 2 (no alert), Spark merged
+    them into 5 (alert). Subtracting one microsecond (the timestamp
+    resolution) makes Spark reproduce Beam's boundary exactly:
+    delta == gap splits, delta == gap - 1us merges. Session window
+    `end` then reads gap-1us after the last event instead of gap.
+
+    Pass the result as the `gap` argument of any session operator in
+    this module when Beam-exact boundaries are required; the default
+    string form keeps Spark's native (and the catalog oracles')
+    boundary convention, where delta == gap merges.
+
+    session_window requires CalendarIntervalType (interval arithmetic
+    yields DayTimeIntervalType, which it rejects), so the gap string
+    is parsed here and re-emitted through make_interval.
+    """
+    import re as _re
+
+    units = {
+        "week": 604800.0, "day": 86400.0, "hour": 3600.0,
+        "minute": 60.0, "min": 60.0, "second": 1.0, "sec": 1.0,
+        "millisecond": 1e-3, "microsecond": 1e-6,
+    }
+    total = 0.0
+    for num, unit in _re.findall(r"([\d.]+)\s*([a-z]+?)s?\b", gap.lower()):
+        total += float(num) * units[unit]
+    if total <= 0:
+        raise ValueError(f"cannot parse session gap: {gap!r}")
+    return F.expr(f"make_interval(0,0,0,0,0,0,{total - 1e-6:.6f})")
+
+
 def per_key_stats(counts: DataFrame, count_col: str = "n") -> DataFrame:
     """Global mean/count/sum over per-key counts, per window.
 
@@ -262,6 +302,12 @@ def session_analysis(
     )
 
 
+# the reference's "supporting content" suffixes: a non-monitored
+# request to one of these indicates a real browser loading page assets
+# (`EndpointAbuseAnalysis.java:280-291` considerSupporting)
+_SUPPORTING_SUFFIXES = (".css", ".js", ".gif", ".jpg", ".ico", ".svg", ".png")
+
+
 def endpoint_abuse_analysis(
     events: DataFrame,
     key: str,
@@ -271,6 +317,10 @@ def endpoint_abuse_analysis(
     gap: str = "45 minutes",
     min_count: int = 5,
     variance_suppress: bool = True,
+    extended_variance: bool = False,
+    custom_variance_substrings: list[str] | None = None,
+    path_col: str | None = None,
+    url_col: str | None = None,
 ) -> DataFrame:
     """Per-session counts of monitored endpoints; alert on the
     endpoint with the max count when it exceeds a threshold
@@ -286,6 +336,14 @@ def endpoint_abuse_analysis(
     (192.168.1.3's 11-event session with one stray request is
     suppressed; 192.168.1.2's pure 10x GET /test session alerts).
 
+    `extended_variance` (`:190-201` varianceSupportingOnly +
+    `:280-291` considerSupporting) narrows the suppression rule: only
+    non-monitored requests for page-asset content (.css/.js/.gif/...
+    suffixes on `path_col`) — or, with `custom_variance_substrings`,
+    URLs containing a configured substring (`:162-169`, matched
+    against the full request URL in `url_col`) — count as variance.
+    A bot that touches '/' between hammering /test still alerts.
+
     The reference folds each group in a DoFn; here one session-window
     aggregation builds per-endpoint counts with count(when(...)), and
     `greatest`-style struct max picks the top endpoint — no
@@ -297,10 +355,25 @@ def endpoint_abuse_analysis(
         for i, ep in enumerate(monitored)
     ]
     monitored_pred = F.col(endpoint_col).isin(*monitored)
+    variance_aggs = []
+    if extended_variance:
+        if path_col is None:
+            raise ValueError("extended_variance requires path_col")
+        supporting = F.lit(False)
+        for suf in _SUPPORTING_SUFFIXES:
+            supporting = supporting | F.col(path_col).endswith(suf)
+        if custom_variance_substrings:
+            target = F.col(url_col if url_col is not None else path_col)
+            for sub in custom_variance_substrings:
+                supporting = supporting | target.contains(sub)
+        variance_aggs.append(
+            F.count(F.when(~monitored_pred & supporting, 1)).alias("__var")
+        )
     agg = events.groupBy(
         F.session_window(ts, gap).alias("session"), F.col(key)
     ).agg(
         *per_ep,
+        *variance_aggs,
         F.min(ts).alias("first_ts"),
         F.max(F.when(monitored_pred, F.col(ts))).alias("latest_ts"),
         F.count(F.lit(1)).alias("n_events"),
@@ -309,7 +382,9 @@ def endpoint_abuse_analysis(
     for i in range(len(monitored)):
         c = F.col(f"__c{i}")
         monitored_total = c if monitored_total is None else monitored_total + c
-    if variance_suppress:
+    if extended_variance:
+        agg = agg.where(F.col("__var") == 0).drop("__var")
+    elif variance_suppress:
         agg = agg.where(F.col("n_events") == monitored_total)
     # array of (count, endpoint) structs -> array_max picks top count,
     # ties broken by endpoint name (deterministic, unlike the
@@ -340,19 +415,39 @@ def session_limit_analysis(
     ts: str = "ts",
     gap: str = "45 minutes",
     max_count: int = 100,
+    nat_ua_col: str | None = None,
 ) -> DataFrame:
     """Alert when a key's single-session event volume exceeds a fixed
     limit (`httprequest/heuristics/SessionLimitAnalysis.java:136-230`
-    — the session analog of HardLimit). One session-window shuffle."""
-    return (
+    — the session analog of HardLimit). One session-window shuffle.
+
+    `nat_ua_col` enables the reference's SESSION-scoped NAT rule
+    (`SessionLimitAnalysis.java:151,171,187-192`): with NAT detection
+    on, a session presenting >= 2 distinct user agents is treated as
+    a NAT gateway and suppressed entirely — unlike the heuristics that
+    consume the fixed-window DetectNat view, this check lives inside
+    the session fold. Callers pre-filter to monitored requests, so the
+    UA set here is over monitored traffic only; the reference builds
+    it over every session event (`:171` runs before the endpoint
+    match), which only differs when non-monitored traffic carries the
+    extra agent."""
+    extra = (
+        [F.countDistinct(nat_ua_col).alias("__n_ua")]
+        if nat_ua_col is not None
+        else []
+    )
+    out = (
         events.groupBy(F.session_window(ts, gap).alias("session"), F.col(key))
         .agg(
             F.min(ts).alias("first_ts"),
             F.count(F.lit(1)).alias("n_events"),
+            *extra,
         )
         .where(F.col("n_events") > F.lit(int(max_count)))
-        .select(key, "first_ts", "n_events")
     )
+    if nat_ua_col is not None:
+        out = out.where(F.col("__n_ua") < 2)
+    return out.select(key, "first_ts", "n_events")
 
 
 def per_endpoint_error_rate(
@@ -384,6 +479,84 @@ def per_endpoint_error_rate(
         .agg(F.min(ts).alias("first_ts"), F.count(F.lit(1)).alias("error_count"))
         .where(F.col("error_count") > F.lit(int(max_errors)))
         .select(key, endpoint_col, "first_ts", "error_count")
+    )
+
+
+def per_endpoint_error_rate_specs(
+    events: DataFrame,
+    key: str,
+    specs: list[tuple[int, str, str]],
+    method_col: str,
+    path_col: str,
+    error_predicate: Column,
+    ts: str = "ts",
+    gap: str = "1 minute",
+) -> DataFrame:
+    """Reference-exact PerEndpointErrorRateAnalysis: configured
+    endpoint specs are `(threshold, method, path_regex)` triples
+    (`PerEndpointErrorRateAnalysis.java:78-97` parses
+    `<threshold>:<method>:<path>`), each error event is counted
+    against every spec it FULL-matches (`:105-107` —
+    `Pattern.matcher(path).matches()`, hence the `^(?:...)$`
+    anchoring here), and per (client, error-session) the spec with
+    the highest count among those at-or-over threshold (`:186-199`,
+    `threshold <= errorCounter`; ties keep the earliest spec) emits
+    one alert carrying the count, the spec pattern, and the most
+    recent matching error as the alert timestamp (`:205`).
+
+    Error events are sessionized AFTER the error filter, mirroring
+    the reference's filter -> KeyAndWindowForSessions order
+    (`HTTPRequest.java:342-356`). The spec list is deployment config
+    — small and bounded — so per-spec conditional counters stay in
+    one hash aggregation (no pivot explosion, one shuffle); the
+    top-spec pick is an array_max over a specs-length array.
+    """
+    err = events.where(error_predicate)
+    aggs = []
+    for i, (thr, m, p) in enumerate(specs):
+        match = (F.col(method_col) == m) & F.col(path_col).rlike(
+            f"^(?:{p})$"
+        )
+        aggs.append(F.count(F.when(match, 1)).alias(f"__c{i}"))
+        aggs.append(F.max(F.when(match, F.col(ts))).alias(f"__t{i}"))
+    agg = err.groupBy(
+        F.session_window(ts, gap).alias("session"), F.col(key)
+    ).agg(*aggs)
+    # (count, -spec_index) struct max == reference's "highest count,
+    # earliest spec on ties" loop; specs below threshold are filtered
+    # out of the array first, so array_max -> null means no alert
+    candidates = F.array(
+        *[
+            F.struct(
+                F.col(f"__c{i}").alias("c"),
+                F.lit(-i).alias("negidx"),
+                F.lit(m).alias("method"),
+                F.lit(p).alias("pattern"),
+                F.col(f"__t{i}").alias("latest"),
+            )
+            for i, (thr, m, p) in enumerate(specs)
+        ]
+    )
+    thresholds = F.array(*[F.lit(int(thr)) for thr, _, _ in specs])
+    eligible = F.filter(
+        F.zip_with(
+            candidates,
+            thresholds,
+            lambda s, t: F.when(s["c"] >= t, s),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return (
+        agg.withColumn("__top", F.array_max(eligible))
+        .where(F.col("__top").isNotNull())
+        .select(
+            F.col(key),
+            F.col("__top.c").alias("error_count"),
+            F.col("__top.method").alias("method"),
+            F.col("__top.pattern").alias("endpoint_pattern"),
+            F.col("__top.latest").alias("latest_error_ts"),
+            F.col("session.end").alias("session_end"),
+        )
     )
 
 

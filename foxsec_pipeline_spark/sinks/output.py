@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..alert.model import alerts_to_json
@@ -201,3 +201,28 @@ def violations_by_generator_map(
         )
         .drop("__v")
     )
+
+
+def violation_wire_json(
+    violations: DataFrame, suppress_col: str | None = None
+) -> Column:
+    """The iprepd Violation wire format, byte-exact vs the reference
+    (`Violation.java:294-334` + golden `TestAlert.violationToJsonTest`):
+    `{"object":...,"type":...,"violation":...,"ip":...}` where `ip` is
+    the legacy iprepd-compat field — equal to the object for ip-type
+    violations, ABSENT (not null) otherwise, exactly Jackson's
+    non-null serialization; `suppress_recovery` (from
+    `IprepdIO.addMetadataSuppressRecovery` passthrough,
+    `Violation.java:88-96` createViolation) appears only when set.
+    Spark's to_json drops null struct fields by default
+    (ignoreNullFields), giving the same key-omission semantics; field
+    order follows the struct, matching the Java property order."""
+    fields = [
+        F.col("object").alias("object"),
+        F.col("type").alias("type"),
+        F.col("violation").alias("violation"),
+        F.when(F.col("type") == "ip", F.col("object")).alias("ip"),
+    ]
+    if suppress_col is not None:
+        fields.append(F.col(suppress_col).cast("int").alias("suppress_recovery"))
+    return F.to_json(F.struct(*fields))

@@ -240,3 +240,73 @@ def suppress_count_stream_tws(
             timeMode="EventTime",
         )
     )
+
+
+def suppress_session_stream_tws(
+    alerts: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "timestamp",
+    expiry: str = "15 minutes",
+) -> DataFrame:
+    """T3 AlertSuppressorSession on the `transformWithState` API:
+    same sliding-TTL semantics as `suppress_session_stream` (emit the
+    first alert per key, suppress while the key stays active, each
+    arrival extends the TTL — `alert/AlertSuppressorSession.java:
+    41-112`), held to it by a parity test on the shared fixture
+    (`test_suppress_session_tws_parity`).
+
+    The reference's session suppressor is a ValueState (last-seen) +
+    a timer it re-arms on every element — exactly getValueState +
+    deleteTimer/registerTimer here, the 1:1 mapping the GroupState
+    emulation approximates through its single timeoutTimestamp slot.
+    Same environment seam as `suppress_count_stream_tws`: needs
+    google.protobuf + the RocksDB state store provider.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    num, unit = expiry.split()
+    ttl_ms = int(num) * {"seconds": 1000, "minutes": 60_000, "hours": 3_600_000}[unit]
+    out_schema = alerts.schema
+
+    class _SessionSuppress(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._seen = handle.getValueState("last_seen", "ms LONG")
+
+        def handleInputRows(self, key, rows, timer_values):
+            alive = self._seen.get() is not None
+            newest_ms = 0
+            for pdf in rows:
+                pdf = pdf.sort_values(ts_col)
+                newest_ms = max(
+                    newest_ms, int(pdf[ts_col].max().value // 1_000_000)
+                )
+                if not alive:
+                    yield pdf.iloc[[0]]
+                    alive = True
+            self._seen.update((newest_ms,))
+            # sliding TTL: every arrival replaces the expiry timer
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(newest_ms + ttl_ms)
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            self._seen.clear()
+            return iter([])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        alerts.withWatermark(ts_col, expiry)
+        .groupBy(*key_cols)
+        .transformWithStateInPandas(
+            _SessionSuppress(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="EventTime",
+        )
+    )

@@ -484,3 +484,153 @@ def test_alert_notify_merge_reference_golden(spark):
         "test2": None,
         "test4": None,
     }
+
+
+def test_alert_violation_full_map_reference_golden(spark):
+    """The rest of TestAlert's violation conversions
+    (`alert/TestAlert.java:181-521`): threshold ->
+    request_threshold_violation, hard_limit -> hard_limit_violation,
+    endpoint_abuse -> endpoint_abuse_violation, the AMO family
+    (new-version login/submission -> ip endpoint_abuse_violation;
+    banpattern / alias / multi_match / multi_submit / multi_ip_login
+    -> per-address abusive_account_violation; matched_addon -> 1 ip +
+    one email violation per list entry = 4 on the reference's
+    triple-normalized list), and an UNKNOWN subcategory producing
+    nothing (fromAlert returns null)."""
+    from foxsec_pipeline_spark.sinks.output import (
+        violations_by_generator_map,
+    )
+
+    alias_list = ", ".join(
+        ["laforge@mozilla.com"]
+        + [f"laforge+test{i}@mozilla.com" for i in range(1, 7)]
+    )
+    multi_submit = ", ".join(
+        ["ro10@mozilla.com", "ro9@mozilla.com", "ro5@mozilla.com",
+         "ro6@mozilla.com", "ro1@mozilla.com", "ro2@mozilla.com",
+         "ro4@mozilla.com", "lwaxana@mozilla.com", "ro7@mozilla.com",
+         "ro8@mozilla.com", "ro3@mozilla.com"]
+    )
+    alerts = spark.createDataFrame(
+        [
+            ("httprequest", "threshold_analysis", "10.0.0.2", None),
+            ("httprequest", "hard_limit", "10.0.0.2", None),
+            ("httprequest", "endpoint_abuse", "10.0.0.2", None),
+            ("amo", "fxa_account_abuse_new_version_login",
+             "216.160.83.56", "kurn@mozilla.com"),
+            ("amo", "fxa_account_abuse_new_version_submission",
+             "216.160.83.56", None),
+            ("amo", "fxa_account_abuse_new_version_login_banpattern",
+             "216.160.83.56", "kurn@mozilla.com"),
+            ("amo", "amo_abuse_matched_addon", "216.160.83.63",
+             "lwaxana@mozilla.com, lwaxana@mozilla.com, "
+             "lwaxana@mozilla.com"),
+            ("amo", "amo_abuse_multi_match", None,
+             "ro5@mozilla.com, ro1@mozilla.com, ro2@mozilla.com, "
+             "ro3@mozilla.com, ro4@mozilla.com"),
+            ("amo", "amo_abuse_multi_submit", None, multi_submit),
+            ("amo", "amo_abuse_multi_ip_login", None,
+             "sevenofnine@mozilla.net"),
+            ("amo", "fxa_account_abuse_alias", None, alias_list),
+            ("httprequest", "unknown", "10.0.0.2", None),
+        ],
+        "category string, subcategory string, source_address string, "
+        "email string",
+    )
+    rows = violations_by_generator_map(alerts).collect()
+    by_sub = {}
+    for r in rows:
+        by_sub.setdefault(r.subcategory, []).append(
+            (r.type, r.violation, r.object)
+        )
+    assert by_sub["threshold_analysis"] == [
+        ("ip", "request_threshold_violation", "10.0.0.2")
+    ]
+    assert by_sub["hard_limit"] == [
+        ("ip", "hard_limit_violation", "10.0.0.2")
+    ]
+    assert by_sub["endpoint_abuse"] == [
+        ("ip", "endpoint_abuse_violation", "10.0.0.2")
+    ]
+    assert by_sub["fxa_account_abuse_new_version_login"] == [
+        ("ip", "endpoint_abuse_violation", "216.160.83.56")
+    ]
+    assert by_sub["fxa_account_abuse_new_version_submission"] == [
+        ("ip", "endpoint_abuse_violation", "216.160.83.56")
+    ]
+    assert by_sub["fxa_account_abuse_new_version_login_banpattern"] == [
+        ("email", "abusive_account_violation", "kurn@mozilla.com")
+    ]
+    # matched_addon: 1 ip + 3 email rows (duplicates NOT deduped — the
+    # list is the reference's [raw, dot-normalized, plus-normalized]
+    # triple, identical here; TestAlert.java:273 expects 4)
+    ma = sorted(by_sub["amo_abuse_matched_addon"])
+    assert len(ma) == 4
+    assert ma.count(
+        ("email", "abusive_account_violation", "lwaxana@mozilla.com")
+    ) == 3
+    assert ("ip", "endpoint_abuse_violation", "216.160.83.63") in ma
+    assert len(by_sub["amo_abuse_multi_match"]) == 5
+    assert len(by_sub["amo_abuse_multi_submit"]) == 11
+    assert by_sub["amo_abuse_multi_ip_login"] == [
+        ("email", "abusive_account_violation", "sevenofnine@mozilla.net")
+    ]
+    assert len(by_sub["fxa_account_abuse_alias"]) == 7
+    assert all(
+        t == "email" and v == "abusive_account_violation"
+        for t, v, _ in by_sub["fxa_account_abuse_alias"]
+    )
+    assert "unknown" not in by_sub
+
+
+def test_violation_wire_json_reference_golden(spark):
+    """Violation wire bytes (`TestAlert.violationToJsonTest`,
+    `alert/TestAlert.java:88-101`, serializer `Violation.java:
+    294-334`): ip-type violations carry the legacy `ip` compat field
+    equal to the object; email-type violations OMIT it (Jackson
+    non-null), byte-identical strings. Plus the suppress_recovery
+    passthrough pair (`TestAlert.java:421-477`): absent without the
+    iprepd_suppress_recovery metadata, `60` with it."""
+    from foxsec_pipeline_spark.sinks.output import violation_wire_json
+
+    df = spark.createDataFrame(
+        [
+            ("10.0.0.2", "ip", "request_threshold_violation", None),
+            ("riker@mozilla.com", "email", "abusive_account_violation",
+             None),
+            ("10.0.0.2", "ip", "endpoint_abuse_violation", 60),
+        ],
+        "object string, type string, violation string, "
+        "suppress_recovery int",
+    )
+    plain = {
+        (r.object, r.violation): r.js
+        for r in df.select(
+            "object", "violation", violation_wire_json(df).alias("js")
+        ).collect()
+    }
+    assert plain[("10.0.0.2", "request_threshold_violation")] == (
+        '{"object":"10.0.0.2","type":"ip","violation":'
+        '"request_threshold_violation","ip":"10.0.0.2"}'
+    )
+    assert plain[("riker@mozilla.com", "abusive_account_violation")] == (
+        '{"object":"riker@mozilla.com","type":"email","violation":'
+        '"abusive_account_violation"}'
+    )
+    sup = {
+        (r.object, r.violation): r.js
+        for r in df.select(
+            "object", "violation",
+            violation_wire_json(df, suppress_col="suppress_recovery")
+            .alias("js"),
+        ).collect()
+    }
+    assert sup[("10.0.0.2", "endpoint_abuse_violation")] == (
+        '{"object":"10.0.0.2","type":"ip","violation":'
+        '"endpoint_abuse_violation","ip":"10.0.0.2",'
+        '"suppress_recovery":60}'
+    )
+    assert sup[("riker@mozilla.com", "abusive_account_violation")] == (
+        '{"object":"riker@mozilla.com","type":"email","violation":'
+        '"abusive_account_violation"}'
+    )
