@@ -48,10 +48,16 @@ _VERIFY_FIRST = [
     # mirrored in the oracle)
     "large_order_customers", "embedding_cluster_summary",
     "sketch_distinct_users", "suspicious_ip_cooccurrence",
-    # (5-7) stalest driver evidence: green in ROUND 1 only, never
+    # (5) threshold_analysis re-queued: the alert comparison moved to
+    # >= per ThresholdAnalysis.java:152 (round-5 parity fix, oracle
+    # updated in lockstep); displaces pricing_summary (lowest-risk
+    # r2-stale pure-SQL relational query) to the backlog to keep the
+    # prefix at exactly 50
+    "threshold_analysis",
+    # (6-8) stalest driver evidence (r1-only): green in ROUND 1 only, never
     # re-checked across three rounds of shared-code churn
     "ann_cosine_lsh", "text_quality", "text_stats",
-    # (8-50) next-stalest: last driver row was round 2 — all 43 of
+    # (9-50) next-stalest: last driver row was round 2 — all 43 of
     # them, exactly filling the 50-row prefix (counted, not guessed)
     "alert_pipeline", "alert_summary_rollup", "amo_addon_matcher",
     "amo_cloud_submission", "amo_fxa_ban_pattern", "amo_multi_submit",
@@ -62,7 +68,7 @@ _VERIFY_FIRST = [
     "dedup_clusters", "doc_fingerprint", "etd_finding_matcher",
     "events_dim_join", "language_id", "login_failure_at_risk_account",
     "multimodal_metadata", "notify_merge", "per_endpoint_error_rate",
-    "pii_scrub", "pricing_summary", "priority_semijoin",
+    "pii_scrub", "priority_semijoin",
     "quality_filter_pipeline", "regional_revenue", "salted_hard_limit",
     "segment_revenue", "session_limit_analysis", "source_login_failure",
     "source_login_failure_dist", "status_comparator",
@@ -72,13 +78,13 @@ _VERIFY_FIRST = [
     # ---- slot 50 ends at xff_client_select ----
     # backlog (driver-green r3/r4 in current form): only matters if the
     # driver ever checks more than a 50-row prefix
-    "user_event_pivot", "value_deciles", "parse_normalize",
+    "pricing_summary", "user_event_pivot", "value_deciles", "parse_normalize",
     "sequence_packing", "training_data_pipeline",
     "approx_quantile_sketch", "bloom_decontaminate",
     "cdc_merge_upserts", "window_dedup_latest", "url_normalize_stats",
     "sessionize_clickstream", "containment_dedup", "pivot_event_matrix",
     "order_rollup_revenue", "value_histogram", "doc_language_mix",
-    "threshold_analysis", "hard_limit_analysis", "error_rate_analysis",
+    "hard_limit_analysis", "error_rate_analysis",
     "detect_nat", "endpoint_sequence_abuse", "session_analysis",
     "alert_summary_sliding", "source_correlation", "event_filter_dsl",
     "cidr_exclusion", "geo_velocity", "levenshtein_similarity",

@@ -95,14 +95,20 @@ def threshold_analysis(
     clamp_maximum: float | None = None,
     threshold_modifier: float = 1.0,
     min_clients: int = 1,
+    min_requests_per_client: int = 1,
 ) -> DataFrame:
-    """Alert when a key's per-window count > mean * threshold_modifier.
+    """Alert when a key's per-window count >= mean * threshold_modifier
+    (`ThresholdAnalysis.java:152` — AT-or-over, not strictly over;
+    round-5 parity fix, the original `>` diverged at exact equality).
 
     Mirrors ThresholdAnalysis: compute per-client counts in fixed
     windows, compare each against the window's global mean (the Beam
     side input), with a required minimum average, an optional clamp on
     the mean, and a minimum-clients gate
-    (`ThresholdAnalysis.java:110-199`).
+    (`ThresholdAnalysis.java:110-199`). `min_requests_per_client`
+    (`:114-125` "filter insignificant") drops sub-minimum clients from
+    alert CANDIDACY only — the stats side input is computed over ALL
+    clients first (`:104-110`), so the mean still reflects them.
     """
     counts = windowed_counts(events, key, ts, duration)
     stats = per_key_stats(counts)
@@ -110,12 +116,14 @@ def threshold_analysis(
         stats = stats.withColumn(
             "stats_mean", F.least(F.col("stats_mean"), F.lit(float(clamp_maximum)))
         )
+    if min_requests_per_client > 1:
+        counts = counts.where(F.col("n") >= F.lit(int(min_requests_per_client)))
     joined = counts.join(F.broadcast(stats), "window_start")
     return (
         joined.where(
             (F.col("stats_mean") >= F.lit(float(required_minimum_average)))
             & (F.col("stats_count") >= F.lit(int(min_clients)))
-            & (F.col("n") > F.col("stats_mean") * F.lit(float(threshold_modifier)))
+            & (F.col("n") >= F.col("stats_mean") * F.lit(float(threshold_modifier)))
         )
         .select(
             "window_start",

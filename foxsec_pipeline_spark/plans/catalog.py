@@ -114,9 +114,11 @@ SELECT c.window_start, c.user_id, c.event_count AS count,
        round(s.stats_mean, 6) AS mean
 FROM counts c JOIN stats s USING (window_start)
 WHERE s.stats_mean >= 1.0 AND s.stats_count >= 1
-  AND c.event_count > s.stats_mean * 2.0
+  AND c.event_count >= s.stats_mean * 2.0
 """,
-    doc="ThresholdAnalysis.java:88-199 — per-key count vs window mean side-input",
+    doc="ThresholdAnalysis.java:88-199 — per-key count vs window mean "
+        "side-input; >= at the threshold per ThresholdAnalysis.java:152 "
+        "(round-5 parity fix)",
 )
 def q_threshold(spark, sf_dir):
     ev = _events(spark, sf_dir)

@@ -476,3 +476,85 @@ def test_session_limit_ua_variance_missing_reference_golden(spark):
     assert a["source_address"] == "192.168.0.1"
     assert a["n_events"] == 7
     assert str(a["first_ts"]) == "2021-07-08 21:59:42"
+
+
+# ---------------------------------------------------------------------------
+# TestHTTPRequestSourceCorrelator / TestContentServerVarianceDetector
+
+
+def test_source_correlator_reference_golden(spark):
+    """TestHTTPRequestSourceCorrelator.sourceCorrelatorTest
+    (`httprequest/TestHTTPRequestSourceCorrelator.java:46-94`):
+    threshold analysis (modifier 1.0, min 2 requests/client) flags
+    the two Century Link addresses (216.160.83.56/.57, 10 requests
+    each against a 2.5 window mean computed over ALL 12 clients),
+    then the ISP correlator groups by provider: 'Century Link' has
+    2 observed addresses, both alerting -> one isp_source_correlation
+    alert '2 alerting addresses out of 2 observed'. The reference
+    resolves ISP through the maxmind test database (absent here — the
+    documented mmdb seam); the replay injects the same mapping as the
+    broadcast dimension our GeoIP provider produces, keeping the
+    threshold + correlator math on real fixture bytes."""
+    from foxsec_pipeline_spark.operators.summary import source_correlation
+
+    ev = _parsed(spark, "httpreq_sourcecorrelator1.txt")
+    alerts = threshold_analysis(
+        ev, key="source_address", ts="timestamp", duration="1 minute",
+        required_minimum_average=1.0, threshold_modifier=1.0,
+        min_clients=1, min_requests_per_client=2,
+    )
+    flagged = {r["source_address"] for r in alerts.collect()}
+    # "Should have two alerts" (the two Century Link clients)
+    assert flagged == {"216.160.83.56", "216.160.83.57"}
+    # the maxmind GeoIP2-ISP test db maps 216.160.83.0/24 to Century
+    # Link; private 192.168.0.0/16 addresses resolve to no ISP and
+    # drop out of the correlation grouping
+    isp_dim = spark.createDataFrame(
+        [("216.160.83.56", "Century Link"),
+         ("216.160.83.57", "Century Link")],
+        "source_address string, isp string",
+    )
+    with_isp = ev.join(F.broadcast(isp_dim), "source_address")
+    out = source_correlation(
+        with_isp.withColumn(
+            "alerted", F.col("source_address").isin(*flagged)
+        ),
+        group_col="isp", addr_col="source_address",
+        alerted_predicate=F.col("alerted"),
+        min_addresses=2, min_ratio=0.9,
+    ).collect()
+    assert len(out) == 1
+    a = out[0]
+    assert a["isp"] == "Century Link"
+    assert a["n_addr"] == 2       # "2 observed"
+    assert a["n_alerted"] == 2    # "2 alerting addresses"
+
+
+def test_content_server_variance_presence_reference_golden(spark):
+    """TestContentServerVarianceDetector.getVarianceTest
+    (`customs/TestContentServerVarianceDetector.java:21-41` +
+    `ContentServerVarianceDetector.java:56-95` PresenceBased): the
+    fxacontent fixture yields exactly the seven (ip, true) presence
+    pairs — per 10-minute window, the distinct source addresses that
+    touched the content server (the variance view Customs consumes
+    as a side input)."""
+    raw = spark.read.text(
+        os.path.join(TESTDATA, "customs_contentserver.txt")
+    )
+    ev = parse_events(raw, ParserCfg())
+    pres = (
+        ev.where(F.col("payload_type") == "fxacontent")
+        .where(F.col("source_address").isNotNull())
+        .select(
+            F.window("timestamp", "10 minutes")["start"].alias("ws"),
+            "source_address",
+        )
+        .distinct()
+        .collect()
+    )
+    got = {r["source_address"] for r in pres}
+    assert got == {
+        "192.168.0.1", "192.168.0.2", "192.168.0.3", "192.168.0.4",
+        "192.168.0.5", "10.0.0.2", "10.0.0.3",
+    }
+    assert len(pres) == 7  # one window; no duplicate presence pairs
