@@ -54,10 +54,15 @@ _VERIFY_FIRST = [
     # r2-stale pure-SQL relational query) to the backlog to keep the
     # prefix at exactly 50
     "threshold_analysis",
-    # (6-8) stalest driver evidence (r1-only): green in ROUND 1 only, never
+    # (6) NEW in round 5 — never driver-checked: SemDeDup
+    # (cluster-then-prune semantic dedup, (cell, LSH-bucket)-blocked
+    # pairs); displaces segment_revenue (next lowest-risk r2-stale
+    # pure-SQL relational) to the backlog
+    "semdedup",
+    # (7-9) stalest driver evidence (r1-only): green in ROUND 1 only, never
     # re-checked across three rounds of shared-code churn
     "ann_cosine_lsh", "text_quality", "text_stats",
-    # (9-50) next-stalest: last driver row was round 2 — all 43 of
+    # (10-50) next-stalest: last driver row was round 2 — all 43 of
     # them, exactly filling the 50-row prefix (counted, not guessed)
     "alert_pipeline", "alert_summary_rollup", "amo_addon_matcher",
     "amo_cloud_submission", "amo_fxa_ban_pattern", "amo_multi_submit",
@@ -70,7 +75,7 @@ _VERIFY_FIRST = [
     "multimodal_metadata", "notify_merge", "per_endpoint_error_rate",
     "pii_scrub", "priority_semijoin",
     "quality_filter_pipeline", "regional_revenue", "salted_hard_limit",
-    "segment_revenue", "session_limit_analysis", "source_login_failure",
+    "session_limit_analysis", "source_login_failure",
     "source_login_failure_dist", "status_comparator",
     "stratified_sample", "text_repetition",
     "threshold_with_nat_exclusion", "token_count_bpe", "topk_per_group",
@@ -78,7 +83,8 @@ _VERIFY_FIRST = [
     # ---- slot 50 ends at xff_client_select ----
     # backlog (driver-green r3/r4 in current form): only matters if the
     # driver ever checks more than a 50-row prefix
-    "pricing_summary", "user_event_pivot", "value_deciles", "parse_normalize",
+    "pricing_summary", "segment_revenue", "user_event_pivot",
+    "value_deciles", "parse_normalize",
     "sequence_packing", "training_data_pipeline",
     "approx_quantile_sketch", "bloom_decontaminate",
     "cdc_merge_upserts", "window_dedup_latest", "url_normalize_stats",

@@ -72,6 +72,16 @@ def beam_session_gap(gap: str) -> Column:
     return F.expr(f"make_interval(0,0,0,0,0,0,{total - 1e-6:.6f})")
 
 
+def _session_gap(gap) -> Column:
+    """Every session operator in this module sessionizes with BEAM
+    boundary semantics: a string gap is converted through
+    beam_session_gap (delta == gap SPLITS), matching both the
+    reference (`IntervalWindow.intersects`) and every catalog oracle
+    (their lag-based break condition is `delta >= gap`). A Column gap
+    passes through untouched."""
+    return beam_session_gap(gap) if isinstance(gap, str) else gap
+
+
 def per_key_stats(counts: DataFrame, count_col: str = "n") -> DataFrame:
     """Global mean/count/sum over per-key counts, per window.
 
@@ -300,7 +310,7 @@ def session_analysis(
     watermark.
     """
     return (
-        events.groupBy(F.session_window(ts, gap).alias("session"), F.col(key))
+        events.groupBy(F.session_window(ts, _session_gap(gap)).alias("session"), F.col(key))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min(ts).alias("first_ts"),
@@ -378,7 +388,7 @@ def endpoint_abuse_analysis(
             F.count(F.when(~monitored_pred & supporting, 1)).alias("__var")
         )
     agg = events.groupBy(
-        F.session_window(ts, gap).alias("session"), F.col(key)
+        F.session_window(ts, _session_gap(gap)).alias("session"), F.col(key)
     ).agg(
         *per_ep,
         *variance_aggs,
@@ -422,12 +432,15 @@ def session_limit_analysis(
     key: str,
     ts: str = "ts",
     gap: str = "45 minutes",
-    max_count: int = 100,
+    monitor: int = 100,
     nat_ua_col: str | None = None,
 ) -> DataFrame:
-    """Alert when a key's single-session event volume exceeds a fixed
-    limit (`httprequest/heuristics/SessionLimitAnalysis.java:136-230`
-    — the session analog of HardLimit). One session-window shuffle.
+    """Alert when a key's single-session monitored-request volume
+    reaches `monitor` (`httprequest/heuristics/SessionLimitAnalysis
+    .java:206` — `limits[i].monitor <= limitCounter[i]`, AT-or-over;
+    round-5 parity fix, the old `max_count`/strict-`>` form diverged
+    at exact equality). The session analog of HardLimit; one
+    session-window shuffle.
 
     `nat_ua_col` enables the reference's SESSION-scoped NAT rule
     (`SessionLimitAnalysis.java:151,171,187-192`): with NAT detection
@@ -445,13 +458,13 @@ def session_limit_analysis(
         else []
     )
     out = (
-        events.groupBy(F.session_window(ts, gap).alias("session"), F.col(key))
+        events.groupBy(F.session_window(ts, _session_gap(gap)).alias("session"), F.col(key))
         .agg(
             F.min(ts).alias("first_ts"),
             F.count(F.lit(1)).alias("n_events"),
             *extra,
         )
-        .where(F.col("n_events") > F.lit(int(max_count)))
+        .where(F.col("n_events") >= F.lit(int(monitor)))
     )
     if nat_ua_col is not None:
         out = out.where(F.col("__n_ua") < 2)
@@ -480,7 +493,7 @@ def per_endpoint_error_rate(
     return (
         events.where(error_predicate)
         .groupBy(
-            F.session_window(ts, gap).alias("session"),
+            F.session_window(ts, _session_gap(gap)).alias("session"),
             F.col(key),
             F.col(endpoint_col),
         )
@@ -528,7 +541,7 @@ def per_endpoint_error_rate_specs(
         aggs.append(F.count(F.when(match, 1)).alias(f"__c{i}"))
         aggs.append(F.max(F.when(match, F.col(ts))).alias(f"__t{i}"))
     agg = err.groupBy(
-        F.session_window(ts, gap).alias("session"), F.col(key)
+        F.session_window(ts, _session_gap(gap)).alias("session"), F.col(key)
     ).agg(*aggs)
     # (count, -spec_index) struct max == reference's "highest count,
     # earliest spec on ties" loop; specs below threshold are filtered

@@ -32,8 +32,15 @@ def sliding_window(
 
 
 def session_win(ts: str | Column = "ts", gap: str = "45 minutes") -> Column:
-    """Session window with inactivity gap (Sessions.withGapDuration)."""
-    return F.session_window(ts, gap)
+    """Session window with inactivity gap (Sessions.withGapDuration),
+    with BEAM boundary semantics: delta == gap splits (see
+    `heuristics.beam_session_gap` — Spark's native session_window
+    merges at exact equality, Beam and every catalog oracle split)."""
+    from .heuristics import beam_session_gap
+
+    return F.session_window(
+        ts, beam_session_gap(gap) if isinstance(gap, str) else gap
+    )
 
 
 def with_window_bounds(df: DataFrame, window_col: str = "window") -> DataFrame:

@@ -640,7 +640,8 @@ FROM s GROUP BY user_id, sid HAVING count(*) > 3
 )
 def q_session_limit(spark, sf_dir):
     return session_limit_analysis(
-        _events(spark, sf_dir), key="user_id", ts="ts", gap="2 hours", max_count=3
+        _events(spark, sf_dir), key="user_id", ts="ts", gap="2 hours",
+        monitor=4,  # reference >=-semantics; == the oracle's count(*) > 3
     )
 
 

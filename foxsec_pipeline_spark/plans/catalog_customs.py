@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..filters.event_filter import compile_event_filter
 from ..functions.text import normalize_email
+from ..operators.heuristics import beam_session_gap
 from ..operators.customs import (
     account_creation_dist,
     assume_role_correlate,
@@ -480,7 +481,7 @@ def q_fxa_alias_abuse(spark, sf_dir):
         F.col("ts"),
     )
     return (
-        e.groupBy(F.session_window("ts", "4 hours").alias("session"), F.col("norm_email"))
+        e.groupBy(F.session_window("ts", beam_session_gap("4 hours")).alias("session"), F.col("norm_email"))
         .agg(F.min("ts").alias("first_ts"), F.count(F.lit(1)).alias("n_signups"))
         .where(F.col("n_signups") >= 3)
         .select("norm_email", "first_ts", "n_signups")
@@ -514,7 +515,7 @@ def q_pioneer_exfil(spark, sf_dir):
     ev = _events(spark, sf_dir)
     cents = F.round(F.col("value") * 100).cast("long")
     return (
-        ev.groupBy(F.session_window("ts", "2 hours").alias("session"), F.col("user_id"))
+        ev.groupBy(F.session_window("ts", beam_session_gap("2 hours")).alias("session"), F.col("user_id"))
         .agg(
             F.min("ts").alias("first_ts"),
             F.count(F.lit(1)).alias("n_events"),

@@ -883,6 +883,109 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+@register(
+    "semdedup",
+    _kmeans_cte() + f""", cd AS (
+  SELECT ex.vid, c.cid, sum(ex.xs * c.cs) AS d
+  FROM ex JOIN c{_IVF_TRAIN_ITERS} c ON ex.j = c.j GROUP BY ex.vid, c.cid
+), cells AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid,
+           row_number() OVER (PARTITION BY vid ORDER BY d DESC, cid) AS rn
+    FROM cd) WHERE rn = 1
+), kb AS (
+  SELECT c.vid AS vec_id, CAST(c.cid AS BIGINT) AS cell, e.embedding,
+         {_BUCKET_SQL} AS bkt
+  FROM cells c JOIN embeddings e ON e.vec_id = c.vid
+), pairs AS (
+  SELECT a.cell, a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         round({_FOLD.format(a='a.embedding', b='b2.embedding')}
+               / (sqrt({_FOLD.format(a='a.embedding', b='a.embedding')})
+                  * sqrt({_FOLD.format(a='b2.embedding', b='b2.embedding')})),
+               6) AS cosine
+  FROM kb a JOIN kb b2 ON a.cell = b2.cell AND a.bkt = b2.bkt
+                       AND a.vec_id < b2.vec_id
+)
+SELECT cell, vec_b AS vec_id, CAST(min(vec_a) AS BIGINT) AS dropped_by
+FROM pairs WHERE cosine >= 0.4 GROUP BY 1, 2
+""",
+    doc="SemDeDup (Abbas et al. 2023): semantic dedup by clustering "
+        "then pruning near-duplicates WITHIN each cluster — the "
+        "cluster scope is what makes it tractable where corpus-wide "
+        "pairwise cosine is not. Embeddings are assigned to the "
+        "trained k-means codebook (broadcast centroids, one corpus "
+        "pass — same training loop the oracle unrolls), and candidate "
+        "pairs are generated per (cell, LSH-bucket): at 100 TB a cell "
+        "is still corpus/k ~ millions of vectors, so within-cell "
+        "all-pairs is quadratic in cell size — the same LSH blocking "
+        "the flat cosine dedup uses bounds the fan-out per composite "
+        "key while the cluster key keeps the SemDeDup semantics "
+        "(cross-cluster near-dups are deliberately out of scope, per "
+        "the paper). Keeper rule: a vector is dropped when any "
+        "lower-id same-block vector sits at cosine >= 0.4; output is "
+        "the dropped set with its keeper (min-id neighbor) — the "
+        "deterministic min-label convention every dedup op here "
+        "shares. One grouped combination-explode (no self-join), "
+        "vectors re-attach by id, fold runs on an explicitly wide "
+        "stage",
+)
+def q_semdedup(spark, sf_dir):
+    from ..operators.similarity import (
+        dot,
+        ivf_assign,
+        ivf_codebook_df,
+        l2_norm,
+        lsh_buckets_relational,
+    )
+    from ..operators.skew import spread
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cb = _trained_ivf_codebook(spark, sf_dir)
+    cells = ivf_assign(emb, ivf_codebook_df(spark, cb))
+    b = lsh_buckets_relational(emb, [_PLANES]).select(
+        "vec_id", F.col("__bkt").alias("bkt")
+    )
+    keyed = cells.join(b, "vec_id")
+    par = spark.sparkContext.defaultParallelism
+    pairs = (
+        keyed.groupBy("cell", "bkt")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .repartition(par)
+        .select("cell", "ids", F.explode("ids").alias("vec_a"))
+        .select("cell", "vec_a", F.explode("ids").alias("vec_b"))
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .repartition(par)
+    )
+    v = spread(emb).select(
+        "vec_id", F.col("embedding").alias("__v"),
+        l2_norm(F.col("embedding")).alias("__n"),
+    )
+    scored = (
+        pairs.join(
+            v.select(F.col("vec_id").alias("vec_a"),
+                     F.col("__v").alias("__ea"),
+                     F.col("__n").alias("__na")), "vec_a")
+        .join(
+            v.select(F.col("vec_id").alias("vec_b"),
+                     F.col("__v").alias("__eb"),
+                     F.col("__n").alias("__nb")), "vec_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("__ea"), F.col("__eb"))
+                / (F.col("__na") * F.col("__nb")), 6),
+        )
+        .where(F.col("cosine") >= 0.4)
+    )
+    return (
+        scored.groupBy("cell", F.col("vec_b").alias("vec_id"))
+        .agg(F.min("vec_a").alias("dropped_by"))
+        .select(F.col("cell").cast("long").alias("cell"), "vec_id",
+                "dropped_by")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis family
 # ---------------------------------------------------------------------------

@@ -112,7 +112,7 @@ def assemble_httprequest(
     if toggles.enable_session_limit_analysis:
         hits = session_limit_analysis(
             events, key=key, ts=ts, gap=toggles.session_gap,
-            max_count=toggles.session_limit_count,
+            monitor=toggles.session_limit_count,
         )
         add(hits, "session_limit",
             F.concat(F.lit("session volume from "), F.col(key)))

@@ -384,3 +384,16 @@ def test_attribution_is_joinless(spark, reg):
     join may appear at all (a range join would explode)."""
     plan = plan_of(reg["last_touch_attribution"].fn(spark, SF_DIR))
     assert "Join" not in plan, plan
+
+
+def test_semdedup_no_cartesian_blocked_pairs(spark, reg):
+    """SemDeDup candidate pairs come from a grouped combination
+    explode keyed on (cell, LSH bucket) — the corpus must never plan
+    a cartesian or nested-loop self-join, and the vectors re-attach
+    by id through hash equi-joins only."""
+    plan = plan_of(reg["semdedup"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the composite blocking keys must both appear in the plan
+    assert "bkt" in plan, plan
+    assert "cell" in plan, plan

@@ -375,7 +375,7 @@ def test_session_limit_reference_golden(spark):
     )
     out = session_limit_analysis(
         monitored, key="source_address", ts="timestamp",
-        gap="20 minutes", max_count=6,
+        gap="20 minutes", monitor=6,
     ).collect()
     assert len(out) == 1
     a = out[0]

@@ -451,7 +451,7 @@ def _session_limit_nat(spark, parts):
     )
     return session_limit_analysis(
         monitored, key="source_address", ts="timestamp",
-        gap="20 minutes", max_count=6, nat_ua_col="user_agent",
+        gap="20 minutes", monitor=6, nat_ua_col="user_agent",
     ).collect()
 
 
