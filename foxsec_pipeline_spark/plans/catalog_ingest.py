@@ -465,16 +465,20 @@ def q_suspicious_ip_cooccurrence(spark, sf_dir):
         "user_id",
         F.date_trunc("hour", "ts").alias("hw"),
     ).distinct()
-    # lossless: HAVING n_shared >= 2 needs each pair ip in >= 2 cells
-    multi = (
-        base.groupBy("ip")
-        .agg(F.count(F.lit(1)).alias("__cells"))
+    # lossless: HAVING n_shared >= 2 needs each pair ip in >= 2 cells.
+    # Expressed as an unordered window count (one ip shuffle of base)
+    # instead of groupBy + semi-join (two) — result-identical to the
+    # oracle's GROUP BY ... HAVING >= 2 semi-join formulation
+    w_ip = Window.partitionBy("ip")
+    filt = (
+        base.withColumn("__cells", F.count(F.lit(1)).over(w_ip))
         .where(F.col("__cells") >= 2)
-        .select("ip")
+        .drop("__cells")
     )
-    filt = base.join(multi, "ip", "left_semi")
     # deterministic per-cell cap: linear window pass, bounds the
-    # quadratic self-join fan-out at 64*63/2 pairs per cell
+    # quadratic self-join fan-out at 64*63/2 pairs per cell; the
+    # (user_id, hw) partitioning carries into the self-join keys so
+    # the pair join reuses this exchange
     w = Window.partitionBy("user_id", "hw").orderBy("ip")
     capped = (
         filt.withColumn("rn", F.row_number().over(w))
