@@ -92,6 +92,58 @@ def etd_finding_alerts(
 # AwsBehavior (AwsBehavior.java + CloudtrailMatcher.java)
 # ---------------------------------------------------------------------------
 
+# CloudtrailMatcher.fieldToStringProperty (`awsbehavior/
+# CloudtrailMatcher.java:59-76`): the config's field names map onto a
+# CLOSED set of cloudtrail payload properties; anything else is a
+# config error (UnknownStringPropertyException). The values are this
+# engine's parsed-event column names for the same properties (the
+# "matcher field surface" extras in parser/payloads.py cloudtrail).
+CLOUDTRAIL_MATCHER_FIELDS = {
+    "eventName": "event_name",
+    "eventSource": "event_source",
+    "recipientAccountId": "recipient_account_id",
+    "userIdentity.invokedBy": "invoked_by",
+    "userIdentity.sessionContext.attributes.mfaAuthenticated":
+        "mfa_authenticated",
+    # resource extraction target (CloudtrailMatcher.resource), not a
+    # filter property in the reference but part of the same surface
+    "requestParameters.userName": "request_user_name",
+}
+
+
+def cloudtrail_matcher_manager(config_json: str) -> list[dict]:
+    """Parse the reference's event_matchers.json format
+    (`awsbehavior/CloudtrailMatcherManager.java` loadFromResource +
+    `CloudtrailMatcher.java`): `{"event_matchers": [{"description",
+    "resource"?, "fields": [[field, regex], ...]}]}`. Every field name
+    must be in the reference's closed property set and every regex
+    must compile — config errors fail HERE at load, like the
+    reference's UnknownStringPropertyException / PatternSyntaxException,
+    not silently at match time. Returns the matcher list in the shape
+    `aws_behavior_match` consumes; regexes are FULL-match
+    (withStringRegexMatch -> Matcher.matches, anchored by the
+    operator). Golden-verified on the reference's own
+    event_matchers.json in tests/test_reference_goldens3.py."""
+    import json as _json
+    import re as _re
+
+    cfg = _json.loads(config_json)
+    matchers = cfg["event_matchers"]
+    for m in matchers:
+        for fld, rx in m["fields"]:
+            if fld not in CLOUDTRAIL_MATCHER_FIELDS:
+                raise ValueError(
+                    f"unknown cloudtrail matcher property: {fld!r}"
+                )
+            _re.compile(rx)
+        res = m.get("resource")
+        if res is not None and res not in CLOUDTRAIL_MATCHER_FIELDS:
+            raise ValueError(
+                f"unknown cloudtrail matcher resource: {res!r}"
+            )
+    return matchers
+
+
 def aws_behavior_match(
     events: DataFrame,
     matchers: list[dict],

@@ -64,6 +64,17 @@ class ParserCfg:
     # ParserCfg.setUseProxyXff — trust the x_pipeline_proxy marker and
     # take the second/third-from-last XFF hop (Parser.java:211-238)
     use_proxy_xff: bool = False
+    # ParserCfg.setStackdriverProjectFilter — keep only events whose
+    # Stackdriver envelope project EQUALS this value (null project ->
+    # drop); configuration ticks always pass (`ParserDoFn.java:58-80`
+    # builds the common input filter with passConfigurationTicks,
+    # project equality per `EventFilterRule.java:32-38`)
+    stackdriver_project_filter: str | None = None
+    # ParserCfg.setStackdriverLabelFilters — "<key>:<value>" exact
+    # label matches, ALL must hold (`ParserDoFn.java:64-73` +
+    # `EventFilterRule.java:39-50`); malformed specs fail at plan time
+    # like the reference's IllegalArgumentException
+    stackdriver_label_filters: tuple[str, ...] = ()
     chain: list[PayloadSpec] | None = None
 
 
@@ -252,6 +263,25 @@ def parse_events(
             F.col("timestamp")
             >= ref_now - F.expr(f"INTERVAL {int(cfg.max_timestamp_skew_seconds)} SECONDS")
         )
+
+    if cfg.stackdriver_project_filter or cfg.stackdriver_label_filters:
+        # the common input filter (`ParserDoFn.java:54-80`): project /
+        # label equality applied right after parse, before any inline
+        # pipeline filter; cfgtick heartbeats always pass
+        keep = F.lit(True)
+        if cfg.stackdriver_project_filter:
+            keep = keep & (
+                F.col("project_id") == cfg.stackdriver_project_filter
+            )
+        for spec in cfg.stackdriver_label_filters:
+            parts = spec.split(":", 1)
+            if len(parts) != 2:
+                raise ValueError(
+                    "invalid format for Stackdriver label filter, "
+                    "must be <key>:<value>"
+                )
+            keep = keep & (F.col("labels").getItem(parts[0]) == parts[1])
+        out = out.where((F.col("payload_type") == "cfgtick") | keep)
     return out
 
 

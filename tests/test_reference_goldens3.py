@@ -558,3 +558,113 @@ def test_content_server_variance_presence_reference_golden(spark):
         "192.168.0.5", "10.0.0.2", "10.0.0.3",
     }
     assert len(pres) == 7  # one window; no duplicate presence pairs
+
+
+# ---------------------------------------------------------------------------
+# TestCloudtrailMatcherManager
+
+
+def test_cloudtrail_matcher_manager_reference_golden(spark):
+    """TestCloudtrailMatcherManager.cloudtrailMatcherManagerFromResourceTest
+    (`awsbehavior/TestCloudtrailMatcherManager.java:13-28`): the
+    reference's ACTUAL event_matchers.json loads to exactly two
+    matchers, the first described 'access key created' with a resource
+    extractor, and each converts to a runnable filter rule — here the
+    rules run end-to-end over synthetic cloudtrail-shaped rows to pin
+    the conversion semantics the Java test only smoke-checks: AND of
+    FULL-match regexes per matcher (the '1122334455|123456789'
+    alternation matches either account id and nothing else), and the
+    resource field rides into the match row."""
+    from foxsec_pipeline_spark.operators.detectors import (
+        CLOUDTRAIL_MATCHER_FIELDS,
+        aws_behavior_match,
+        cloudtrail_matcher_manager,
+    )
+
+    cfg = open(os.path.join(TESTDATA, "event_matchers.json")).read()
+    matchers = cloudtrail_matcher_manager(cfg)
+    assert len(matchers) == 2
+    assert matchers[0]["description"] == "access key created"
+    assert matchers[0]["resource"] == "requestParameters.userName"
+
+    # unknown property is a load-time config error
+    # (CloudtrailMatcher.UnknownStringPropertyException)
+    with pytest.raises(ValueError):
+        cloudtrail_matcher_manager(
+            '{"event_matchers": [{"description": "x", '
+            '"fields": [["nope", ".*"]]}]}'
+        )
+
+    rows = spark.createDataFrame(
+        [
+            # hits matcher 1 (CreateAccessKey) with a resource
+            ("CreateAccessKey", "iam.amazonaws.com", "1122334455",
+             None, None, "riker"),
+            # hits matcher 2: both alternation branches
+            ("PutUserPolicy", "iam.amazonaws.com", "1122334455",
+             "signin.amazonaws.com", "false", None),
+            ("PutUserPolicy", "iam.amazonaws.com", "123456789",
+             "signin.amazonaws.com", "false", None),
+            # full-match: an account id merely CONTAINING a configured
+            # id must not match
+            ("PutUserPolicy", "iam.amazonaws.com", "91122334455",
+             "signin.amazonaws.com", "false", None),
+            # mfa true -> no match
+            ("PutUserPolicy", "iam.amazonaws.com", "1122334455",
+             "signin.amazonaws.com", "true", None),
+            # wrong source -> no match
+            ("PutUserPolicy", "ec2.amazonaws.com", "1122334455",
+             "signin.amazonaws.com", "false", None),
+        ],
+        "event_name string, event_source string, "
+        "recipient_account_id string, invoked_by string, "
+        "mfa_authenticated string, request_user_name string",
+    )
+    out = aws_behavior_match(
+        rows,
+        [
+            {**m, "fields": m["fields"], "resource": m.get("resource")}
+            for m in matchers
+        ],
+        field_cols=CLOUDTRAIL_MATCHER_FIELDS,
+    ).collect()
+    got = sorted(
+        (r["matcher_description"], r["recipient_account_id"],
+         r["matched_resource"])
+        for r in out
+    )
+    assert got == [
+        ("IAM action from console without mfa", "1122334455", None),
+        ("IAM action from console without mfa", "123456789", None),
+        ("access key created", "1122334455", "riker"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# TestInputJson project-filter legs
+
+
+def test_stackdriver_project_filter_reference_golden(spark):
+    """TestInputJson.testJsonSerializeInputSimplexProjectFilterInclude /
+    ...Exclude (`input/TestInputJson.java:129-168`): the errorrate1
+    fixture parses to 55 events under project 'test'; a matching
+    stackdriverProjectFilter keeps all 55, a non-matching one drops
+    every event (`ParserDoFn.java:54-80` common input filter,
+    project equality per `EventFilterRule.java:32-38`)."""
+    raw = spark.read.text(
+        os.path.join(TESTDATA, "httpreq_errorrate1.txt")
+    )
+    inc = parse_events(
+        raw, ParserCfg(stackdriver_project_filter="test")
+    )
+    assert inc.count() == 55
+    exc = parse_events(
+        raw, ParserCfg(stackdriver_project_filter="notmatched")
+    )
+    assert exc.count() == 0
+    # label filter variant of the same common input filter
+    # (`ParserDoFn.java:64-73`): malformed spec is a plan-time error
+    with pytest.raises(ValueError):
+        parse_events(
+            raw, ParserCfg(stackdriver_label_filters=("nocolon",))
+        ).count()
