@@ -97,6 +97,100 @@ def suppress_on_count_change(
     )
 
 
+# AlertMeta.IPADDRESS_KEYS (`alert/AlertMeta.java:380`) with their
+# associated geo metadata key names (`AlertMeta.java:222-240` —
+# AssociatedKeyLinkage CITY/COUNTRY/ISP/ASN/AS_ORG per base key).
+IPADDRESS_META_KEYS = ("sourceaddress", "sourceaddress_previous")
+
+
+def alert_formatter(
+    alerts: DataFrame,
+    monitored_resource: str | None,
+    city_mmdb_path: str | None = None,
+    isp_mmdb_path: str | None = None,
+) -> DataFrame:
+    """AlertFormatter (`alert/AlertFormatter.java:124-146`):
+    normalization + supplemental enrichment of alert rows.
+
+    - adds the monitored_resource metadata entry when missing; a null
+      indicator with no pre-set value is a PLAN-TIME config error like
+      the reference's RuntimeException (we can't know row-level
+      presence at plan time, so null indicator fails fast — stricter,
+      never silently divergent)
+    - when a Maxmind db path is configured, attaches city/country
+      (city db) and isp/asn/as_org (ISP db) metadata for every
+      IP-address metadata key present (`addGeoIPData`,
+      `AlertFormatter.java:60-121`), skipping null/empty lookups; with
+      no db configured the geo step is a no-op (the runFormatter leg
+      of `TestAlertFormatter.java:32-54`).
+
+    The geo step is two projection-only mapInPandas passes (one per
+    IP-address key) over functions/geoip.enrich_geoip — no shuffle;
+    at scale this is the same mmap'd-reader-per-partition pattern as
+    event-side enrichment.
+    """
+    from ..functions.geoip import GEO_SCHEMA_FIELDS, enrich_geoip
+
+    if monitored_resource is None:
+        raise ValueError(
+            "monitored resource indicator was null in AlertFormatter"
+        )
+    meta = F.col("metadata")
+    meta = F.when(
+        meta.getItem("monitored_resource").isNotNull(), meta
+    ).otherwise(
+        F.map_concat(
+            F.coalesce(meta, F.expr("map()")),
+            F.create_map(
+                F.lit("monitored_resource"), F.lit(monitored_resource)
+            ),
+        )
+    )
+    out = alerts.withColumn("metadata", meta)
+    if city_mmdb_path is None and isp_mmdb_path is None:
+        return out
+
+    def _nonempty(c: Column) -> Column:
+        return F.when(c.isNotNull() & (c != F.lit("")), c)
+
+    for base in IPADDRESS_META_KEYS:
+        addr = "__fmt_addr"
+        out = out.withColumn(addr, F.col("metadata").getItem(base))
+        out = enrich_geoip(
+            out, ip_col=addr,
+            mmdb_path=city_mmdb_path, isp_mmdb_path=isp_mmdb_path,
+        )
+        # per-key associated metadata entries; only non-empty lookups
+        # land (the reference skips empty strings the same as null)
+        pairs: list[tuple[str, Column]] = []
+        if city_mmdb_path is not None:
+            pairs += [
+                (f"{base}_city", _nonempty(F.col("geo_city"))),
+                (f"{base}_country", _nonempty(F.col("geo_country"))),
+            ]
+        if isp_mmdb_path is not None:
+            pairs += [
+                (f"{base}_isp", _nonempty(F.col("geo_isp"))),
+                (f"{base}_asn", F.col("geo_asn").cast("string")),
+                (f"{base}_as_org", _nonempty(F.col("geo_as_org"))),
+            ]
+        entries = F.map_filter(
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k, _ in pairs]),
+                F.array(*[v for _, v in pairs]),
+            ),
+            lambda _k, v: v.isNotNull(),
+        )
+        out = out.withColumn(
+            "metadata",
+            F.when(
+                F.col(addr).isNotNull(),
+                F.map_concat(F.col("metadata"), entries),
+            ).otherwise(F.col("metadata")),
+        ).drop(addr, *[f.name for f in GEO_SCHEMA_FIELDS])
+    return out
+
+
 def merge_for_notification(
     alerts: DataFrame, window: str = "5 minutes"
 ) -> DataFrame:

@@ -33,6 +33,8 @@ GEO_SCHEMA_FIELDS = [
     T.StructField("geo_city", T.StringType()),
     T.StructField("geo_country", T.StringType()),
     T.StructField("geo_isp", T.StringType()),
+    T.StructField("geo_asn", T.LongType()),
+    T.StructField("geo_as_org", T.StringType()),
 ]
 
 
@@ -60,6 +62,9 @@ class _FakeReader:
             "city": {"names": {"en": f"city-{n % 256}"}},
             "country": {"iso_code": f"X{n % 26 + 65:c}"},
             "isp": f"isp-{n % 32}",
+            # GeoIP2-ISP record fields (maxminddb returns these keys)
+            "autonomous_system_number": 64512 + n % 1024,
+            "autonomous_system_organization": f"as-org-{n % 32}",
         }
 
     def close(self) -> None:
@@ -119,6 +124,13 @@ def enrich_geoip(
                     (r or {}).get("country", {}).get("iso_code") for r in recs
                 ]
                 pdf["geo_isp"] = [(r or {}).get("isp") for r in isp_recs]
+                pdf["geo_asn"] = [
+                    (r or {}).get("autonomous_system_number") for r in isp_recs
+                ]
+                pdf["geo_as_org"] = [
+                    (r or {}).get("autonomous_system_organization")
+                    for r in isp_recs
+                ]
                 yield pdf
         finally:
             reader.close()

@@ -77,6 +77,76 @@ class InputSpec:
         return out
 
 
+def cfgtick_message(options: dict) -> str:
+    """Build the configuration-tick message body
+    (`metrics/CfgTickBuilder.java:45-89` + flattening per
+    `parser/CfgTick.java:79-109` flattenObjectMapToStringMap): every
+    option value stringified (bool -> "true"/"false", numbers via
+    str(), lists of str/int comma-joined with ", "), null values
+    dropped, the staged-jar list (`filesToStage`) removed, and
+    `configuration_tick: "true"` stamped in so the parser's CfgTick
+    matcher claims it. Unconvertible value types are a config error at
+    build time, like the reference's IOException."""
+    flat: dict[str, str] = {}
+    for k, v in options.items():
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            flat[k] = "true" if v else "false"
+        elif isinstance(v, (int, float, str)):
+            flat[k] = str(v)
+        elif isinstance(v, (list, tuple)):
+            buf = []
+            for item in v:
+                if not isinstance(item, (str, int)) or isinstance(item, bool):
+                    raise ValueError(
+                        "map had array which could not be converted"
+                    )
+                buf.append(str(item))
+            flat[k] = ", ".join(buf)
+        else:
+            raise ValueError(
+                f"map had value type that could not be converted, {type(v)}"
+            )
+    flat.pop("filesToStage", None)
+    flat["configuration_tick"] = "true"
+    return json.dumps(flat)
+
+
+def with_cfgticks(
+    raw: DataFrame, message: str, interval_seconds: int, maximum: int
+) -> DataFrame:
+    """Batch twin of the composite-input cfgtick adapter
+    (`input/Input.java` compositeInputAdapter +
+    `metrics/CfgTickGenerator.java:31-56`): append `maximum` copies of
+    the heartbeat message to a bounded raw input — the bounded analog
+    of "emit every interval until maxNumRecords". Interval <= 0 means
+    ticks are disabled (`TestCfgTickGenerator.java:72-99` zero-interval
+    leg emits none). The message must itself parse to a CFGTICK event
+    — validated at PLAN time like the reference's
+    validateMessageFormat (`CfgTickGenerator.java:39-55`)."""
+    fields = json.loads(message)
+    if not isinstance(fields, dict) or fields.get("configuration_tick") is None:
+        raise ValueError(
+            "generated configuration tick failed parser event type validation"
+        )
+    if interval_seconds <= 0 or maximum <= 0:
+        return raw
+    spark = raw.sparkSession
+    ticks = spark.range(int(maximum)).select(
+        F.lit(message).alias("value"), F.lit("cfgtick").alias("resource")
+    )
+    return raw.unionByName(ticks, allowMissingColumns=True)
+
+
+def cfgtick_config_map():
+    """CfgTick.getConfigurationMap (`parser/CfgTick.java:28-35`): the
+    heartbeat's full key->value map, recovered from the parsed event's
+    raw body (every value is a string by construction of
+    `cfgtick_message`)."""
+    return F.from_json(F.col("raw"), "map<string,string>")
+
+
 def cfgtick_stream(
     spark: SparkSession, config: dict, interval_seconds: int = 30
 ) -> DataFrame:

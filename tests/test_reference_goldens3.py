@@ -668,3 +668,127 @@ def test_stackdriver_project_filter_reference_golden(spark):
         parse_events(
             raw, ParserCfg(stackdriver_label_filters=("nocolon",))
         ).count()
+
+
+# ---------------------------------------------------------------------------
+# TestCfgTickGenerator
+
+
+def test_cfgtick_generator_reference_golden(spark):
+    """TestCfgTickGenerator.cfgTickGeneratorTest + ...ZeroInterval
+    (`metrics/TestCfgTickGenerator.java:38-99`): the composite input
+    adapter with interval=1 / maximum=2 yields exactly TWO parsed
+    CFGTICK events whose configuration map carries the pipeline
+    options — inputFile flattened from its array form
+    (`parser/CfgTick.java:46-64` convertArray, ", "-joined) and the
+    interval stringified — while interval=0 yields none. Also pins the
+    builder's flattening rules (bool/number stringify, filesToStage
+    removed, unconvertible type is a build-time error) and the
+    generator's plan-time message validation
+    (`metrics/CfgTickGenerator.java:39-55`)."""
+    from foxsec_pipeline_spark.sources.input import (
+        cfgtick_config_map,
+        cfgtick_message,
+        with_cfgticks,
+    )
+
+    path = os.path.join(TESTDATA, "inputtype_buffer1.txt")
+    msg = cfgtick_message(
+        {
+            "inputFile": [path],
+            "generateConfigurationTicksInterval": 1,
+            "generateConfigurationTicksMaximum": 2,
+            "streaming": False,
+            "ignored": None,
+            "filesToStage": ["a.jar", "b.jar"],
+        }
+    )
+    raw = spark.read.text(path).withColumn("resource", F.lit("file"))
+    ev = parse_events(with_cfgticks(raw, msg, 1, 2), ParserCfg())
+    ticks = (
+        ev.where(F.col("payload_type") == "cfgtick")
+        .select(cfgtick_config_map().alias("cfg"))
+        .collect()
+    )
+    assert len(ticks) == 2
+    for r in ticks:
+        assert r["cfg"]["inputFile"] == path
+        assert r["cfg"]["generateConfigurationTicksInterval"] == "1"
+        assert r["cfg"]["streaming"] == "false"
+        assert "filesToStage" not in r["cfg"]
+        assert "ignored" not in r["cfg"]
+
+    # zero interval -> no ticks (cfgTickGeneratorTestZeroInterval)
+    ev0 = parse_events(with_cfgticks(raw, msg, 0, 2), ParserCfg())
+    assert ev0.where(F.col("payload_type") == "cfgtick").count() == 0
+
+    # builder: unconvertible value type is a config error
+    # (CfgTick.flattenObjectMapToStringMap IOException)
+    with pytest.raises(ValueError):
+        cfgtick_message({"bad": {"nested": 1}})
+    # generator: a message that does not parse as a cfgtick fails at
+    # plan time (CfgTickGenerator.validateMessageFormat)
+    with pytest.raises(ValueError):
+        with_cfgticks(raw, '{"not_a_tick": true}', 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# TestAlertFormatter
+
+
+def test_alert_formatter_reference_golden(spark):
+    """TestAlertFormatter.runFormatter + runFormatterWithSettings
+    (`alert/TestAlertFormatter.java:32-83`): with no Maxmind db the
+    formatter adds monitored_resource and leaves city/country metadata
+    ABSENT; with a city db configured the sourceaddress gains
+    sourceaddress_city/_country and monitored_resource is added only
+    when missing. The Milton/US values from the reference's test mmdb
+    are asserted when the real maxminddb lib is present; otherwise the
+    deterministic fake pins the plumbing (key placement, non-empty
+    filtering). Null indicator is a plan-time error
+    (`alert/AlertFormatter.java:131-137`)."""
+    from foxsec_pipeline_spark.alert.model import alert_formatter
+
+    alerts = spark.createDataFrame(
+        [("a1", {"sourceaddress": "216.160.83.56"})],
+        "alert_id string, metadata map<string,string>",
+    )
+
+    # runFormatter: no geoip configured
+    out = alert_formatter(alerts, "test").collect()[0]["metadata"]
+    assert out["monitored_resource"] == "test"
+    assert "sourceaddress_city" not in out
+    assert "sourceaddress_country" not in out
+
+    with pytest.raises(ValueError):
+        alert_formatter(alerts, None)
+
+    # runFormatterWithSettings: city db configured
+    city_db = "/root/reference/src/test/resources/testdata/GeoIP2-City-Test.mmdb"
+    out2 = alert_formatter(
+        alerts, "formatter_test", city_mmdb_path=city_db
+    ).collect()[0]["metadata"]
+    assert out2["monitored_resource"] == "formatter_test"
+    assert out2["sourceaddress"] == "216.160.83.56"
+    try:
+        import maxminddb  # noqa: F401
+
+        have_mmdb = os.path.exists(city_db)
+    except ImportError:
+        have_mmdb = False
+    if have_mmdb:
+        assert out2["sourceaddress_city"] == "Milton"
+        assert out2["sourceaddress_country"] == "US"
+    else:
+        # deterministic fake still places both associated keys
+        assert out2["sourceaddress_city"]
+        assert out2["sourceaddress_country"]
+
+    # a pre-set monitored_resource is preserved, not overwritten
+    # (`AlertFormatter.java:133` only-if-missing)
+    pre = spark.createDataFrame(
+        [("a2", {"monitored_resource": "keepme"})],
+        "alert_id string, metadata map<string,string>",
+    )
+    kept = alert_formatter(pre, "other").collect()[0]["metadata"]
+    assert kept["monitored_resource"] == "keepme"
