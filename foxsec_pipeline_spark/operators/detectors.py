@@ -421,61 +421,147 @@ def login_failure_for_at_risk_account(
     )
 
 
-_CUSTOMS_ALERT_ACTIONS = {
-    "source_login_failure": ("sourceaddress", "suspect"),
-    "source_login_failure_distributed": ("sourceaddress", "suspect"),
-    "account_creation_abuse": ("sourceaddress", "suspect"),
-    "password_reset_abuse": ("sourceaddress", "suspect"),
-    "login_failure_at_risk_account": ("email", "report"),
-    "velocity": ("email", "report"),
-    "status_comparator": ("email", "report"),
+# CustomsAlert.heuristicDescriptions (`customs/CustomsAlert.java:65-91`)
+CUSTOMS_HEURISTIC_DESCRIPTIONS = {
+    "account_creation_abuse":
+        "Large number of accounts created in one session from a single "
+        "IP address",
+    "account_creation_abuse_distributed":
+        "Large number of very similar accounts created in fixed time "
+        "frame from different addresses",
+    "source_login_failure":
+        "Large number of account login failures from single source "
+        "address in fixed time frame",
+    "source_login_failure_distributed":
+        "Large number of account login failures for single account "
+        "from multiple source addresses in fixed time frame",
+    "password_reset_abuse":
+        "Large number of password reset requests from single source "
+        "address for multiple accounts in fixed time frame",
+    "velocity": "Login velocity threshold exceeded for given account.",
+    "status_comparator": "Comparator operation matched status check.",
+    "login_failure_at_risk_account": "Login failure to at risk account.",
 }
 
 
 def customs_alert_rows(
     alerts: DataFrame,
     subcategory_col: str = "subcategory",
-    indicator_cols: dict[str, str] | None = None,
+    meta_col: str = "metadata",
     ts: str = "timestamp",
 ) -> DataFrame:
-    """CustomsAlert fan-out (CustomsAlert.java:117-260): each pipeline
-    alert becomes one row per indicator with severity/confidence/
-    suggested action per subcategory; rows serialize to the
-    per-customer JSON contract via to_json on the returned columns.
+    """CustomsAlert fan-out (`customs/CustomsAlert.java:117-433`
+    fromAlert + the per-subcategory convert* methods): each customs
+    pipeline alert becomes one CustomsAlert row per indicator, ready
+    for the per-customer JSON contract. Reference-exact rules
+    (golden-replayed from TestCustomsAlert.testAlertConversion):
 
-    `indicator_cols` maps indicator_type -> source column (e.g.
-    {"sourceaddress": "source_address", "email": "email"}); a NULL
-    indicator column contributes no row.
+    - account_creation_abuse: the source address PLUS one row per
+      created account in the comma-joined email list (`:237-274`)
+    - account_creation_abuse_distributed: address + the PRIMARY email
+      only — email_similar entries are NOT fanned out, they arrive as
+      their own alerts (`:284-313`)
+    - source_login_failure / password_reset_abuse /
+      login_failure_at_risk_account: the source address only
+    - source_login_failure_distributed: one row per address in the
+      comma-joined sourceaddresses list (`:198-226`)
+    - velocity: address + account email (`:348-379`)
+    - status_comparator: the email only (`:387-406`)
+    - severity is always warn, action always suspect; confidence is
+      100 except the two account-creation heuristics which keep the
+      baseAlert default of 50 (convert* never overrides it there)
+    - unknown subcategories produce no rows (fromAlert returns null)
+
+    List values split on "," with trimmed results
+    (`AlertMeta.java:24` META_VALUE_SPLITTER). Input alerts carry a
+    map<string,string> metadata column (the engine's ALERT_SCHEMA
+    shape); the whole fan-out is one projection + explode — no
+    shuffle, no UDF.
     """
-    indicator_cols = indicator_cols or {
-        "sourceaddress": "source_address", "email": "email",
-    }
-    pairs = F.array_compact(
-        F.array(
-            *[
-                F.when(
-                    F.col(c).isNotNull(),
-                    F.struct(
-                        F.lit(itype).alias("indicator_type"),
-                        F.col(c).alias("indicator"),
-                    ),
-                )
-                for itype, c in indicator_cols.items()
-            ]
+    m = F.col(meta_col)
+    sub = F.col(subcategory_col)
+
+    def g(key: str) -> Column:
+        return m.getItem(key)
+
+    def one(itype: str, value: Column) -> Column:
+        return F.array(
+            F.struct(F.lit(itype).alias("indicator_type"),
+                     value.alias("indicator"))
         )
+
+    def split_list(key: str, itype: str) -> Column:
+        return F.transform(
+            F.split(g(key), ","),
+            lambda v: F.struct(
+                F.lit(itype).alias("indicator_type"),
+                F.trim(v).alias("indicator"),
+            ),
+        )
+
+    addr = one("sourceaddress", g("sourceaddress"))
+    email = one("email", g("email"))
+    indicators = (
+        F.when(sub == "account_creation_abuse",
+               F.concat(addr, split_list("email", "email")))
+        .when(sub == "account_creation_abuse_distributed",
+              F.concat(addr, email))
+        .when(sub.isin("source_login_failure", "password_reset_abuse",
+                       "login_failure_at_risk_account"), addr)
+        .when(sub == "source_login_failure_distributed",
+              split_list("sourceaddresses", "sourceaddress"))
+        .when(sub == "velocity", F.concat(addr, email))
+        .when(sub == "status_comparator", email)
     )
-    action = F.lit(None).cast("string")
-    for sub, (_, act) in reversed(list(_CUSTOMS_ALERT_ACTIONS.items())):
-        action = F.when(F.col(subcategory_col) == sub, act).otherwise(action)
+    reason = (
+        F.when(sub == "account_creation_abuse",
+               F.format_string("%s created %s accounts in a single session",
+                               g("sourceaddress"), g("count")))
+        .when(sub == "account_creation_abuse_distributed",
+              F.format_string(
+                  "%d very similar accounts to %s created in fixed time frame",
+                  g("count").cast("int") - 1, g("email")))
+        .when(sub == "source_login_failure",
+              F.format_string("%s failed login %s times in window",
+                              g("sourceaddress"), g("count")))
+        .when(sub == "source_login_failure_distributed",
+              F.format_string("%s addresses failed login to %s in window",
+                              g("count"), g("email")))
+        .when(sub == "password_reset_abuse",
+              F.format_string(
+                  "%s attempted password reset on %s accounts in fixed "
+                  "time frame", g("sourceaddress"), g("count")))
+        .when(sub == "velocity",
+              F.format_string("%s velocity exceeded, %s km in %s seconds",
+                              g("uid"), g("km_distance"),
+                              g("time_delta_seconds")))
+        .when(sub == "status_comparator",
+              F.format_string("%s performed status check on %s",
+                              g("sourceaddress"), g("email")))
+        .when(sub == "login_failure_at_risk_account",
+              F.format_string("%s failed login to %s",
+                              g("sourceaddress"), g("email")))
+    )
+    desc = F.lit("unknown")
+    for k, v in reversed(list(CUSTOMS_HEURISTIC_DESCRIPTIONS.items())):
+        desc = F.when(sub == k, v).otherwise(desc)
+    confidence = F.when(
+        sub.isin("account_creation_abuse",
+                 "account_creation_abuse_distributed"),
+        50,
+    ).otherwise(100)
     return (
-        alerts.withColumn("__i", F.explode(pairs))
+        alerts.where(indicators.isNotNull())
+        .withColumn("__i", F.explode(indicators))
         .select(
             F.col(ts),
-            F.col(subcategory_col).alias("heuristic"),
+            sub.alias("heuristic"),
+            desc.alias("heuristic_description"),
             F.col("__i.indicator_type").alias("indicator_type"),
             F.col("__i.indicator").alias("indicator"),
             F.lit("warn").alias("severity"),
-            F.lit(100).alias("confidence"),
-            F.coalesce(action, F.lit("report")).alias("suggested_action"),
+            confidence.alias("confidence"),
+            F.lit("suspect").alias("suggested_action"),
+            reason.alias("reason"),
         )
     )

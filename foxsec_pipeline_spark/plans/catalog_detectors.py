@@ -480,21 +480,30 @@ WITH hits AS (
   GROUP BY 1, 2 HAVING count(*) > 3
 ), alerts AS (
   SELECT window_start AS ts,
-         'source_login_failure' AS heuristic,
+         CASE WHEN user_id % 3 = 0 THEN 'velocity'
+              ELSE 'source_login_failure' END AS heuristic,
          '10.' || (user_id % 32) || '.0.1' AS source_address,
-         'u' || user_id || '@ex.com' AS email
+         'u' || user_id || '@ex.com' AS email,
+         CAST(n AS VARCHAR) AS cnt
   FROM hits
 )
 SELECT ts, heuristic, 'sourceaddress' AS indicator_type,
        source_address AS indicator, 'warn' AS severity,
-       100 AS confidence, 'suspect' AS suggested_action
+       100 AS confidence, 'suspect' AS suggested_action,
+       CASE WHEN heuristic = 'source_login_failure'
+            THEN source_address || ' failed login ' || cnt || ' times in window'
+            ELSE 'u' || ' velocity exceeded, ' || ' km in ' || ' seconds'
+       END AS reason
 FROM alerts
 UNION ALL
-SELECT ts, heuristic, 'email', email, 'warn', 100, 'suspect' FROM alerts
+SELECT ts, heuristic, 'email', email, 'warn', 100, 'suspect',
+       'u' || ' velocity exceeded, ' || ' km in ' || ' seconds'
+FROM alerts WHERE heuristic = 'velocity'
 """,
-    doc="customs/CustomsAlert.java:117-260 — per-customer CustomsAlert "
-        "JSON fan-out: each pipeline alert becomes one row per indicator "
-        "with severity/confidence/suggested-action by subcategory "
+    doc="customs/CustomsAlert.java:117-433 — per-customer CustomsAlert "
+        "fan-out with reference-exact per-subcategory indicator rules "
+        "(source_login_failure is address-only; velocity adds the email "
+        "row) — golden-replayed in tests/test_reference_goldens3.py "
         "(array+explode, single pass)",
 )
 def q_customs_alert_fanout(spark, sf_dir):
@@ -507,12 +516,25 @@ def q_customs_alert_fanout(spark, sf_dir):
     )
     alerts = hits.select(
         F.col("w.start").alias("timestamp"),
-        F.lit("source_login_failure").alias("subcategory"),
-        F.concat(
-            F.lit("10."), (F.col("user_id") % 32).cast("string"), F.lit(".0.1")
-        ).alias("source_address"),
-        F.concat(F.lit("u"), F.col("user_id").cast("string"), F.lit("@ex.com")).alias(
-            "email"
-        ),
+        F.when(F.col("user_id") % 3 == 0, "velocity")
+        .otherwise("source_login_failure")
+        .alias("subcategory"),
+        F.map_from_arrays(
+            F.array(F.lit("sourceaddress"), F.lit("email"), F.lit("count"),
+                    F.lit("uid"), F.lit("km_distance"),
+                    F.lit("time_delta_seconds")),
+            F.array(
+                F.concat(F.lit("10."), (F.col("user_id") % 32).cast("string"),
+                         F.lit(".0.1")),
+                F.concat(F.lit("u"), F.col("user_id").cast("string"),
+                         F.lit("@ex.com")),
+                F.col("n").cast("string"),
+                F.lit("u"), F.lit(""), F.lit(""),
+            ),
+        ).alias("metadata"),
     )
-    return customs_alert_rows(alerts).withColumnRenamed("timestamp", "ts")
+    return (
+        customs_alert_rows(alerts)
+        .drop("heuristic_description")
+        .withColumnRenamed("timestamp", "ts")
+    )

@@ -792,3 +792,136 @@ def test_alert_formatter_reference_golden(spark):
     )
     kept = alert_formatter(pre, "other").collect()[0]["metadata"]
     assert kept["monitored_resource"] == "keepme"
+
+
+# ---------------------------------------------------------------------------
+# TestCustomsAlert
+
+
+def test_customs_alert_conversion_reference_golden(spark):
+    """TestCustomsAlert.testAlertConversion
+    (`customs/TestCustomsAlert.java:10-106`): the eight alert-to-
+    CustomsAlert conversion cases with the reference's exact expected
+    fan-out counts — 4 (creation abuse: address + 3 emails), 2
+    (distributed creation: address + primary email, email_similar NOT
+    fanned), 1 (source login failure: address only despite the email
+    key), 1 (password reset: address only), 10 (distributed login
+    failure: one per sourceaddresses entry), 2 (velocity: address +
+    email), 1 (status comparator: email only), 1 (at-risk login:
+    address only) — plus the indicator/confidence/reason semantics of
+    the convert* methods (`CustomsAlert.java:146-433`)."""
+    from foxsec_pipeline_spark.operators.detectors import customs_alert_rows
+
+    cases = [
+        ("account_creation_abuse",
+         {"sourceaddress": "216.160.83.56", "count": "3",
+          "email": "user@mail.com, user.1@mail.com, user.1.@mail.com"}),
+        ("account_creation_abuse_distributed",
+         {"sourceaddress": "216.160.83.54", "count": "6",
+          "email": "user6@mail.com",
+          "email_similar": "user3@mail.com, user1@mail.com, "
+                           "user2@mail.com, user4@mail.com, "
+                           "user5@mail.com"}),
+        ("source_login_failure",
+         {"sourceaddress": "216.160.83.56", "count": "10",
+          "email": "spock@mozilla.com"}),
+        ("password_reset_abuse",
+         {"sourceaddress": "10.0.0.1", "count": "5"}),
+        ("source_login_failure_distributed",
+         {"email": "kirk@mozilla.com", "count": "10",
+          "sourceaddresses": "10.0.0.1, 10.0.0.2, 10.0.0.3, 10.0.0.4, "
+                             "10.0.0.5, 10.0.0.6, 10.0.0.7, 10.0.0.8, "
+                             "10.0.0.9, 10.0.0.10"}),
+        ("velocity",
+         {"sourceaddress": "81.2.69.192",
+          "sourceaddress_previous": "216.160.83.56",
+          "time_delta_seconds": "9", "km_distance": "7740.82",
+          "uid": "00000000000000000000000000000000",
+          "email": "riker@mozilla.com"}),
+        ("status_comparator",
+         {"email": "spock@mozilla.com", "sourceaddress": "3.3.3.3"}),
+        ("login_failure_at_risk_account",
+         {"email": "spock@mozilla.com", "sourceaddress": "10.0.1.11"}),
+    ]
+    alerts = spark.createDataFrame(
+        [(i, sub, meta, "1970-01-01 00:00:00")
+         for i, (sub, meta) in enumerate(cases)],
+        "case_id int, subcategory string, metadata map<string,string>, "
+        "timestamp string",
+    )
+    rows = customs_alert_rows(alerts).collect()
+    by_h = {}
+    for r in rows:
+        by_h.setdefault(r["heuristic"], []).append(r)
+
+    assert len(by_h["account_creation_abuse"]) == 4
+    assert len(by_h["account_creation_abuse_distributed"]) == 2
+    assert len(by_h["source_login_failure"]) == 1
+    assert len(by_h["password_reset_abuse"]) == 1
+    assert len(by_h["source_login_failure_distributed"]) == 10
+    assert len(by_h["velocity"]) == 2
+    assert len(by_h["status_comparator"]) == 1
+    assert len(by_h["login_failure_at_risk_account"]) == 1
+
+    # creation abuse keeps baseAlert's default confidence 50 (the
+    # convert method never overrides it); emails fan out trimmed
+    acc = by_h["account_creation_abuse"]
+    assert all(r["confidence"] == 50 for r in acc)
+    assert sorted(r["indicator"] for r in acc
+                  if r["indicator_type"] == "email") == [
+        "user.1.@mail.com", "user.1@mail.com", "user@mail.com"]
+    assert [r["indicator"] for r in acc
+            if r["indicator_type"] == "sourceaddress"] == ["216.160.83.56"]
+    assert acc[0]["reason"] == (
+        "216.160.83.56 created 3 accounts in a single session")
+
+    # distributed creation: primary email only, count-1 in the reason
+    dist = by_h["account_creation_abuse_distributed"]
+    assert sorted((r["indicator_type"], r["indicator"]) for r in dist) == [
+        ("email", "user6@mail.com"), ("sourceaddress", "216.160.83.54")]
+    assert dist[0]["reason"] == (
+        "5 very similar accounts to user6@mail.com created in fixed "
+        "time frame")
+
+    # source login failure: address indicator only, confidence 100
+    slf = by_h["source_login_failure"][0]
+    assert (slf["indicator_type"], slf["indicator"], slf["confidence"]) == (
+        "sourceaddress", "216.160.83.56", 100)
+    assert slf["reason"] == "216.160.83.56 failed login 10 times in window"
+
+    # distributed login failure: every listed address, trimmed
+    addrs = sorted(r["indicator"]
+                   for r in by_h["source_login_failure_distributed"])
+    assert addrs == sorted(f"10.0.0.{i}" for i in range(1, 11))
+
+    # velocity: address + email rows, uid-based reason
+    vel = by_h["velocity"]
+    assert sorted((r["indicator_type"], r["indicator"]) for r in vel) == [
+        ("email", "riker@mozilla.com"), ("sourceaddress", "81.2.69.192")]
+    assert vel[0]["reason"] == (
+        "00000000000000000000000000000000 velocity exceeded, 7740.82 km "
+        "in 9 seconds")
+
+    # status comparator: email only even though sourceaddress is set
+    sc = by_h["status_comparator"][0]
+    assert (sc["indicator_type"], sc["indicator"]) == (
+        "email", "spock@mozilla.com")
+    assert sc["reason"] == "3.3.3.3 performed status check on spock@mozilla.com"
+
+    # at-risk login: address only
+    ar = by_h["login_failure_at_risk_account"][0]
+    assert (ar["indicator_type"], ar["indicator"]) == (
+        "sourceaddress", "10.0.1.11")
+
+    # all rows: warn severity, suspect action, known descriptions
+    assert {r["severity"] for r in rows} == {"warn"}
+    assert {r["suggested_action"] for r in rows} == {"suspect"}
+    assert "unknown" not in {r["heuristic_description"] for r in rows}
+
+    # unknown subcategory -> no rows (fromAlert returns null)
+    unk = spark.createDataFrame(
+        [(99, "nope", {"sourceaddress": "1.2.3.4"}, "1970-01-01")],
+        "case_id int, subcategory string, metadata map<string,string>, "
+        "timestamp string",
+    )
+    assert customs_alert_rows(unk).count() == 0
