@@ -32,7 +32,9 @@ class InputElement:
     """One named input leg (`input/InputElement.java`)."""
 
     name: str
-    path: str | None = None          # file glob (text/json-lines)
+    # file glob(s) — a list is the reference's repeated addFileInput
+    # (`input/InputElement.java` — golden TestInputTypeFileMulti)
+    path: str | list[str] | None = None
     fmt: str = "text"                # text | json | parquet | rate
     parser_cfg: ParserCfg = field(default_factory=ParserCfg)
     options: dict[str, str] = field(default_factory=dict)
@@ -152,7 +154,15 @@ def cfgtick_stream(
 ) -> DataFrame:
     """Config-heartbeat stream (`metrics/CfgTickUnboundedSource.java:14`):
     rate source -> constant config JSON, unioned into the raw input so
-    downstream sees a periodic cfg event."""
+    downstream sees a periodic cfg event. A non-positive interval is a
+    plan-time config error like the unbounded reader's
+    IllegalArgumentException (`metrics/CfgTickUnboundedReader.java` —
+    golden TestCfgTickUnboundedReader.cfgTickUnboundedReaderBadInterval);
+    only the bounded composite adapter treats 0 as "disabled"."""
+    if interval_seconds <= 0:
+        raise ValueError(
+            "configuration tick interval must be greater than zero"
+        )
     payload = json.dumps({"cfgtick": True, **config})
     return (
         spark.readStream.format("rate")
@@ -160,7 +170,7 @@ def cfgtick_stream(
         .load()
         # rate emits integer rows/sec; keep every Nth tick for the
         # configured interval
-        .where(F.col("value") % F.lit(int(max(interval_seconds, 1))) == 0)
+        .where(F.col("value") % F.lit(int(interval_seconds)) == 0)
         .select(
             F.lit(payload).alias("value"), F.lit("cfgtick").alias("resource")
         )

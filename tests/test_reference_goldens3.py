@@ -925,3 +925,60 @@ def test_customs_alert_conversion_reference_golden(spark):
         "timestamp string",
     )
     assert customs_alert_rows(unk).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# TestInputTypeFile / TestInputTypeFileMulti / TestCfgTickUnboundedReader
+
+
+def test_input_type_file_reference_golden(spark):
+    """TestInputTypeFile.readTextTest/readTextTestParsingElement and
+    TestInputTypeFileMulti.readTextTest*/readTextTestMultiElement
+    (`input/TestInputTypeFile.java:30-58`,
+    `input/TestInputTypeFileMulti.java:43-135`): inputtype_buffer1
+    yields 10 raw lines (parsed: 10 events); two files in one simplex
+    element yield 30; a multiplex read keys 10 lines to element 'a'
+    and 20 to 'b', raw and parsed alike. Also the unbounded cfgtick
+    source's interval validation
+    (`metrics/TestCfgTickUnboundedReader.java:10-13`)."""
+    from foxsec_pipeline_spark.sources.input import (
+        InputElement,
+        InputSpec,
+        cfgtick_stream,
+    )
+
+    b1 = os.path.join(TESTDATA, "inputtype_buffer1.txt")
+    b2 = os.path.join(TESTDATA, "inputtype_buffer2.txt")
+
+    simplex = InputSpec([InputElement("default", path=b1)])
+    raw = simplex.read_raw(spark)
+    assert raw.count() == 10
+    assert simplex.read_parsed(spark).count() == 10
+
+    two = InputSpec([InputElement("default", path=[b1, b2])])
+    assert two.read_raw(spark).count() == 30
+    assert two.read_parsed(spark).count() == 30
+
+    multi = InputSpec(
+        [InputElement("a", path=b1), InputElement("b", path=b2)]
+    )
+    mraw = multi.read_raw(spark)
+    counts = {
+        r["resource"]: r["n"]
+        for r in mraw.groupBy("resource").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert counts == {"a": 10, "b": 20}
+    mparsed = multi.read_parsed(spark)
+    pcounts = {
+        r["resource"]: r["n"]
+        for r in mparsed.groupBy("resource").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert pcounts == {"a": 10, "b": 20}
+
+    # CfgTickUnboundedReader: interval <= 0 is a config error
+    with pytest.raises(ValueError):
+        cfgtick_stream(spark, {"x": "y"}, interval_seconds=0)
