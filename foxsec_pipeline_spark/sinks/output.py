@@ -14,6 +14,7 @@ behind IO interfaces the same way (`IprepdIO.java`, `SqsIO.java`,
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -21,6 +22,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..alert.model import alerts_to_json
+
+
+def parse_queue_info(queue_info: str) -> list[str] | None:
+    """SqsIO.parseQueueInfo (`SqsIO.java:33-39`, golden TestSqsIO):
+    split the `url:key:secret:region` spec on ':' — exactly five raw
+    parts (the URL scheme contributes one) or the spec is invalid
+    (None, which the writer turns into a config error). The scheme is
+    rejoined onto the URL."""
+    parts = queue_info.split(":")
+    if len(parts) != 5:
+        return None
+    return [parts[0] + ":" + parts[1], parts[2], parts[3], parts[4]]
+
+
+# GcsUtil (`GcsUtil.java:14-38`, golden TestGcsUtil): config/state
+# object addressing for cloud-storage URLs. The fetch itself is an
+# external-IO seam; the URL parsing is exact.
+_GCS_URL_RE = re.compile(r"^gs://([^/]+)/(\S+)$")
+
+
+def is_gcs_url(url: str) -> bool:
+    return _GCS_URL_RE.match(url) is not None
+
+
+def blob_id_from_url(url: str) -> tuple[str, str] | None:
+    """-> (bucket, object_name), or None on invalid input."""
+    m = _GCS_URL_RE.match(url)
+    if m is None:
+        return None
+    return (m.group(1), m.group(2))
 
 
 @dataclass

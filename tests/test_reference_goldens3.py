@@ -982,3 +982,91 @@ def test_input_type_file_reference_golden(spark):
     # CfgTickUnboundedReader: interval <= 0 is a config error
     with pytest.raises(ValueError):
         cfgtick_stream(spark, {"x": "y"}, interval_seconds=0)
+
+
+# ---------------------------------------------------------------------------
+# TestScriptRunner / TestSqsIO / TestGcsUtil
+
+
+def test_script_runner_reference_golden(spark, tmp_path):
+    """TestScriptRunner (`TestScriptRunner.java:17-89`): named-script
+    load + method dispatch with the reference's test.groovy replayed
+    as its Python twin — noop returns None, inc(1)=2, add(2,3)=5, the
+    eventHandler leg keys the parsed openssh GLB event by user
+    'riker' with the syslog timestamp, unknown method raises
+    (IllegalArgumentException), missing file raises (IOException)."""
+    from foxsec_pipeline_spark.functions.registry import ScriptRunner
+
+    script = tmp_path / "test.py"
+    script.write_text(
+        "def noop():\n"
+        "    return None\n"
+        "def inc(x):\n"
+        "    return x + 1\n"
+        "def add(x, y):\n"
+        "    return x + y\n"
+        "def event_handler(e):\n"
+        "    if e['payload_type'] != 'openssh':\n"
+        "        return None\n"
+        "    if e['subject_user'] == 'riker':\n"
+        "        return (e['subject_user'], e)\n"
+        "    return None\n"
+    )
+    s = ScriptRunner()
+    s.load_script(str(script), "test")
+    assert s.invoke_method("test", "noop") is None
+    assert s.invoke_method("test", "inc", 1) == 2
+    assert s.invoke_method("test", "add", 2, 3) == 5
+
+    buf = (
+        '{"insertId":"f8p4mz1a3ldcos1xz","labels":{"compute.googleapis.com/'
+        'resource_name":"emit-bastion"},"logName":"projects/sandbox-00/logs/'
+        'syslog","receiveTimestamp":"2018-09-20T18:43:38.318580313Z",'
+        '"resource":{"labels":{"instance_id":"9999999999999999999",'
+        '"project_id":"sandbox-00","zone":"us-east1-b"},"type":'
+        '"gce_instance"},"textPayload":"Sep 18 22:15:38 emit-bastion '
+        'sshd[2644]: Accepted publickey for riker from 127.0.0.1 port '
+        '58530 ssh2: RSA SHA256:dd/AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"'
+        ',"timestamp":"2018-09-18T22:15:38Z"}'
+    )
+    ev = parse_events(
+        spark.createDataFrame([(buf,)], "value string"), ParserCfg()
+    ).collect()[0].asDict()
+    key, kept = s.invoke_method("test", "event_handler", ev)
+    assert key == "riker"
+    assert str(kept["timestamp"]) == "2018-09-18 22:15:38"
+
+    with pytest.raises(ValueError):
+        s.invoke_method("test", "nonexistent")
+    with pytest.raises(OSError):
+        s.load_script(str(tmp_path / "nonexistent.py"), "nonexistent")
+
+
+def test_sqs_gcs_util_reference_golden():
+    """TestSqsIO.SqsIOTestParseQueueInfo (`TestSqsIO.java:11-22`) and
+    TestGcsUtil.GcsIsGcsUrlTest (`TestGcsUtil.java:14-32`): queue-spec
+    and storage-URL parsing, byte-for-byte the reference's cases."""
+    from foxsec_pipeline_spark.sinks.output import (
+        blob_id_from_url,
+        is_gcs_url,
+        parse_queue_info,
+    )
+
+    parts = parse_queue_info(
+        "https://queue.amazonaws.com/AAAAAAAA/queue:key:secret:us-east-1"
+    )
+    assert parts == [
+        "https://queue.amazonaws.com/AAAAAAAA/queue",
+        "key", "secret", "us-east-1",
+    ]
+    assert parse_queue_info("https://short:key") is None
+
+    assert is_gcs_url("gs://bucket/path/object")
+    assert not is_gcs_url("/path/object")
+    assert not is_gcs_url("gs://")
+    assert not is_gcs_url("gs://test")
+    assert not is_gcs_url("gs://test/")
+    assert blob_id_from_url("gs://bucket/path") == ("bucket", "path")
+    assert blob_id_from_url("gs://bucket/path/test") == (
+        "bucket", "path/test")
+    assert blob_id_from_url("/test/path") is None
