@@ -1070,3 +1070,163 @@ def test_sqs_gcs_util_reference_golden():
     assert blob_id_from_url("gs://bucket/path/test") == (
         "bucket", "path/test")
     assert blob_id_from_url("/test/path") is None
+
+
+# ---------------------------------------------------------------------------
+# StateTest / TestWatchlist / TestAlertSlack — the KV state plane over
+# the deterministic local backend (memcached/datastore are network
+# seams; the contract below is what a real backend must satisfy)
+
+
+def test_state_plane_reference_golden():
+    """state/StateTest.java:42-111 (parameterized over the memcached
+    and datastore backends — here the deterministic local backend):
+    set/get JSON round-trip, missing key -> None, zero-length keys
+    raise on both get and set; transactional cursors buffer until
+    commit (`StateCursor.java:69-84`, the datastore transaction
+    path)."""
+    from foxsec_pipeline_spark.state import (
+        MemoryStateInterface,
+        State,
+        StateException,
+    )
+
+    s = State(MemoryStateInterface("statetest", "test"))
+    s.initialize()
+    s.delete_all()
+    c = s.new_cursor()
+    c.set("testing", {"str": "test"})
+    got = c.get("testing")
+    assert got == {"str": "test"}
+    assert s.new_cursor().get("nonexist") is None
+
+    with pytest.raises(StateException):
+        s.new_cursor().set("", {"str": "test"})
+    with pytest.raises(StateException):
+        s.new_cursor().get("")
+
+    # transaction cursor: invisible until commit
+    t = s.new_cursor(transaction=True)
+    t.set("txn", {"str": "pending"})
+    assert s.new_cursor().get("txn") is None
+    t.commit()
+    assert s.new_cursor().get("txn") == {"str": "pending"}
+    s.done()
+
+
+def test_watchlist_reference_golden(spark):
+    """TestWatchlist.watchlistTest (`TestWatchlist.java:29-123`):
+    empty watchlist -> zero entries of either kind; an IP entry
+    lands in getWatchedIPs and resolves through getWatchlistEntries;
+    two email entries (one from the reference's exact JSON document)
+    both come back; unknown kinds return empty. Then the snapshot
+    broadcasts into the watchlist_match dim (`Watchlist.java:286-330`
+    + `PostProcessing.java:102-126`)."""
+    import json as _json
+
+    from foxsec_pipeline_spark.operators.customs import watchlist_match
+    from foxsec_pipeline_spark.state import (
+        MemoryStateInterface,
+        State,
+        Watchlist,
+        watchlist_dataframe,
+    )
+
+    for kind in ("ip", "email"):
+        MemoryStateInterface(kind, "watchlist").delete_all()
+    wl = Watchlist()
+    assert wl.get_watched_emails() == []
+    assert wl.get_watched_ips() == []
+
+    ipe = {"type": "ip", "object": "127.0.0.1", "severity": "info",
+           "created_by": "picard", "expires_at": "2020-01-07T02:45:23.000Z"}
+    cur = State(MemoryStateInterface("ip", "watchlist")).new_cursor()
+    cur.set(ipe["object"], ipe)
+
+    ips = wl.get_watched_ips()
+    assert ips == [ipe]
+    assert wl.get_watchlist_entries("ip", ["127.0.0.1"]) == [ipe]
+
+    # the reference's exact email entry document
+    email_one = _json.loads(
+        '{"created_by": "picard", "type": "email", '
+        '"object": "example@enterprise.com",'
+        '"expires_at": "2020-01-07T02:45:23.000Z", "severity": "info"}'
+    )
+    email_two = {"type": "email", "object": "picardTwo@enterprise.com",
+                 "severity": "warn", "created_by": "picard",
+                 "expires_at": "2020-01-08T00:00:00.000Z"}
+    ecur = State(MemoryStateInterface("email", "watchlist")).new_cursor()
+    ecur.set(email_one["object"], email_one)
+    assert wl.get_watchlist_entries(
+        "email", ["example@enterprise.com"]) == [email_one]
+    ecur.set(email_two["object"], email_two)
+    emails = wl.get_watched_emails()
+    assert len(emails) == 2
+    assert {e["object"] for e in emails} == {
+        "example@enterprise.com", "picardTwo@enterprise.com"}
+    assert wl.get_watchlist_entries("nope", ["x"]) == []
+
+    # snapshot -> broadcast dim -> match
+    dim = watchlist_dataframe(spark, wl)
+    events = spark.createDataFrame(
+        [("e1", "127.0.0.1"), ("e2", "10.0.0.9")],
+        "event_id string, source_address string",
+    )
+    hits = watchlist_match(events, dim, "source_address", "ip").collect()
+    assert [(r["event_id"], r["wl_severity"], r["wl_created_by"])
+            for r in hits] == [("e1", "info", "picard")]
+    wl.done()
+
+
+def test_alert_slack_reference_golden():
+    """TestAlertSlack (`alert/TestAlertSlack.java:46-79`): null alert
+    or null user -> False; with a mocked transport the confirmation
+    send returns True AND the alert lands in state keyed by its id
+    with STATUS metadata NEW, timestamp preserved
+    (`AlertSlack.java:173-207`); a transport failure returns False
+    but state is still written (the reference logs and returns
+    false after the state write)."""
+    from foxsec_pipeline_spark.alert.slack import AlertSlack
+    from foxsec_pipeline_spark.state import (
+        MemoryStateInterface,
+        State,
+    )
+
+    iface = MemoryStateInterface("alert", "alertslack")
+    st = State(iface)
+    st.delete_all()
+
+    sent = []
+
+    def mock_send(user, alert_id, text):
+        sent.append((user, alert_id))
+        assert text.startswith("Foxsec Fraud Detection Alert")
+        return True
+
+    s = AlertSlack(state=st, send=mock_send)
+    assert s.send_confirmation_alert_to_user(None, "test") is False
+    assert s.send_confirmation_alert_to_user(
+        {"alert_id": "x", "metadata": {}}, None) is False
+    assert sent == []
+
+    ta = {"alert_id": "85e899ac-28fa-46d6-84c1-36c2061eed49",
+          "timestamp": "1970-01-01T00:00:00.000Z",
+          "summary": "test", "metadata": {}}
+    assert s.send_confirmation_alert_to_user(ta, "test") is True
+    stored = st.new_cursor().get(ta["alert_id"])
+    assert stored is not None
+    assert stored["metadata"]["status"] == "NEW"
+    assert stored["timestamp"] == ta["timestamp"]
+    assert sent == [("test", ta["alert_id"])]
+
+    # unconfigured state -> False (AlertSlack.java:180-183)
+    assert AlertSlack(send=mock_send).send_confirmation_alert_to_user(
+        dict(ta), "test") is False
+
+    # transport failure -> False, state still written
+    st.delete_all()
+    bad = AlertSlack(
+        state=st, send=lambda *a: (_ for _ in ()).throw(IOError("x")))
+    assert bad.send_confirmation_alert_to_user(dict(ta), "test") is False
+    assert st.new_cursor().get(ta["alert_id"]) is not None
