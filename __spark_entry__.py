@@ -63,7 +63,10 @@ _VERIFY_FIRST = [
     # re-checked across three rounds of shared-code churn
     "ann_cosine_lsh", "text_quality", "text_stats",
     # (10-50) next-stalest: last driver row was round 2 — all 43 of
-    # them, exactly filling the 50-row prefix (counted, not guessed)
+    # them, exactly filling the 50-row prefix (counted, not guessed).
+    # Of these, customs_alert_fanout ALSO materially changed in round
+    # 5 (reference-exact per-subcategory fan-out + oracle moved in
+    # lockstep) — doubly due for re-verification
     "alert_pipeline", "alert_summary_rollup", "amo_addon_matcher",
     "amo_cloud_submission", "amo_fxa_ban_pattern", "amo_multi_submit",
     "amo_report_restriction", "ann_cosine_lsh_multiprobe",
