@@ -325,6 +325,77 @@ def stratified_sample(
     )
 
 
+def assign_splits(
+    df: DataFrame,
+    splits: list[tuple[str, float]],
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic dataset split assignment — the train/val/test
+    partition of a training corpus. Each row draws a uniform bucket in
+    [0, 10000) from md5(key) (stable across runs, engines, cluster
+    layouts; never `rand()`), and the cumulative split fractions carve
+    the bucket space into contiguous ranges, so the assignment is a
+    total, disjoint labeling.
+
+    LEAKAGE SAFETY: pass the dedup-cluster keeper id (not the raw doc
+    id) as `key_col` and every near-duplicate family lands in ONE
+    split — eval can't see paraphrases of training rows. Fractions
+    must sum to 1 (plan-time config error otherwise). Map-side
+    projection: no shuffle at any scale.
+    """
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    col = None
+    hi = 0.0
+    for name, frac in splits[:-1]:
+        hi += frac
+        cond = bucket < int(round(hi * 10000))
+        col = F.when(cond, name) if col is None else col.when(cond, name)
+    last = splits[-1][0]
+    col = F.lit(last) if col is None else col.otherwise(last)
+    return df.withColumn("split", col).withColumn("split_bucket", bucket)
+
+
+def budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Budget-targeted mixture sampling: take EXACTLY n_s rows per
+    stratum (the "fill the per-domain token budget" mixing stage —
+    where `stratified_sample` is rate-based and approximate in count,
+    this is count-exact). Rows are ranked inside each stratum by
+    md5(id) (a deterministic uniform shuffle, reproducible across
+    retries and engines) and the top `budgets[stratum]` survive.
+
+    Scale: one shuffle on the stratum key; the per-stratum sort is the
+    standard window path and AQE splits skewed strata. When a single
+    stratum is too large to sort, the two-phase bounded route is
+    `operators/ingest.quantile_sample`'s shape: estimate the hash
+    threshold at rank n_s from a sample, filter map-side, then
+    tie-break only the boundary bucket.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    budget = F.lit(int(default_budget))
+    for stratum, n in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == stratum, int(n)).otherwise(budget)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= budget)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int = 2048,

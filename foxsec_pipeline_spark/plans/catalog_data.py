@@ -2392,3 +2392,79 @@ def q_doc_language_mix(spark, sf_dir):
         F.col("__top.n").alias("top_lang_n"),
         F.expr("(__top.n * 1000000) div n_docs").alias("top_lang_ppm"),
     )
+
+
+@register(
+    "dataset_split_assign",
+    """
+WITH b AS (
+  SELECT doc_id, lang, n_chars,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 10000 AS bucket
+  FROM documents
+), s AS (
+  SELECT lang, n_chars,
+         CASE WHEN bucket < 9000 THEN 'train'
+              WHEN bucket < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY 1, 2
+""",
+    doc="deterministic train/val/test split assignment "
+        "(operators/textanalysis.assign_splits): md5(key) -> uniform "
+        "bucket -> contiguous cumulative-fraction ranges; a total, "
+        "disjoint labeling that is identical across runs, engines and "
+        "cluster layouts (never rand()). Passing the dedup-cluster "
+        "keeper id as the key keeps near-duplicate families in one "
+        "split (leakage safety). Map-side projection + one hash-agg "
+        "shuffle for the per-(split, lang) readout",
+)
+def q_dataset_split_assign(spark, sf_dir):
+    from ..operators.textanalysis import assign_splits
+
+    out = assign_splits(
+        _docs(spark, sf_dir),
+        [("train", 0.9), ("val", 0.05), ("test", 0.05)],
+    )
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "mixture_budget_sample",
+    """
+WITH r AS (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars, sample_rank
+FROM r
+WHERE sample_rank <= CASE lang
+  WHEN 'en' THEN 100 WHEN 'zh' THEN 40 WHEN 'es' THEN 30
+  WHEN 'de' THEN 30 WHEN 'fr' THEN 20 ELSE 0 END
+""",
+    doc="budget-targeted mixture sampling "
+        "(operators/textanalysis.budget_sample): count-EXACT per-"
+        "stratum subsample via md5-ranked row_number — the domain-"
+        "mixing stage that fills a per-language token budget exactly, "
+        "reproducibly (stratified_sample is the rate-based "
+        "approximate twin). One shuffle on the stratum key; the "
+        "docstring records the two-phase hash-threshold route for "
+        "strata too large to sort",
+)
+def q_mixture_budget_sample(spark, sf_dir):
+    from ..operators.textanalysis import budget_sample
+
+    return budget_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars"),
+        {"en": 100, "zh": 40, "es": 30, "de": 30, "fr": 20},
+    )

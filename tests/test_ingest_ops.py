@@ -216,3 +216,64 @@ def test_dedup_keep_latest(spark, n_dups):
     ).collect()
     assert len(out) == 1
     assert out[0].id == 100 + n_dups and out[0].n_dups == n_dups
+
+
+def test_assign_splits_total_disjoint_and_leakage_safe(spark):
+    """assign_splits: every row gets exactly one split; fractions are
+    approximately honored; and keying by a cluster id sends whole
+    near-duplicate families to a single split (the leakage-safety
+    contract)."""
+    from foxsec_pipeline_spark.operators.textanalysis import assign_splits
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 137).alias("cluster_id")
+    )
+    out = assign_splits(
+        df, [("train", 0.8), ("val", 0.1), ("test", 0.1)], key_col="doc_id"
+    )
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 2000          # total
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85  # ~fractions
+    # determinism: same assignment on re-run
+    again = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert {r["doc_id"]: r["split"] for r in assign_splits(
+        df, [("train", 0.8), ("val", 0.1), ("test", 0.1)]).collect()} == again
+
+    # leakage safety: keyed by cluster, a family never straddles splits
+    fam = assign_splits(
+        df, [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+        key_col="cluster_id",
+    )
+    straddle = (
+        fam.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert straddle == 0
+
+    with pytest.raises(ValueError):
+        assign_splits(df, [("train", 0.5), ("val", 0.1)])
+
+
+def test_budget_sample_exact_counts_deterministic(spark):
+    """budget_sample: per-stratum output counts equal the budget
+    exactly (capped by stratum size), identical row set on re-run."""
+    from foxsec_pipeline_spark.operators.textanalysis import budget_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("lang"),
+    )
+    out = budget_sample(df, {"s0": 10, "s1": 250, "s2": 0, "s3": 17})
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"s0": 10, "s1": 250, "s3": 17}
+    ids = sorted(r["doc_id"] for r in out.collect())
+    again = sorted(
+        r["doc_id"] for r in
+        budget_sample(df, {"s0": 10, "s1": 250, "s2": 0, "s3": 17}).collect()
+    )
+    assert ids == again
