@@ -59,6 +59,12 @@ _VERIFY_FIRST = [
     # pairs); displaces segment_revenue (next lowest-risk r2-stale
     # pure-SQL relational) to the backlog
     "semdedup",
+    # (6b) NEW late round 5 — never driver-checked: deterministic
+    # train/val/test split assignment and budget-exact mixture
+    # sampling; displace regional_revenue + priority_semijoin (next
+    # lowest-risk r2-stale pure-SQL relational queries) to keep the
+    # prefix at exactly 50
+    "dataset_split_assign", "mixture_budget_sample",
     # (7-9) stalest driver evidence (r1-only): green in ROUND 1 only, never
     # re-checked across three rounds of shared-code churn
     "ann_cosine_lsh", "text_quality", "text_stats",
@@ -76,8 +82,8 @@ _VERIFY_FIRST = [
     "dedup_clusters", "doc_fingerprint", "etd_finding_matcher",
     "events_dim_join", "language_id", "login_failure_at_risk_account",
     "multimodal_metadata", "notify_merge", "per_endpoint_error_rate",
-    "pii_scrub", "priority_semijoin",
-    "quality_filter_pipeline", "regional_revenue", "salted_hard_limit",
+    "pii_scrub",
+    "quality_filter_pipeline", "salted_hard_limit",
     "session_limit_analysis", "source_login_failure",
     "source_login_failure_dist", "status_comparator",
     "stratified_sample", "text_repetition",
@@ -86,7 +92,8 @@ _VERIFY_FIRST = [
     # ---- slot 50 ends at xff_client_select ----
     # backlog (driver-green r3/r4 in current form): only matters if the
     # driver ever checks more than a 50-row prefix
-    "pricing_summary", "segment_revenue", "user_event_pivot",
+    "pricing_summary", "segment_revenue", "regional_revenue",
+    "priority_semijoin", "user_event_pivot",
     "value_deciles", "parse_normalize",
     "sequence_packing", "training_data_pipeline",
     "approx_quantile_sketch", "bloom_decontaminate",
