@@ -60,11 +60,12 @@ _VERIFY_FIRST = [
     # pure-SQL relational) to the backlog
     "semdedup",
     # (6b) NEW late round 5 — never driver-checked: deterministic
-    # train/val/test split assignment and budget-exact mixture
-    # sampling; displace regional_revenue + priority_semijoin (next
-    # lowest-risk r2-stale pure-SQL relational queries) to keep the
-    # prefix at exactly 50
+    # train/val/test split assignment, budget-exact mixture sampling,
+    # and the cross-split leakage audit; displace regional_revenue +
+    # priority_semijoin + events_dim_join (next lowest-risk r2-stale
+    # pure-SQL relational queries) to keep the prefix at exactly 50
     "dataset_split_assign", "mixture_budget_sample",
+    "split_leakage_check",
     # (7-9) stalest driver evidence (r1-only): green in ROUND 1 only, never
     # re-checked across three rounds of shared-code churn
     "ann_cosine_lsh", "text_quality", "text_stats",
@@ -80,7 +81,7 @@ _VERIFY_FIRST = [
     "content_server_variance", "customs_activity_monitor",
     "customs_alert_fanout", "customs_prefilter_split", "decontaminate",
     "dedup_clusters", "doc_fingerprint", "etd_finding_matcher",
-    "events_dim_join", "language_id", "login_failure_at_risk_account",
+    "language_id", "login_failure_at_risk_account",
     "multimodal_metadata", "notify_merge", "per_endpoint_error_rate",
     "pii_scrub",
     "quality_filter_pipeline", "salted_hard_limit",
@@ -93,7 +94,7 @@ _VERIFY_FIRST = [
     # backlog (driver-green r3/r4 in current form): only matters if the
     # driver ever checks more than a 50-row prefix
     "pricing_summary", "segment_revenue", "regional_revenue",
-    "priority_semijoin", "user_event_pivot",
+    "priority_semijoin", "events_dim_join", "user_event_pivot",
     "value_deciles", "parse_normalize",
     "sequence_packing", "training_data_pipeline",
     "approx_quantile_sketch", "bloom_decontaminate",

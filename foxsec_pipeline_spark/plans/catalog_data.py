@@ -2468,3 +2468,88 @@ def q_mixture_budget_sample(spark, sf_dir):
         _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars"),
         {"en": 100, "zh": 40, "es": 30, "de": 30, "fr": 20},
     )
+
+
+def _leakage_oracle() -> str:
+    co = _clusters_oracle()
+    head, _, _ = co.partition("\nSELECT c.doc_id")
+    split_case = (
+        "CASE WHEN CAST('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 8) "
+        "AS BIGINT) % 10000 < 9000 THEN 'train' "
+        "WHEN CAST('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 8) "
+        "AS BIGINT) % 10000 < 9500 THEN 'val' ELSE 'test' END"
+    )
+    return head + f"""
+, sdoc AS (
+  SELECT doc_id, {split_case.format(k='doc_id')} AS split FROM documents
+), sclu AS (
+  SELECT c.doc_id, {split_case.format(k='c.cluster_keeper')} AS split
+  FROM comp c
+), modes AS (
+  SELECT 'doc_id' AS split_key, p.doc_a, p.doc_b,
+         a.split AS sa, b.split AS sb
+  FROM pairs p
+  JOIN sdoc a ON p.doc_a = a.doc_id JOIN sdoc b ON p.doc_b = b.doc_id
+  UNION ALL
+  SELECT 'cluster_keeper', p.doc_a, p.doc_b, a.split, b.split
+  FROM pairs p
+  JOIN sclu a ON p.doc_a = a.doc_id JOIN sclu b ON p.doc_b = b.doc_id
+)
+SELECT split_key, least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+       count(*) AS n_pairs,
+       CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked
+FROM modes GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "split_leakage_check",
+    _leakage_oracle(),
+    doc="cross-split contamination audit: MinHash candidate pairs "
+        "joined against the split assignment under BOTH keyings — "
+        "naive doc_id keying leaks near-duplicate pairs across "
+        "train/eval (n_leaked > 0 rows), cluster-keeper keying "
+        "provably cannot (every pair is within one component, so "
+        "n_leaked = 0 for all its rows: the measured statement of "
+        "assign_splits' leakage-safety contract). Reuses the pair "
+        "generator + CC resolution; two broadcast-sized split dims "
+        "join onto the pair list — no new shuffle shape",
+)
+def q_split_leakage_check(spark, sf_dir):
+    from ..operators.dedup import dedup_clusters as _resolve
+    from ..operators.textanalysis import assign_splits
+
+    docs = _docs(spark, sf_dir)
+    splits = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    pairs = minhash_lsh_pairs(docs, n=3, num_hashes=8, band_size=2).select(
+        "doc_a", "doc_b"
+    )
+    comp = _resolve(pairs, docs.select("doc_id"))
+    sdoc = assign_splits(docs.select("doc_id"), splits).select(
+        "doc_id", "split"
+    )
+    sclu = assign_splits(
+        comp.select("doc_id", "cluster_keeper"), splits,
+        key_col="cluster_keeper",
+    ).select("doc_id", "split")
+    out = None
+    for key, dim in (("doc_id", sdoc), ("cluster_keeper", sclu)):
+        a = dim.select(F.col("doc_id").alias("doc_a"),
+                       F.col("split").alias("sa"))
+        b = dim.select(F.col("doc_id").alias("doc_b"),
+                       F.col("split").alias("sb"))
+        m = (
+            pairs.join(F.broadcast(a), "doc_a")
+            .join(F.broadcast(b), "doc_b")
+            .select(F.lit(key).alias("split_key"), "sa", "sb")
+        )
+        out = m if out is None else out.unionByName(m)
+    return out.groupBy(
+        "split_key",
+        F.least("sa", "sb").alias("split_lo"),
+        F.greatest("sa", "sb").alias("split_hi"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("sa") != F.col("sb")).cast("long")).alias("n_leaked"),
+    )
