@@ -2522,8 +2522,14 @@ def q_split_leakage_check(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     splits = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
-    pairs = minhash_lsh_pairs(docs, n=3, num_hashes=8, band_size=2).select(
-        "doc_a", "doc_b"
+    # the candidate list is tiny (near-dup pairs) but its lineage is
+    # the full shingle->minhash->band explode; it feeds the CC loop
+    # AND both split joins, so cut it once or the explode runs 3x
+    # (measured 5.3 s -> ~2 s at sf0.1)
+    pairs = (
+        minhash_lsh_pairs(docs, n=3, num_hashes=8, band_size=2)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
     comp = _resolve(pairs, docs.select("doc_id"))
     sdoc = assign_splits(docs.select("doc_id"), splits).select(
