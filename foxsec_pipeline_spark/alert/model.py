@@ -174,12 +174,20 @@ def alert_formatter(
                 (f"{base}_asn", F.col("geo_asn").cast("string")),
                 (f"{base}_as_org", _nonempty(F.col("geo_as_org"))),
             ]
+        # drop null lookups AND keys the alert already carries: the
+        # reference appends duplicate metadata entries but reads
+        # first-occurrence (`Alert.getMetadataValue`), so the original
+        # value winning is the observable semantics — and Spark's
+        # map_concat raises on duplicate keys under the default
+        # EXCEPTION dedup policy
         entries = F.map_filter(
             F.map_from_arrays(
                 F.array(*[F.lit(k) for k, _ in pairs]),
                 F.array(*[v for _, v in pairs]),
             ),
-            lambda _k, v: v.isNotNull(),
+            lambda k, v: v.isNotNull() & ~F.map_contains_key(
+                F.col("metadata"), k
+            ),
         )
         out = out.withColumn(
             "metadata",

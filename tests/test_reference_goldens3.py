@@ -1230,3 +1230,23 @@ def test_alert_slack_reference_golden():
         state=st, send=lambda *a: (_ for _ in ()).throw(IOError("x")))
     assert bad.send_confirmation_alert_to_user(dict(ta), "test") is False
     assert st.new_cursor().get(ta["alert_id"]) is not None
+
+
+def test_alert_formatter_preexisting_geo_keys(spark):
+    """AlertFormatter duplicate-key semantics: the reference APPENDS
+    metadata entries but `Alert.getMetadataValue` reads the first
+    occurrence, so a pre-existing sourceaddress_city survives
+    enrichment unchanged (and Spark's map_concat must not see the
+    duplicate key at all)."""
+    from foxsec_pipeline_spark.alert.model import alert_formatter
+
+    alerts = spark.createDataFrame(
+        [("a1", {"sourceaddress": "216.160.83.56",
+                 "sourceaddress_city": "PreSet"})],
+        "alert_id string, metadata map<string,string>",
+    )
+    out = alert_formatter(
+        alerts, "t", city_mmdb_path="/nonexistent/GeoIP2-City.mmdb"
+    ).collect()[0]["metadata"]
+    assert out["sourceaddress_city"] == "PreSet"
+    assert "sourceaddress_country" in out
