@@ -397,3 +397,23 @@ def test_semdedup_no_cartesian_blocked_pairs(spark, reg):
     # the composite blocking keys must both appear in the plan
     assert "bkt" in plan, plan
     assert "cell" in plan, plan
+
+
+def test_split_leakage_broadcasts_split_dims(spark, reg):
+    """split_leakage_check joins the (tiny, per-doc) split dims onto
+    the candidate pair list — both joins must be broadcast equi-joins
+    (a shuffled join would re-shuffle the pair list twice per keying),
+    and nothing in the composite may plan a cartesian."""
+    plan = plan_of(reg["split_leakage_check"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_split_assign_is_projection_only(spark, reg):
+    """dataset_split_assign: the assignment itself is map-side — the
+    only exchange in the plan is the readout aggregation's hash
+    partitioning (plus the explicit _docs spread), never a join or
+    sort."""
+    plan = plan_of(reg["dataset_split_assign"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
