@@ -183,3 +183,80 @@ def test_quality_filter_pipeline_decision_branches(spark):
     assert out[2].drop_reason == "language"
     assert out[3].drop_reason == "quality"
     assert out[4].drop_reason == "repetition" and out[4].dup_shingle_ratio > 0.6
+
+
+# ---------------------------------------------------------------------------
+# CfgTick builder / queue-spec properties (hypothesis)
+
+
+def test_cfgtick_message_flattening_properties():
+    """Property: for any options map of supported value types, the
+    built message is valid JSON of string->string, stamps
+    configuration_tick, drops nulls and the staged-jar list, and
+    flattens arrays with ', ' (`CfgTickBuilder.java` +
+    `CfgTick.flattenObjectMapToStringMap`)."""
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from foxsec_pipeline_spark.sources.input import cfgtick_message
+
+    scalar = st.one_of(
+        st.none(), st.booleans(),
+        st.integers(min_value=-10**12, max_value=10**12),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.text(max_size=20),
+        st.lists(st.one_of(st.text(max_size=8),
+                           st.integers(min_value=0, max_value=999)),
+                 max_size=4),
+    )
+    keys = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABC_", min_size=1, max_size=12
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(opts=st.dictionaries(keys, scalar, max_size=8))
+    def run(opts):
+        msg = cfgtick_message(opts)
+        m = _json.loads(msg)
+        assert m["configuration_tick"] == "true"
+        assert all(isinstance(v, str) for v in m.values())
+        assert "filesToStage" not in m
+        for k, v in opts.items():
+            if v is None or k in ("filesToStage", "configuration_tick"):
+                continue
+            assert k in m
+            if isinstance(v, bool):
+                assert m[k] == ("true" if v else "false")
+            elif isinstance(v, (list, tuple)):
+                assert m[k] == ", ".join(str(x) for x in v)
+
+    run()
+
+
+def test_parse_queue_info_roundtrip_property():
+    """Property: any (url-with-one-colon, key, secret, region) spec
+    with colon-free parts round-trips through parse_queue_info; any
+    other colon count is rejected (`SqsIO.java:33-39`)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from foxsec_pipeline_spark.sinks.output import parse_queue_info
+
+    part = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789-./", min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(scheme=part, rest=part, key=part, secret=part, region=part)
+    def run(scheme, rest, key, secret, region):
+        spec = f"{scheme}:{rest}:{key}:{secret}:{region}"
+        assert parse_queue_info(spec) == [
+            f"{scheme}:{rest}", key, secret, region
+        ]
+        assert parse_queue_info(f"{scheme}:{rest}") is None
+        assert parse_queue_info(spec + ":extra") is None
+
+    run()
