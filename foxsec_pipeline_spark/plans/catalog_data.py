@@ -2559,3 +2559,67 @@ def q_split_leakage_check(spark, sf_dir):
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum((F.col("sa") != F.col("sb")).cast("long")).alias("n_leaked"),
     )
+
+
+@register(
+    "corpus_drift",
+    """
+WITH tok AS (
+  SELECT doc_id % 2 AS half, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+), counts AS (
+  SELECT token,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM tok GROUP BY 1
+), totals AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+         CAST(sum(n_b) AS BIGINT) AS tot_b FROM counts
+), contrib AS (
+  SELECT token, n_a, n_b,
+         CAST(round(abs(n_a * 1.0 / tot_a - n_b * 1.0 / tot_b) * 1000000)
+              AS BIGINT) AS tv_contrib_ppm
+  FROM counts, totals
+)
+SELECT token, n_a, n_b, tv_contrib_ppm FROM contrib
+ORDER BY tv_contrib_ppm DESC, token LIMIT 20
+""",
+    doc="corpus drift monitor: token-distribution total-variation "
+        "contributions between two corpus snapshots (here the doc_id-"
+        "parity halves; in production, yesterday's crawl vs today's). "
+        "The readout that catches a scraper regression or a source "
+        "flip before it poisons a training mix. TV avoids logs: each "
+        "contribution is one IEEE double divide + abs + round to ppm "
+        "(identical across engines; no ln() ulp hazard). One explode "
+        "-> one hash-agg on token -> broadcast totals -> TakeOrdered "
+        "top-20: no sort of the full vocabulary",
+)
+def q_corpus_drift(spark, sf_dir):
+    from ..functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long").alias("n_b"),
+    )
+    totals = counts.agg(
+        F.sum("n_a").cast("long").alias("tot_a"),
+        F.sum("n_b").cast("long").alias("tot_b"),
+    )
+    contrib = counts.join(F.broadcast(totals)).select(
+        "token", "n_a", "n_b",
+        F.round(
+            F.abs(
+                F.col("n_a") / F.col("tot_a") - F.col("n_b") / F.col("tot_b")
+            ) * 1000000
+        ).cast("long").alias("tv_contrib_ppm"),
+    )
+    return contrib.orderBy(
+        F.desc("tv_contrib_ppm"), "token"
+    ).limit(20)

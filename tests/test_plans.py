@@ -417,3 +417,11 @@ def test_split_assign_is_projection_only(spark, reg):
     plan = plan_of(reg["dataset_split_assign"].fn(spark, SF_DIR))
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_corpus_drift_is_take_ordered(spark, reg):
+    """corpus_drift's top-20 must plan as TakeOrderedAndProject (a
+    bounded per-partition heap + merge), never a global sort of the
+    full vocabulary."""
+    plan = plan_of(reg["corpus_drift"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
