@@ -90,6 +90,28 @@ class CompositeOutput:
 
                 js.foreachPartition(emit_partition)
 
+    def write_lines(self, lines: DataFrame, col: str = "value") -> None:
+        """Raw line fan-out (no alert JSON conversion) — the output
+        half of the StreamWriter echo pipeline."""
+        js = lines.select(F.col(col).alias("value"))
+        if self.file_path:
+            js.write.mode("append").text(self.file_path)
+        if self.emitters:
+            if self.driver_emit:
+                buf = [r.value for r in js.collect()]
+                for emit in self.emitters.values():
+                    emit(buf)
+            else:
+                emitters = list(self.emitters.values())
+
+                def emit_partition(rows) -> None:
+                    buf = [r.value for r in rows]
+                    if buf:
+                        for emit in emitters:
+                            emit(buf)
+
+                js.foreachPartition(emit_partition)
+
     def stream_writer(self, alerts: DataFrame, checkpoint: str, **options):
         """writeStream wiring via foreachBatch (exactly-once per sink
         that supports idempotent writes)."""

@@ -141,6 +141,48 @@ def with_cfgticks(
     return raw.unionByName(ticks, allowMissingColumns=True)
 
 
+def file_read_lines(path: str, gcs_fetch=None) -> list[str]:
+    """FileUtil.fileReadLines (`FileUtil.java:20-32`): read a config
+    file (blocklists, endpoint specs) to a line list, skipping
+    `#`-prefixed comment lines. A gs:// path routes through
+    `gcs_fetch` (a callable url -> str — the cloud-storage network
+    seam; `GcsUtil.fetchStringContent` in deployment); without one a
+    gs:// path is an IO error like the reference's null stream.
+    Local/resource paths read directly. Null/empty path is an IOError
+    (`FileUtil.java:43-46`)."""
+    if not path:
+        raise OSError("attempt to load file with null or empty path")
+    from ..sinks.output import is_gcs_url
+
+    if is_gcs_url(path):
+        if gcs_fetch is None:
+            raise OSError(f"failed to read file from path {path}")
+        content = gcs_fetch(path)
+    else:
+        try:
+            with open(path) as fh:
+                content = fh.read()
+        except FileNotFoundError as exc:
+            raise OSError(
+                f"failed to read file from path {path}"
+            ) from exc
+    return [
+        line for line in content.splitlines() if not line.startswith("#")
+    ]
+
+
+def stream_writer(spark: SparkSession, spec: InputSpec,
+                  out) -> None:
+    """The StreamWriter echo pipeline
+    (`streamwriter/StreamWriter.java:17-30`): composite input ->
+    composite output with no transform in between — the utility
+    pipeline the reference ships for routing raw streams between
+    systems. Batch form; the streaming form is
+    `spec.read_raw(spark, streaming=True)` into
+    `out.stream_writer`'s foreachBatch."""
+    out.write_lines(spec.read_raw(spark).select("value"))
+
+
 def cfgtick_config_map():
     """CfgTick.getConfigurationMap (`parser/CfgTick.java:28-35`): the
     heartbeat's full key->value map, recovered from the parsed event's

@@ -277,3 +277,44 @@ def test_composite_output_stream_writer(spark, tmp_path):
     assert len(got) == 3
     texts = spark.read.text(str(tmp_path / "out")).count()
     assert texts == 3
+
+
+def test_file_read_lines_and_stream_writer(spark, tmp_path):
+    """FileUtil.fileReadLines (`FileUtil.java:20-56`): comment lines
+    skipped, empty path and unreadable path raise; gs:// routes
+    through the fetch seam. StreamWriter
+    (`streamwriter/StreamWriter.java:17-30`): composite input echoes
+    to composite output untransformed."""
+    import pytest
+
+    from foxsec_pipeline_spark.sinks.output import CompositeOutput
+    from foxsec_pipeline_spark.sources.input import (
+        InputElement,
+        InputSpec,
+        file_read_lines,
+        stream_writer,
+    )
+
+    p = tmp_path / "blocklist.txt"
+    p.write_text("# comment\npattern-one\n# another\npattern-two\n")
+    assert file_read_lines(str(p)) == ["pattern-one", "pattern-two"]
+    with pytest.raises(OSError):
+        file_read_lines("")
+    with pytest.raises(OSError):
+        file_read_lines(str(tmp_path / "missing.txt"))
+    with pytest.raises(OSError):
+        file_read_lines("gs://bucket/obj")
+    assert file_read_lines(
+        "gs://bucket/obj", gcs_fetch=lambda u: "# c\nx\ny"
+    ) == ["x", "y"]
+
+    got = []
+    out = CompositeOutput(
+        emitters={"collector": got.extend}, driver_emit=True
+    )
+    stream_writer(
+        spark, InputSpec([InputElement("default", path=str(p))]), out
+    )
+    assert sorted(got) == sorted(
+        ["# comment", "pattern-one", "# another", "pattern-two"]
+    )
