@@ -24,6 +24,27 @@ from pyspark.sql import functions as F
 from ..alert.model import alerts_to_json
 
 
+def interpret_secret(
+    value: str, gcs_fetch=None, kms_decrypt=None
+) -> str:
+    """RuntimeSecrets.interpretSecret
+    (`crypto/RuntimeSecrets.java:113-128`): a runtime secret is (1) a
+    gs:// URL resolved through cloud storage, then (2) a cloudkms://
+    payload decrypted through KMS, else (3) the literal value.
+    Both network backends are pluggable seams (callables url->str /
+    ciphertext->str); using a prefix without its backend configured is
+    an IO error, never a silent literal fallthrough."""
+    if is_gcs_url(value):
+        if gcs_fetch is None:
+            raise OSError(f"failed to read secret from {value}")
+        value = gcs_fetch(value)
+    if value.startswith("cloudkms://"):
+        if kms_decrypt is None:
+            raise OSError("cloudkms secret with no KMS backend configured")
+        return kms_decrypt(value[len("cloudkms://"):])
+    return value
+
+
 def parse_queue_info(queue_info: str) -> list[str] | None:
     """SqsIO.parseQueueInfo (`SqsIO.java:33-39`, golden TestSqsIO):
     split the `url:key:secret:region` spec on ':' — exactly five raw

@@ -318,3 +318,28 @@ def test_file_read_lines_and_stream_writer(spark, tmp_path):
     assert sorted(got) == sorted(
         ["# comment", "pattern-one", "# another", "pattern-two"]
     )
+
+
+def test_interpret_secret_dispatch():
+    """RuntimeSecrets.interpretSecret
+    (`crypto/RuntimeSecrets.java:113-128`): literal pass-through,
+    gs:// resolve-then-maybe-decrypt chaining, cloudkms:// decrypt,
+    and hard errors when a prefix's backend seam is absent."""
+    import pytest
+
+    from foxsec_pipeline_spark.sinks.output import interpret_secret
+
+    assert interpret_secret("plain-secret") == "plain-secret"
+    assert interpret_secret(
+        "cloudkms://CIPHER", kms_decrypt=lambda c: f"dec({c})"
+    ) == "dec(CIPHER)"
+    # gs:// content that is itself a kms payload chains both seams
+    assert interpret_secret(
+        "gs://bucket/secret",
+        gcs_fetch=lambda u: "cloudkms://X",
+        kms_decrypt=lambda c: "plaintext",
+    ) == "plaintext"
+    with pytest.raises(OSError):
+        interpret_secret("gs://bucket/secret")
+    with pytest.raises(OSError):
+        interpret_secret("cloudkms://X")
