@@ -65,7 +65,7 @@ _VERIFY_FIRST = [
     # priority_semijoin + events_dim_join (next lowest-risk r2-stale
     # pure-SQL relational queries) to keep the prefix at exactly 50
     "dataset_split_assign", "mixture_budget_sample",
-    "split_leakage_check", "corpus_drift",
+    "split_leakage_check", "corpus_drift", "multimodal_phash_dedup",
     # (7-9) stalest driver evidence (r1-only): green in ROUND 1 only, never
     # re-checked across three rounds of shared-code churn
     "ann_cosine_lsh", "text_quality", "text_stats",
@@ -87,7 +87,7 @@ _VERIFY_FIRST = [
     "quality_filter_pipeline", "salted_hard_limit",
     "session_limit_analysis", "source_login_failure",
     "source_login_failure_dist", "status_comparator",
-    "stratified_sample", "text_repetition",
+    "text_repetition",
     "threshold_with_nat_exclusion", "token_count_bpe",
     "violation_projection", "xff_client_select",
     # ---- slot 50 ends at xff_client_select ----
@@ -95,7 +95,7 @@ _VERIFY_FIRST = [
     # driver ever checks more than a 50-row prefix
     "pricing_summary", "segment_revenue", "regional_revenue",
     "priority_semijoin", "events_dim_join", "topk_per_group",
-    "user_event_pivot",
+    "stratified_sample", "user_event_pivot",
     "value_deciles", "parse_normalize",
     "sequence_packing", "training_data_pipeline",
     "approx_quantile_sketch", "bloom_decontaminate",

@@ -515,17 +515,37 @@ def simhash_hamming_pairs(
     the join-back formulation, which re-ran the tokenizing projection
     on both join probes).
     """
+    fp = simhash(df, id_col, text_col, bits)
+    return hamming_pairs(
+        fp, id_col=id_col, hash_col="simhash", bits=bits,
+        bands=bands, max_hamming=max_hamming,
+    )
+
+
+def hamming_pairs(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    bits: int = 16,
+    bands: int = 2,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Banded exact Hamming pair mining over ANY fingerprint column
+    (SimHash, media perceptual hash, ...): the pigeonhole band join +
+    exact bit_count post-filter documented on `simhash_hamming_pairs`,
+    factored out so every 64-bit-ish fingerprint family shares one
+    scale shape. Input: (id_col, hash_col) rows; output
+    (doc_a, doc_b, hamming), complete for max_hamming <= bands - 1."""
     if max_hamming > bands - 1:
         raise ValueError("completeness needs max_hamming <= bands - 1")
     assert bits % bands == 0
     bw = bits // bands
-    fp = simhash(df, id_col, text_col, bits)
     slices = F.array(*[
-        F.shiftright(F.col("simhash"), bw * i).bitwiseAND(F.lit(2 ** bw - 1))
+        F.shiftright(F.col(hash_col), bw * i).bitwiseAND(F.lit(2 ** bw - 1))
         for i in range(bands)
     ])
     banded = fp.select(
-        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("h"))
+        F.struct(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
         .alias("__m"),
         F.posexplode(slices).alias("__band", "__sv"),
     )
@@ -534,7 +554,7 @@ def simhash_hamming_pairs(
         .agg(F.sort_array(F.collect_list("__m")).alias("__ms"))
         .where(F.size("__ms") >= 2)
     )
-    par = df.sparkSession.sparkContext.defaultParallelism
+    par = fp.sparkSession.sparkContext.defaultParallelism
     return (
         # explode the left side FIRST and repartition between the two
         # explodes: a hot bucket (n near-identical docs) then costs n

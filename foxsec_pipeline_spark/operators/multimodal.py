@@ -222,6 +222,65 @@ def sample_frames(
     return df.mapInPandas(op, FRAME_SCHEMA)
 
 
+def media_phash(
+    df: DataFrame, id_col: str = "doc_id", bits: int = 63
+) -> DataFrame:
+    """Perceptual-hash stage for binary media near-dup: payload ->
+    `bits`-wide fingerprint whose bit b is set iff content bucket b
+    carries more than its mean share — the average-hash construction
+    over ADJACENT-PAIR buckets (cp[i]*31 + cp[i+1], the structural
+    analog of pHash's frequency components: a pure value histogram
+    collapses homogeneous corpora into one hot bucket, which both
+    kills discrimination AND detonates the downstream pair join —
+    measured OOM at sf0.1 with the unigram variant). The default 63
+    bits keeps every shifted bit positive in an int64 on any engine.
+
+    The deterministic stand-in works on the payload's decoded
+    codepoint stream (no pixel decoders in this container); a real
+    image pHash (resize -> DCT -> median threshold) swaps in at this
+    same mapInPandas seam with the identical (id, payload) ->
+    (id, phash int64) contract. Payloads with fewer than 2 codepoints
+    are dropped (no pair structure to hash).
+
+    Downstream: `operators.dedup.hamming_pairs` mines exact
+    near-duplicates from the fingerprints with the banded pigeonhole
+    join — fingerprinting is map-side, pairing bucket-local, the same
+    100 TB shape as SimHash text dedup.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                cps = np.array(
+                    [ord(c) for c in bytes(payload).decode("utf-8")],
+                    dtype=np.int64,
+                )
+                if cps.size < 2:
+                    continue
+                pairs = (cps[:-1] * 31 + cps[1:]) % bits
+                hist = np.bincount(pairs, minlength=bits)
+                total = int(hist.sum())
+                ph = 0
+                for b in range(bits):
+                    if int(hist[b]) * bits > total:
+                        ph |= 1 << b
+                ids.append(i)
+                hashes.append(ph)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "phash": pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        op, schema=f"{id_col} long, phash long"
+    )
+
+
 def featurize_media(
     df: DataFrame, id_col: str = "doc_id", dim: int = 64
 ) -> DataFrame:

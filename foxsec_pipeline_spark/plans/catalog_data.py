@@ -2623,3 +2623,54 @@ def q_corpus_drift(spark, sf_dir):
     return contrib.orderBy(
         F.desc("tv_contrib_ppm"), "token"
     ).limit(20)
+
+
+@register(
+    "multimodal_phash_dedup",
+    """
+WITH cp AS (
+  SELECT doc_id,
+         (unicode(substring(text, CAST(i AS INT), 1)) * 31
+          + unicode(substring(text, CAST(i AS INT) + 1, 1))) % 63 AS bucket
+  FROM (
+    SELECT doc_id, text, unnest(range(1, length(text))) AS i
+    FROM documents WHERE length(text) >= 2
+  )
+), hist AS (
+  SELECT doc_id, bucket, count(*) AS c FROM cp GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS t FROM hist GROUP BY 1
+), ph AS (
+  SELECT h.doc_id,
+         CAST(sum(CASE WHEN h.c * 63 > t.t
+                       THEN 1::BIGINT << CAST(h.bucket AS INT)
+                       ELSE 0 END) AS BIGINT) AS phash
+  FROM hist h JOIN tot t USING (doc_id) GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+""",
+    doc="multimodal near-dup: perceptual average-hash over opaque "
+        "binary payloads (operators/multimodal.media_phash — "
+        "deterministic codepoint-bucket stand-in at the same "
+        "mapInPandas seam a DCT image pHash plugs into) mined for "
+        "hamming <= 2 pairs by the SHARED banded pigeonhole join "
+        "(operators/dedup.hamming_pairs, 3 bands x 21 bits, complete "
+        "for hamming <= 2). Fingerprints are map-side Arrow batches; "
+        "pairing is bucket-local — the oracle's all-pairs join is the "
+        "semantic spec, never the plan",
+)
+def q_multimodal_phash_dedup(spark, sf_dir):
+    from ..operators.dedup import hamming_pairs
+    from ..operators.multimodal import media_phash
+
+    docs = _docs(spark, sf_dir)
+    payloads = attach_binary_payload(
+        docs.where(F.length("text") >= 2)
+    )
+    fp = media_phash(payloads, bits=63)
+    return hamming_pairs(
+        fp, hash_col="phash", bits=63, bands=3, max_hamming=2
+    )

@@ -154,3 +154,38 @@ def test_multimodal_to_ann_pipeline(spark):
         emb, id_col="doc_id", k=3,
     ).collect()}
     assert {(r.query_id, r.neighbor_id, r.rank) for r in rows} == again
+
+
+def test_media_phash_near_dup_properties(spark):
+    """media_phash + hamming_pairs: identical payloads collapse to
+    hamming 0; a small perturbation stays within the mined radius; an
+    unrelated payload pairs with neither; sub-2-codepoint payloads
+    are dropped."""
+    from pyspark.sql import functions as F
+
+    from foxsec_pipeline_spark.operators.dedup import hamming_pairs
+    from foxsec_pipeline_spark.operators.multimodal import media_phash
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [
+        (1, base), (2, base),                       # exact dup
+        (3, base[:-9] + "lazy cat "),               # near dup
+        (4, "".join(chr(33 + (i * 7) % 90) for i in range(800))),  # far
+        (5, "x"),                                   # too short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    fp = media_phash(df)
+    got = {r["doc_id"]: r["phash"] for r in fp.collect()}
+    assert 5 not in got and len(got) == 4
+    assert got[1] == got[2]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in hamming_pairs(
+            fp, hash_col="phash", bits=63, bands=3, max_hamming=2
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs

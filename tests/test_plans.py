@@ -425,3 +425,12 @@ def test_corpus_drift_is_take_ordered(spark, reg):
     full vocabulary."""
     plan = plan_of(reg["corpus_drift"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_phash_dedup_no_cartesian(spark, reg):
+    """multimodal_phash_dedup must pair bucket-locally (the banded
+    equi-join machinery), never a cartesian/nested-loop over
+    fingerprints."""
+    plan = plan_of(reg["multimodal_phash_dedup"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
