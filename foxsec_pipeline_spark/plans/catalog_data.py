@@ -2674,3 +2674,71 @@ def q_multimodal_phash_dedup(spark, sf_dir):
     return hamming_pairs(
         fp, hash_col="phash", bits=63, bands=3, max_hamming=2
     )
+
+
+@register(
+    "oov_rate_filter",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS c FROM tok GROUP BY 1
+    ORDER BY c DESC, token LIMIT 20
+  )
+), scored AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_oov
+  FROM tok t LEFT JOIN vocab v USING (token)
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_oov,
+       CAST((n_oov * 1000000) // n_tokens AS BIGINT) AS oov_ppm,
+       (n_oov * 1000000) // n_tokens > 300000 AS flagged
+FROM scored
+""",
+    doc="OOV-rate quality filter: the log-free surrogate for LM-"
+        "perplexity gating — score each document by the fraction of "
+        "its tokens outside the corpus's top-K vocabulary "
+        "(deterministic count-then-token tie-break; K=20 here because "
+        "the synthetic corpus has a 31-token vocabulary — production "
+        "uses ~1e5), flag above 30%. "
+        "Gibberish, encoding mojibake and wrong-language contamination "
+        "all surface as OOV mass. Exact integer ppm (no ln() ulp "
+        "hazard). Scale: the vocabulary is fixed-size by construction "
+        "-> TakeOrdered then BROADCAST left join onto the token "
+        "stream; one token hash-agg + one doc hash-agg, the probe "
+        "side never shuffles for the join",
+)
+def q_oov_rate_filter(spark, sf_dir):
+    from ..functions.text import tokens
+
+    docs = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(20)
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    scored = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_tokens", "n_oov",
+        F.expr("(n_oov * 1000000) div n_tokens").alias("oov_ppm"),
+        (F.expr("(n_oov * 1000000) div n_tokens") > 300000).alias("flagged"),
+    )

@@ -434,3 +434,11 @@ def test_phash_dedup_no_cartesian(spark, reg):
     plan = plan_of(reg["multimodal_phash_dedup"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_oov_vocab_is_broadcast(spark, reg):
+    """oov_rate_filter's fixed-size vocabulary must broadcast onto the
+    token stream — the probe side never shuffles for the join."""
+    plan = plan_of(reg["oov_rate_filter"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
