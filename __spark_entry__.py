@@ -66,7 +66,7 @@ _VERIFY_FIRST = [
     # pure-SQL relational queries) to keep the prefix at exactly 50
     "dataset_split_assign", "mixture_budget_sample",
     "split_leakage_check", "corpus_drift", "multimodal_phash_dedup",
-    "oov_rate_filter",
+    "oov_rate_filter", "seasonal_anomaly",
     # (7-9) stalest driver evidence (r1-only): green in ROUND 1 only, never
     # re-checked across three rounds of shared-code churn
     "ann_cosine_lsh", "text_quality", "text_stats",
@@ -83,7 +83,7 @@ _VERIFY_FIRST = [
     "customs_alert_fanout", "customs_prefilter_split", "decontaminate",
     "dedup_clusters", "etd_finding_matcher",
     "language_id", "login_failure_at_risk_account",
-    "multimodal_metadata", "notify_merge", "per_endpoint_error_rate",
+    "notify_merge", "per_endpoint_error_rate",
     "pii_scrub",
     "quality_filter_pipeline", "salted_hard_limit",
     "session_limit_analysis", "source_login_failure",
@@ -96,7 +96,8 @@ _VERIFY_FIRST = [
     # driver ever checks more than a 50-row prefix
     "pricing_summary", "segment_revenue", "regional_revenue",
     "priority_semijoin", "events_dim_join", "topk_per_group",
-    "stratified_sample", "doc_fingerprint", "user_event_pivot",
+    "stratified_sample", "doc_fingerprint", "multimodal_metadata",
+    "user_event_pivot",
     "value_deciles", "parse_normalize",
     "sequence_packing", "training_data_pipeline",
     "approx_quantile_sketch", "bloom_decontaminate",

@@ -526,3 +526,70 @@ def cooccurrence_cell_overflow(spark, sf_dir, cap: int = 64):
             (F.col("n_addrs") - cap).alias("n_dropped"),
         )
     )
+
+
+@register(
+    "seasonal_anomaly",
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), prof AS (
+  SELECT event_type, CAST(extract(hour FROM window_start) AS BIGINT) AS hod,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM hourly GROUP BY 1, 2
+)
+SELECT h.event_type, h.window_start, h.c AS n_events,
+       p.n AS n_baseline_windows,
+       (p.n * h.c > p.s)
+         AND ((p.n * h.c - p.s) * (p.n * h.c - p.s)
+              > 9 * (p.n * p.ss - p.s * p.s)) AS flagged
+FROM hourly h
+JOIN prof p ON h.event_type = p.event_type
+           AND CAST(extract(hour FROM h.window_start) AS BIGINT) = p.hod
+""",
+    doc="seasonal-baseline anomaly detection: each (event_type, hour) "
+        "window is compared against the hour-of-day seasonal profile "
+        "built from ALL observed windows of that type — the cross-"
+        "window generalization of within-window threshold analysis "
+        "(a 3 a.m. burst that would be normal at noon flags; a noon "
+        "burst does not). The 3-sigma test runs ENTIRELY in integer "
+        "arithmetic — (n*c - s)^2 > 9*(n*ss - s^2) is the population "
+        "z-test cleared of divisions — so no float accumulation-order "
+        "hazard exists between engines. Scale: one hourly hash-agg, "
+        "one tiny profile agg (types x 24 rows) broadcast back onto "
+        "the windows; both map-side-combined",
+)
+def q_seasonal_anomaly(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("window_start")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    prof = (
+        hourly.groupBy(
+            "event_type", F.hour("window_start").cast("long").alias("hod")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        )
+    )
+    h = hourly.withColumn("hod", F.hour("window_start").cast("long"))
+    dev = F.col("n") * F.col("c") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        h.join(F.broadcast(prof), ["event_type", "hod"])
+        .select(
+            "event_type", "window_start",
+            F.col("c").alias("n_events"),
+            F.col("n").alias("n_baseline_windows"),
+            ((dev > 0) & (dev * dev > 9 * var_n2)).alias("flagged"),
+        )
+    )

@@ -442,3 +442,12 @@ def test_oov_vocab_is_broadcast(spark, reg):
     plan = plan_of(reg["oov_rate_filter"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_seasonal_profile_is_broadcast(spark, reg):
+    """seasonal_anomaly's hour-of-day profile (types x 24 rows) must
+    broadcast back onto the hourly windows — the window stream never
+    reshuffles for the baseline join."""
+    plan = plan_of(reg["seasonal_anomaly"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
