@@ -72,3 +72,79 @@ def test_incremental_dedup_state_survives_across_runs(spark, tmp_path):
     assert sorted(r["content_hash"] for r in out.collect()) == ["h1", "h2", "h3"]
     # the duplicate h2 arrival (doc 4) must NOT be the surviving row
     assert out.where("content_hash = 'h2'").first()["doc_id"] == 3
+
+
+def test_seasonal_anomaly_streaming_twin(spark, tmp_path):
+    """The seasonal-anomaly detector runs unchanged as a stream: the
+    hour-of-day profile (tiny, computed from history batch-side)
+    broadcasts onto a STREAMING hourly count, and the final-window
+    flags match the batch catalog query row-for-row on the same data
+    — batch/stream unification on the r5 detector, the same
+    static-dim-onto-stream shape as the identity/watchlist joins."""
+    from pyspark.sql import functions as F
+
+    from foxsec_pipeline_spark.session import load_tables
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        "event_type", "ts"
+    )
+    src = str(tmp_path / "events")
+    ev.write.parquet(src)
+
+    # batch truth: the catalog query on the same rows
+    import __spark_entry__ as entrymod
+
+    expected = {
+        (r["event_type"], str(r["window_start"])): r["flagged"]
+        for r in entrymod.queries()["seasonal_anomaly"](
+            spark, sf_dir
+        ).collect()
+    }
+
+    # profile from history (identical data here; in production,
+    # trailing N days), broadcast onto the streaming hourly agg
+    hourly_hist = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    prof = hourly_hist.groupBy(
+        "event_type", F.hour("window_start").cast("long").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .parquet(src)
+        .groupBy(
+            "event_type", F.window("ts", "1 hour").alias("w")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "event_type", F.col("w.start").alias("window_start"), "c",
+            F.hour(F.col("w.start")).cast("long").alias("hod"),
+        )
+        .join(F.broadcast(prof), ["event_type", "hod"])
+    )
+    dev = F.col("n") * F.col("c") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    out = stream.select(
+        "event_type", "window_start",
+        ((dev > 0) & (dev * dev > 9 * var_n2)).alias("flagged"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("seasonal_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_type"], str(r["window_start"])): r["flagged"]
+        for r in spark.sql("select * from seasonal_stream").collect()
+    }
+    assert got == expected
+    assert any(got.values())  # the fixture has real anomalies
