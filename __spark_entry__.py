@@ -37,6 +37,20 @@ from foxsec_pipeline_spark.plans.catalog import registry  # noqa: E402
 # already-green backlog that only matters if the driver ever checks
 # more than a 50-row prefix.
 _VERIFY_FIRST = [
+    # (0) NEW in round 6 — never driver-checked: RAG passage chunking,
+    # exact-substring (Lee et al.) duplication mass, Count-Min
+    # heavy-hitter sketch, epoch/mixture repetition planner
+    # (catalog_corpus.py). Displace amo_cloud_submission /
+    # amo_report_restriction / xff_client_select /
+    # violation_projection (lowest-risk stale entries whose shared
+    # code is untouched this round) to the backlog to hold the
+    # prefix at exactly 50.
+    "rag_chunk_passages", "exact_substring_dedup",
+    "countmin_heavy_hitters", "epoch_mixture_plan",
+    # (0b) also NEW in round 6: BPE tokenizer induction (train + the
+    # learned-tokenizer token counts); displace pii_scrub +
+    # language_id (pure map-side r2-stale entries, code untouched)
+    "bpe_train_merges", "bpe_token_counts",
     # (1-4) materially changed in round 5 — MUST re-green now:
     # large_order_customers / embedding_cluster_summary (oracle HUGEINT
     # columns cast to BIGINT per the r4 judge root-cause: DuckDB widens
@@ -76,24 +90,25 @@ _VERIFY_FIRST = [
     # 5 (reference-exact per-subcategory fan-out + oracle moved in
     # lockstep) — doubly due for re-verification
     "alert_pipeline", "alert_summary_rollup", "amo_addon_matcher",
-    "amo_cloud_submission", "amo_fxa_ban_pattern", "amo_multi_submit",
-    "amo_report_restriction", "ann_cosine_lsh_multiprobe",
+    "amo_fxa_ban_pattern", "amo_multi_submit",
+    "ann_cosine_lsh_multiprobe",
     "auth_state_decision", "authprofile_pipeline", "aws_behavior_match",
     "content_server_variance", "customs_activity_monitor",
     "customs_alert_fanout", "customs_prefilter_split", "decontaminate",
     "dedup_clusters", "etd_finding_matcher",
-    "language_id", "login_failure_at_risk_account",
+    "login_failure_at_risk_account",
     "notify_merge", "per_endpoint_error_rate",
-    "pii_scrub",
     "quality_filter_pipeline", "salted_hard_limit",
     "session_limit_analysis", "source_login_failure",
     "source_login_failure_dist", "status_comparator",
     "text_repetition",
     "threshold_with_nat_exclusion", "token_count_bpe",
-    "violation_projection", "xff_client_select",
-    # ---- slot 50 ends at xff_client_select ----
+    # ---- slot 50 ends at token_count_bpe ----
     # backlog (driver-green r3/r4 in current form): only matters if the
     # driver ever checks more than a 50-row prefix
+    "amo_cloud_submission", "amo_report_restriction",
+    "xff_client_select", "violation_projection",
+    "pii_scrub", "language_id",
     "pricing_summary", "segment_revenue", "regional_revenue",
     "priority_semijoin", "events_dim_join", "topk_per_group",
     "stratified_sample", "doc_fingerprint", "multimodal_metadata",

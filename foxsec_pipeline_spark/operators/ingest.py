@@ -250,3 +250,80 @@ def sessionize_full(
             ),
         )
     )
+
+
+def countmin_cells(
+    items: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 128,
+) -> DataFrame:
+    """Build a Count-Min sketch (Cormode & Muthukrishnan 2005) over an
+    item stream as a (row, col) -> count cell table: for each of
+    `depth` hash rows, an item lands in column
+    md5(row || '|' || item) % width and every cell is a plain SUM.
+
+    The sketch is a pure hash-aggregation — map-side combinable and
+    mergeable across partitions/days by cell-wise addition, which is
+    the only sketch shape that works at 100 TB (the d*w counter grid
+    is a few KB regardless of stream size, so it broadcasts; cf. the
+    same posture as the Bloom decontamination filter). The md5-derived
+    hash family is engine-portable, so an external system can probe
+    the same sketch bytes.
+    """
+    rows = F.explode(
+        F.sequence(F.lit(0), F.lit(int(depth) - 1))
+    ).alias("cm_row")
+    cells = (
+        items.select(F.col(item_col).alias("_item"), rows)
+        .select(
+            "cm_row",
+            F.expr(
+                f"cast(conv(substring(md5(concat(cast(cm_row as string), "
+                f"'|', _item)), 1, 8), 16, 10) as bigint) % {int(width)}"
+            ).alias("cm_col"),
+        )
+        .groupBy("cm_row", "cm_col")
+        .agg(F.count(F.lit(1)).alias("cm_count"))
+    )
+    return cells
+
+
+def countmin_estimate(
+    probes: DataFrame,
+    cells: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 128,
+) -> DataFrame:
+    """Point-query the Count-Min sketch for each probe item: the
+    estimate is min over rows of the item's cell count (missing cell
+    => 0). The classic guarantee holds by construction: estimate >=
+    true count, and overshoot <= eps*N with probability 1-delta for
+    w = ceil(e/eps), d = ceil(ln 1/delta).
+
+    Scale: the probe side joins against the d*w-cell table — tiny, so
+    it broadcasts; one row per (probe, row) before the min-agg."""
+    p = probes.select(
+        F.col(item_col).alias("_item"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias(
+            "cm_row"
+        ),
+    ).select(
+        "_item",
+        "cm_row",
+        F.expr(
+            f"cast(conv(substring(md5(concat(cast(cm_row as string), "
+            f"'|', _item)), 1, 8), 16, 10) as bigint) % {int(width)}"
+        ).alias("cm_col"),
+    )
+    joined = p.join(F.broadcast(cells), ["cm_row", "cm_col"], "left")
+    return (
+        joined.groupBy("_item")
+        .agg(
+            F.min(F.coalesce("cm_count", F.lit(0).cast("long"))).alias(
+                "cm_estimate"
+            )
+        )
+        .select(F.col("_item").alias(item_col), "cm_estimate")
+    )

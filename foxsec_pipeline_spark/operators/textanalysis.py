@@ -449,3 +449,276 @@ def pack_sequences(
             "seq_id", F.floor((cum - F.col("n_tokens")) / F.lit(int(seq_len)))
         )
     )
+
+
+def chunk_passages(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping fixed-width token windows
+    (RAG/retrieval passage chunking): chunk i covers words
+    [i*stride, i*stride + window); the last chunk starts at
+    ceil((n-window)/stride)*stride so every word is covered exactly
+    once past the overlap and no degenerate fully-contained tail
+    chunks are emitted. Emits (id, chunk_id, chunk_start,
+    n_chunk_tokens, chunk_md5) — the md5 doubles as the chunk's
+    content address for downstream chunk-level dedup / embedding
+    joins.
+
+    Scale: pure map-side explode (sequence + slice inside codegen, no
+    shuffle, no UDF); output size is input tokens * (window/stride)
+    overlap factor, fan-out bounded per row by the doc's own length.
+    """
+    tok = tokens(F.col(text_col))
+    # integer ceil-div, no float: (n - window + stride - 1) div stride
+    last_i = F.greatest(
+        F.expr(
+            f"(_n - {int(window)} + {int(stride) - 1}) div {int(stride)}"
+        ),
+        F.lit(0).cast("long"),
+    )
+    base = df.select(
+        F.col(id_col),
+        tok.alias("_tok"),
+        F.size(tok).cast("long").alias("_n"),
+    ).withColumn("_chunks", F.sequence(F.lit(0).cast("long"), last_i))
+    start = F.col("chunk_id") * F.lit(int(stride))
+    length = F.least(F.lit(int(window)).cast("long"), F.col("_n") - start)
+    return (
+        base.select(
+            id_col,
+            F.explode("_chunks").alias("chunk_id"),
+            "_tok",
+            "_n",
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            start.alias("chunk_start"),
+            length.alias("n_chunk_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("_tok"),
+                        (start + 1).cast("int"),
+                        length.cast("int"),
+                    ),
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    k: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication mass per document (the
+    suffix-array-free form of Lee et al. 2022's ExactSubstr dedup,
+    "Deduplicating Training Data Makes Language Models Better"):
+    every overlapping k-word window is content-hashed; a window is
+    duplicated iff its hash occurs in >= 2 DISTINCT documents; the
+    per-doc duplicated-token mass is the exact union length of the
+    duplicated [p, p+k) intervals, computed with one lead() pass over
+    the sorted starts (union += min(k, next_start - start)).
+
+    Scale: the df-count on k-gram hashes replaces the pairwise join
+    entirely — no candidate-pair explosion exists at any skew; the
+    >=2-distinct-docs test is min(doc)!=max(doc) (no COUNT DISTINCT
+    expansion); the interval-union window partitions by doc, bounded
+    by document length. This is why ExactSubstr scales where
+    suffix arrays don't distribute.
+    """
+    tok = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), tok.alias("_tok"), F.size(tok).cast("long").alias("n_tokens")
+    )
+    wins = (
+        base.where(F.col("n_tokens") >= k)
+        .select(
+            id_col,
+            "n_tokens",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_tokens") - k)
+            ).alias("p"),
+            "_tok",
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "p",
+            F.md5(
+                F.concat_ws(" ", F.slice("_tok", (F.col("p") + 1).cast("int"), k))
+            ).alias("hsh"),
+        )
+    )
+    dup = (
+        wins.groupBy("hsh")
+        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+        .where(F.col("_lo") != F.col("_hi"))
+        .select("hsh")
+    )
+    from pyspark.sql import Window
+
+    dw = wins.join(dup, "hsh", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("p")
+    spans = dw.withColumn("np", F.lead("p").over(w))
+    gap = F.when(
+        F.col("np").isNull(), F.lit(int(k)).cast("long")
+    ).otherwise(F.least(F.lit(int(k)).cast("long"), F.col("np") - F.col("p")))
+    agg = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.sum(gap).alias("dup_tokens"),
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0).cast("long")).alias(
+                "n_dup_windows"
+            ),
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_ppm", F.expr("(dup_tokens * 1000000) div n_tokens")
+        )
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first `n_merges` BPE merge rules (Sennrich et al.
+    2016) from a corpus: tokenize to words, aggregate the WORD
+    FREQUENCY table once (the only corpus-scale pass), then run the
+    merge loop on that table — each round counts weighted adjacent
+    symbol pairs, picks the max (tie-break: pair string ascending),
+    and applies it greedily left-to-right.
+
+    Representation: each word is a bracket-wrapped symbol string
+    ('<h><e><y>'); applying a merge is a literal `replace` of
+    '<a><b>' with '<ab>', whose leftmost-non-overlapping semantics
+    are identical across engines and match BPE's greedy scan
+    (assumes alphanumeric words — no '<'/'>' in symbols, which the
+    whitespace tokenizer guarantees for the corpus tables).
+
+    Scale: this is why BPE training distributes — the corpus is
+    touched ONCE (word-count hash-agg, map-side combined); the merge
+    loop runs over the distinct-word table (vocabulary-sized, orders
+    of magnitude smaller than the corpus) with one tiny top-1 row
+    broadcast back per round. Returns (merge_rank, left_sym,
+    right_sym, pair_count).
+    """
+    # the ONE corpus-scale pass; materialized so the merge rounds
+    # (and the final union of top-1 rows) never re-scan the corpus —
+    # same localCheckpoint-per-round discipline as the CC loop in
+    # operators/dedup.dedup_clusters
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+        .localCheckpoint(eager=True)
+    )
+    cur = words.select(
+        "word",
+        "wc",
+        F.regexp_replace("word", "(.)", "<$1>").alias("repr"),
+    )
+    out = None
+    for r in range(int(n_merges)):
+        syms = F.expr("regexp_extract_all(repr, '<([^>]*)>', 1)")
+        pairs = (
+            cur.withColumn("syms", syms)
+            .where(F.size("syms") >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> concat(element_at(syms, i), chr(1), "
+                        "element_at(syms, i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("wc").alias("pair_count"))
+        )
+        top1 = (
+            pairs.orderBy(F.col("pair_count").desc(), "pair")
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("merge_rank"),
+                F.substring_index("pair", "\x01", 1).alias("left_sym"),
+                F.substring_index("pair", "\x01", -1).alias("right_sym"),
+                "pair_count",
+            )
+        )
+        out = top1 if out is None else out.unionByName(top1)
+        # vocab-sized checkpoint per round: cuts the O(rounds^2)
+        # lineage re-evaluation (round r's top-1 would otherwise
+        # re-derive every earlier round when the final union runs)
+        cur = (
+            cur.crossJoin(
+                F.broadcast(top1.select("left_sym", "right_sym"))
+            )
+            .withColumn(
+                "repr",
+                F.expr(
+                    "replace(repr, concat('<', left_sym, '><', right_sym, "
+                    "'>'), concat('<', left_sym, right_sym, '>'))"
+                ),
+            )
+            .drop("left_sym", "right_sym")
+            .localCheckpoint(eager=False)
+        )
+    return out
+
+
+def bpe_segment_counts(
+    df: DataFrame,
+    merges: DataFrame,
+    n_merges: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned BPE merges to the corpus and count the resulting
+    subword tokens per document (the learned-tokenizer twin of the
+    regex-BPE proxy in `token_counts`). The merge table joins in as
+    `n_merges` single-row broadcasts applied IN RANK ORDER — at scale
+    the corpus-side work stays one map-side pass with a chain of
+    literal `replace` calls inside codegen."""
+    cur = df.select(
+        F.col(id_col),
+        F.regexp_replace(
+            F.concat_ws(
+                "\x02", tokens(F.col(text_col))
+            ),
+            "([^\x02])",
+            "<$1>",
+        ).alias("repr"),
+    )
+    for r in range(int(n_merges)):
+        rule = merges.where(F.col("merge_rank") == r).select(
+            "left_sym", "right_sym"
+        )
+        cur = cur.crossJoin(F.broadcast(rule)).withColumn(
+            "repr",
+            F.expr(
+                "replace(repr, concat('<', left_sym, '><', right_sym, "
+                "'>'), concat('<', left_sym, right_sym, '>'))"
+            ),
+        ).drop("left_sym", "right_sym")
+    n_units = F.size(F.expr("regexp_extract_all(repr, '<([^>]*)>', 1)"))
+    return cur.select(
+        F.col(id_col), n_units.cast("long").alias("n_bpe_units")
+    )

@@ -74,6 +74,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 def registry() -> dict[str, QuerySpec]:
     from . import (  # noqa: F401  (register tranches)
         catalog_composed,
+        catalog_corpus,
         catalog_customs,
         catalog_data,
         catalog_detectors,

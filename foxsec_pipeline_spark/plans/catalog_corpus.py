@@ -1,0 +1,490 @@
+"""Catalog tranche (round 6): corpus-preparation additions — RAG
+passage chunking, exact-substring duplication mass (the
+suffix-array-free ExactSubstr form), a Count-Min heavy-hitter sketch,
+and an epoch/mixture repetition planner.
+
+These extend the training-data surface (BASELINE north star) along
+the axes a 100 TB corpus build actually exercises: retrieval chunking
+is the map-side fan-out stage before embedding; exact-substring
+duplication is the within-/cross-doc span-level dedup that MinHash
+and doc-level hashing structurally miss (Lee et al. 2022); Count-Min
+is the mergeable frequency sketch whose counter grid broadcasts (same
+posture as the Bloom decontamination filter); and the epoch planner
+is the repeat-aware mixture schedule (how many full passes + which
+fractional subset per source fills a token budget at fixed mixture
+weights — standard practice when high-quality sources are smaller
+than their target share).
+
+Determinism discipline matches the rest of the catalog: every ratio
+is integer ppm via `div`, every hash is md5 (engine-portable), every
+ordering carries an id tie-break, and every aggregate is cast to
+BIGINT on both engines (the HUGEINT guard in tests/test_catalog.py
+covers this tranche too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..operators.ingest import countmin_cells, countmin_estimate
+from ..operators.textanalysis import chunk_passages, dup_span_stats
+from ..session import load_tables
+from .catalog import register
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, "documents")["documents"]
+
+
+@register(
+    "rag_chunk_passages",
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+  FROM documents
+), s AS (
+  SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n,
+         CAST(greatest((CAST(len(tok) AS BIGINT) - 32 + 23) // 24, 0)
+              AS BIGINT) AS last_i
+  FROM t
+), c AS (
+  SELECT doc_id, tok, n,
+         unnest(generate_series(0, last_i)) AS chunk_id
+  FROM s
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * 24 AS BIGINT) AS chunk_start,
+       CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(
+           tok[chunk_id * 24 + 1 :
+               chunk_id * 24 + least(32, n - chunk_id * 24)], ' '
+       )) AS chunk_md5
+FROM c
+""",
+    doc="RAG/retrieval passage chunking: overlapping 32-token windows "
+        "with stride 24 (8-token overlap), last chunk start = "
+        "ceil((n-32)/24)*24 so every word is covered with no "
+        "degenerate fully-contained tail chunk; chunk_md5 is the "
+        "content address for chunk-level dedup / embedding joins. "
+        "The fan-out stage before embedding in a retrieval corpus "
+        "build. Scale: pure map-side explode — sequence + slice "
+        "inside codegen, no shuffle, no UDF; output rows = docs x "
+        "per-doc chunk count, each row's cost bounded by its own "
+        "doc length (plan-asserted shuffle-free)",
+)
+def q_rag_chunk_passages(spark, sf_dir):
+    return chunk_passages(_docs(spark, sf_dir), window=32, stride=24)
+
+
+@register(
+    "exact_substring_dedup",
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+  FROM documents
+), s AS (
+  SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n_tokens FROM t
+), w AS (
+  SELECT doc_id, n_tokens, tok,
+         unnest(generate_series(0, n_tokens - 16)) AS p
+  FROM s WHERE n_tokens >= 16
+), h AS (
+  SELECT doc_id, n_tokens, CAST(p AS BIGINT) AS p,
+         md5(array_to_string(tok[p + 1 : p + 16], ' ')) AS hsh
+  FROM w
+), dup AS (
+  SELECT hsh FROM h GROUP BY hsh HAVING min(doc_id) <> max(doc_id)
+), dw AS (
+  SELECT doc_id, p FROM h SEMI JOIN dup USING (hsh)
+), spans AS (
+  SELECT doc_id, p,
+         lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np
+  FROM dw
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_dup_windows,
+         CAST(sum(CASE WHEN np IS NULL THEN 16
+                       ELSE least(16, np - p) END) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_tokens,
+       CAST(coalesce(a.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(a.dup_tokens, 0) * 1000000 // s.n_tokens
+            AS BIGINT) AS dup_ppm
+FROM s LEFT JOIN agg a USING (doc_id)
+""",
+    doc="exact-substring duplication mass per doc (Lee et al. 2022 "
+        "ExactSubstr, suffix-array-free): every overlapping 16-word "
+        "window is content-hashed; duplicated iff the hash occurs in "
+        ">= 2 DISTINCT docs (min!=max — no COUNT DISTINCT "
+        "expansion); per-doc duplicated-token mass is the EXACT "
+        "union length of the duplicated [p, p+16) intervals via one "
+        "lead() pass (union += min(k, next_start - start)). Catches "
+        "span-level boilerplate that doc-level MinHash/SimHash and "
+        "non-overlapping passage_dedup structurally miss. Scale: the "
+        "df-count on window hashes REPLACES the pairwise join — no "
+        "candidate-pair explosion exists at any skew; the interval "
+        "union windows by doc, bounded by doc length. This is why "
+        "ExactSubstr distributes where suffix arrays don't",
+)
+def q_exact_substring_dedup(spark, sf_dir):
+    return dup_span_stats(_docs(spark, sf_dir), k=16)
+
+
+@register(
+    "countmin_heavy_hitters",
+    """
+WITH t AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS tok FROM documents
+), bg AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(tok) - 1),
+           i -> tok[i] || ' ' || tok[i + 1])) AS item
+  FROM t WHERE len(tok) >= 2
+), exact AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_exact FROM bg GROUP BY 1
+), top AS (
+  SELECT item, n_exact FROM exact ORDER BY n_exact DESC, item LIMIT 20
+), rows_ AS (
+  SELECT unnest(generate_series(0, 3)) AS cm_row
+), cells AS (
+  SELECT cm_row,
+         CAST('0x' || substr(md5(CAST(cm_row AS VARCHAR) || '|' || item),
+              1, 8) AS BIGINT) % 128 AS cm_col,
+         CAST(count(*) AS BIGINT) AS cm_count
+  FROM bg CROSS JOIN rows_ GROUP BY 1, 2
+), probe AS (
+  SELECT item, n_exact, cm_row,
+         CAST('0x' || substr(md5(CAST(cm_row AS VARCHAR) || '|' || item),
+              1, 8) AS BIGINT) % 128 AS cm_col
+  FROM top CROSS JOIN rows_
+)
+SELECT p.item AS bigram, p.n_exact,
+       CAST(min(coalesce(c.cm_count, 0)) AS BIGINT) AS cm_estimate,
+       CAST(min(coalesce(c.cm_count, 0)) - p.n_exact AS BIGINT)
+         AS overcount
+FROM probe p LEFT JOIN cells c USING (cm_row, cm_col)
+GROUP BY p.item, p.n_exact
+""",
+    doc="Count-Min sketch heavy hitters (Cormode-Muthukrishnan 2005): "
+        "word-bigram stream -> d=4 x w=128 counter grid (every cell a "
+        "plain SUM, md5-derived engine-portable hash family), then "
+        "the exact top-20 bigrams point-query the sketch; overcount "
+        "= estimate - truth makes the sketch's one-sided error "
+        "VISIBLE (w=128 < ~900 distinct bigrams, so collisions are "
+        "real at sf0.01). Both engines compute the identical "
+        "deterministic sketch, so the driver hash-match verifies the "
+        "estimates exactly — a stronger gate than accuracy booleans. "
+        "Scale: the counter grid is a few KB regardless of stream "
+        "size — map-side combinable, mergeable across partitions/"
+        "days by cellwise addition, and it BROADCASTS to the probe "
+        "join (same posture as bloom_decontaminate); exact counts "
+        "for the probe set are one hash-agg + TakeOrdered top-k",
+)
+def q_countmin_heavy_hitters(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    tok = tokens(F.col("text"))
+    items = (
+        docs.select(tok.alias("_tok"))
+        .where(F.size("_tok") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_tok) - 1), "
+                    "i -> concat(element_at(_tok, i), ' ', "
+                    "element_at(_tok, i + 1)))"
+                )
+            ).alias("item")
+        )
+    )
+    cells = countmin_cells(items, "item", depth=4, width=128)
+    top = (
+        items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "item")
+        .limit(20)
+    )
+    est = countmin_estimate(
+        top.select("item"), cells, "item", depth=4, width=128
+    )
+    return (
+        top.join(est, "item")
+        .select(
+            F.col("item").alias("bigram"),
+            "n_exact",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("n_exact")).alias("overcount"),
+        )
+    )
+
+
+@register(
+    "epoch_mixture_plan",
+    """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), avail AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+  FROM d GROUP BY source
+), plan AS (
+  SELECT source, n_docs, avail_tokens,
+         CAST((60000 * (1 + CAST(substr(source, 4) AS BIGINT) % 3)) // 39
+              AS BIGINT) AS target_tokens
+  FROM avail
+), plan2 AS (
+  SELECT *, target_tokens // avail_tokens AS n_full_epochs,
+         target_tokens % avail_tokens AS rem
+  FROM plan
+), ranked AS (
+  SELECT d.source, d.n_tokens,
+         sum(d.n_tokens) OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM d
+), frac AS (
+  SELECT r.source, CAST(count(*) AS BIGINT) AS n_frac_docs,
+         CAST(sum(r.n_tokens) AS BIGINT) AS frac_tokens
+  FROM ranked r JOIN plan2 p ON r.source = p.source
+  WHERE r.cum <= p.rem
+  GROUP BY r.source
+)
+SELECT p.source, p.n_docs, p.avail_tokens, p.target_tokens,
+       CAST(p.n_full_epochs AS BIGINT) AS n_full_epochs,
+       CAST(coalesce(f.n_frac_docs, 0) AS BIGINT) AS n_frac_docs,
+       CAST(coalesce(f.frac_tokens, 0) AS BIGINT) AS frac_tokens,
+       CAST(p.n_full_epochs * p.avail_tokens
+            + coalesce(f.frac_tokens, 0) AS BIGINT) AS achieved_tokens,
+       CAST((p.n_full_epochs * p.avail_tokens
+             + coalesce(f.frac_tokens, 0)) * 1000000
+            // p.target_tokens AS BIGINT) AS fill_ppm
+FROM plan2 p LEFT JOIN frac f USING (source)
+""",
+    doc="epoch/mixture repetition planner: given fixed mixture "
+        "weights (here weight_ppm proportional to 1 + src_index % 3 "
+        "over the 20 sources, sum 39) and a 60k-token budget, each "
+        "source gets target = budget*weight; sources smaller than "
+        "their target REPEAT — n_full_epochs = target div avail — "
+        "and the fractional remainder is filled by a deterministic "
+        "md5-ranked greedy prefix (docs in hash order while "
+        "cumulative tokens <= remainder). This is the repeat-aware "
+        "mixture schedule used when high-quality sources are smaller "
+        "than their target share (standard LLM-corpus practice); "
+        "fill_ppm reports achieved/target. Scale: one hash-agg on "
+        "source + a per-source window for the fractional pick "
+        "(the window is the same shape as budget_sample; when one "
+        "source is too large to sort, the two-phase bounded "
+        "hash-threshold route in operators/ingest.sample_quantiles "
+        "replaces it); the 20-row plan broadcasts back onto docs",
+)
+def q_epoch_mixture_plan(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    avail = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("avail_tokens"),
+    )
+    plan = (
+        avail.withColumn(
+            "target_tokens",
+            F.expr(
+                "(60000 * (1 + cast(substring(source, 4) as bigint) % 3)) "
+                "div 39"
+            ),
+        )
+        .withColumn(
+            "n_full_epochs", F.expr("target_tokens div avail_tokens")
+        )
+        .withColumn("rem", F.expr("target_tokens % avail_tokens"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = d.withColumn("cum", F.sum("n_tokens").over(w))
+    frac = (
+        ranked.join(
+            F.broadcast(plan.select("source", "rem")), "source"
+        )
+        .where(F.col("cum") <= F.col("rem"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_frac_docs"),
+            F.sum("n_tokens").alias("frac_tokens"),
+        )
+    )
+    achieved = F.col("n_full_epochs") * F.col("avail_tokens") + F.coalesce(
+        "frac_tokens", F.lit(0).cast("long")
+    )
+    return (
+        plan.join(frac, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "avail_tokens",
+            "target_tokens",
+            "n_full_epochs",
+            F.coalesce("n_frac_docs", F.lit(0).cast("long")).alias(
+                "n_frac_docs"
+            ),
+            F.coalesce("frac_tokens", F.lit(0).cast("long")).alias(
+                "frac_tokens"
+            ),
+            achieved.alias("achieved_tokens"),
+        )
+        .withColumn(
+            "fill_ppm",
+            F.expr("(achieved_tokens * 1000000) div target_tokens"),
+        )
+    )
+
+
+def _bpe_oracle_ctes(n_merges: int) -> str:
+    """Unrolled BPE training rounds as DuckDB CTEs (same pattern as
+    the kmeans_codebook oracle: the iterative trainer is unrolled so
+    the oracle stays one ANSI-SQL string). Round r: weighted adjacent
+    symbol-pair counts over the vocab repr -> top-1 by (count desc,
+    pair asc) -> greedy leftmost replace applied via literal
+    replace() (identical non-overlapping semantics in both
+    engines)."""
+    parts = [
+        """
+words AS (
+  SELECT t AS word, CAST(count(*) AS BIGINT) AS wc FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+    FROM documents
+  ) GROUP BY 1
+), r0 AS (
+  SELECT word, wc, regexp_replace(word, '(.)', '<\\1>', 'g') AS repr
+  FROM words
+)"""
+    ]
+    for r in range(n_merges):
+        parts.append(f"""
+p{r} AS (
+  SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count FROM (
+    SELECT wc, unnest(list_transform(
+        generate_series(1, len(syms) - 1),
+        i -> syms[i] || chr(1) || syms[i + 1])) AS pair
+    FROM (
+      SELECT wc, regexp_extract_all(repr, '<([^>]*)>', 1) AS syms
+      FROM r{r}
+    ) WHERE len(syms) >= 2
+  ) GROUP BY 1
+), t{r} AS (
+  SELECT pair, pair_count FROM p{r}
+  ORDER BY pair_count DESC, pair LIMIT 1
+), r{r + 1} AS (
+  SELECT w.word, w.wc,
+         replace(w.repr,
+           '<' || string_split(t.pair, chr(1))[1] || '><'
+               || string_split(t.pair, chr(1))[2] || '>',
+           '<' || string_split(t.pair, chr(1))[1]
+               || string_split(t.pair, chr(1))[2] || '>') AS repr
+  FROM r{r} w CROSS JOIN t{r} t
+)""")
+    return "WITH " + ",".join(parts)
+
+
+_BPE_N = 6
+
+_BPE_TRAIN_ORACLE = _bpe_oracle_ctes(_BPE_N) + "\n" + "\nUNION ALL\n".join(
+    f"""SELECT CAST({r} AS BIGINT) AS merge_rank,
+       string_split(pair, chr(1))[1] AS left_sym,
+       string_split(pair, chr(1))[2] AS right_sym,
+       pair_count FROM t{r}"""
+    for r in range(_BPE_N)
+)
+
+_BPE_SEGMENT_ORACLE = _bpe_oracle_ctes(_BPE_N) + f""",
+d0 AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         regexp_replace(
+           array_to_string(string_split_regex(trim(text), '\\s+'), chr(2)),
+           '([^' || chr(2) || '])', '<\\1>', 'g') AS repr
+  FROM documents
+)""" + "".join(
+    f""",
+d{r + 1} AS (
+  SELECT d.doc_id, d.n_tokens,
+         replace(d.repr,
+           '<' || string_split(t.pair, chr(1))[1] || '><'
+               || string_split(t.pair, chr(1))[2] || '>',
+           '<' || string_split(t.pair, chr(1))[1]
+               || string_split(t.pair, chr(1))[2] || '>') AS repr
+  FROM d{r} d CROSS JOIN t{r} t
+)"""
+    for r in range(_BPE_N)
+) + f"""
+SELECT doc_id, n_tokens,
+       CAST(len(regexp_extract_all(repr, '<([^>]*)>', 1)) AS BIGINT)
+         AS n_bpe_units
+FROM d{_BPE_N}
+"""
+
+
+@register(
+    "bpe_train_merges",
+    _BPE_TRAIN_ORACLE,
+    doc="BPE tokenizer induction (Sennrich et al. 2016): learn the "
+        "first 6 merge rules from the corpus — weighted adjacent "
+        "symbol-pair counts over the word-frequency table, top pair "
+        "per round (tie-break pair-string ascending), applied "
+        "greedily leftmost-first via literal replace on a "
+        "bracket-wrapped symbol representation (identical "
+        "non-overlapping replace semantics across engines). "
+        "Validated against a hand-rolled Python BPE in "
+        "tests/test_corpus_ops.py. Scale: THE reason BPE training "
+        "distributes — the corpus is touched ONCE (word-count "
+        "hash-agg, map-side combined, plan-asserted single scan); "
+        "the merge loop runs on the vocabulary table (orders of "
+        "magnitude smaller), each round broadcasting one top-1 row "
+        "back. The oracle unrolls the 6 rounds as CTEs",
+)
+def q_bpe_train_merges(spark, sf_dir):
+    from ..operators.textanalysis import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=_BPE_N)
+
+
+@register(
+    "bpe_token_counts",
+    _BPE_SEGMENT_ORACLE,
+    doc="learned-BPE subword counts per document: the 6 trained "
+        "merges are applied IN RANK ORDER to every doc (word "
+        "boundaries kept by a control-char separator so merges never "
+        "cross words), then the surviving symbol count is the "
+        "learned-tokenizer token count — the trained twin of the "
+        "regex-BPE proxy in token_count_bpe, and the number that "
+        "prices a corpus in compute. Scale: corpus side is ONE "
+        "map-side pass through a chain of literal replace calls "
+        "inside codegen; each merge rule joins in as a single-row "
+        "broadcast. Oracle unrolls training + application",
+)
+def q_bpe_token_counts(spark, sf_dir):
+    from ..operators.textanalysis import bpe_segment_counts, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, n_merges=_BPE_N)
+    seg = bpe_segment_counts(docs, merges, _BPE_N)
+    n_tok = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return n_tok.join(seg, "doc_id").select(
+        "doc_id", "n_tokens", "n_bpe_units"
+    )

@@ -1,0 +1,299 @@
+"""Round-6 corpus tranche: RAG chunking, exact-substring dedup,
+Count-Min sketch, epoch/mixture planning — semantic properties and
+the load-bearing plan shapes (the DuckDB value parity itself runs in
+the catalog-wide sweep in test_catalog.py)."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from foxsec_pipeline_spark.operators.ingest import (
+    countmin_cells,
+    countmin_estimate,
+)
+from foxsec_pipeline_spark.operators.textanalysis import (
+    chunk_passages,
+    dup_span_stats,
+)
+from foxsec_pipeline_spark.plans.catalog import registry
+
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return registry()
+
+
+def test_chunk_passages_covers_every_word_exactly(spark):
+    """Every word index in [0, n) is covered by >= 1 chunk, chunk i
+    starts at i*stride, and the LAST chunk is never fully contained
+    in its predecessor (no degenerate tails)."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(n)))
+         for i, n in enumerate([1, 5, 31, 32, 33, 55, 56, 57, 99, 200])],
+        "doc_id long, text string",
+    )
+    out = chunk_passages(docs, window=32, stride=24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    lens = {0: 1, 1: 5, 2: 31, 3: 32, 4: 33, 5: 55, 6: 56, 7: 57,
+            8: 99, 9: 200}
+    for doc_id, rows in by_doc.items():
+        n = lens[doc_id]
+        rows.sort(key=lambda r: r.chunk_id)
+        covered = set()
+        for r in rows:
+            assert r.chunk_start == r.chunk_id * 24
+            assert 1 <= r.n_chunk_tokens <= 32
+            covered.update(range(r.chunk_start,
+                                 r.chunk_start + r.n_chunk_tokens))
+        assert covered == set(range(n)), f"doc {doc_id}: coverage hole"
+        if len(rows) > 1:
+            last, prev = rows[-1], rows[-2]
+            assert (last.chunk_start + last.n_chunk_tokens
+                    > prev.chunk_start + prev.n_chunk_tokens), (
+                f"doc {doc_id}: degenerate tail chunk")
+
+
+def test_chunk_md5_is_content_address(spark):
+    """Identical word windows in different docs hash identically —
+    the property chunk-level dedup relies on."""
+    shared = " ".join(f"s{j}" for j in range(32))
+    docs = spark.createDataFrame(
+        [(1, shared + " " + " ".join(f"a{j}" for j in range(20))),
+         (2, shared + " " + " ".join(f"b{j}" for j in range(20)))],
+        "doc_id long, text string",
+    )
+    out = chunk_passages(docs, window=32, stride=24).collect()
+    first = {r.doc_id: r.chunk_md5 for r in out if r.chunk_id == 0}
+    assert first[1] == first[2]
+
+
+def test_dup_span_union_math_on_fixture(spark):
+    """Two docs share a 20-word span; with k=16 that yields 5
+    duplicated windows whose interval UNION is exactly 20 tokens (the
+    overlap is not double-counted). A short doc (< k words) gets
+    zeros, not dropped."""
+    shared = [f"s{j}" for j in range(20)]
+    a = [f"a{j}" for j in range(10)] + shared + [f"A{j}" for j in range(10)]
+    b = [f"b{j}" for j in range(3)] + shared + [f"B{j}" for j in range(7)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(b)), (3, "tiny doc only")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_span_stats(docs, k=16).collect()}
+    assert len(out) == 3
+    for doc_id, n in ((1, 40), (2, 30)):
+        r = out[doc_id]
+        assert r.n_tokens == n
+        assert r.n_dup_windows == 5  # starts offset..offset+4 inside span
+        assert r.dup_tokens == 20   # union of the 5 overlapping windows
+        assert r.dup_ppm == 20 * 1_000_000 // n
+    assert out[3].n_dup_windows == 0 and out[3].dup_tokens == 0
+
+
+def test_dup_span_requires_cross_doc(spark):
+    """A span repeated WITHIN one doc only is not 'duplicated' under
+    the >=2-distinct-docs rule (matching the oracle's min!=max)."""
+    span = " ".join(f"s{j}" for j in range(16))
+    docs = spark.createDataFrame(
+        [(1, span + " mid1 mid2 mid3 " + span)],
+        "doc_id long, text string",
+    )
+    out = dup_span_stats(docs, k=16).collect()
+    assert out[0].n_dup_windows == 0
+
+
+def test_countmin_estimate_is_one_sided(spark):
+    """CM guarantees estimate >= true count for EVERY item — check it
+    for the full bigram vocabulary on the real corpus, not just the
+    probe set."""
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.split(F.trim("text"), r"\s+").alias("_tok"))
+        .where(F.size("_tok") >= 2)
+    )
+    items = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_tok) - 1), "
+                "i -> concat(element_at(_tok, i), ' ', "
+                "element_at(_tok, i + 1)))"
+            )
+        ).alias("item")
+    )
+    cells = countmin_cells(items, "item", depth=4, width=128)
+    exact = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = countmin_estimate(exact.select("item"), cells, "item",
+                            depth=4, width=128)
+    bad = (
+        exact.join(est, "item")
+        .where(F.col("cm_estimate") < F.col("n_exact"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_countmin_cells_bounded_and_mergeable(spark):
+    """The sketch is d*w cells max regardless of stream size, and
+    building it over two halves then adding cellwise equals building
+    it over the union — the mergeability that makes it a 100 TB
+    sketch."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i + 1) % 5} tok{i % 3}")
+         for i in range(100)],
+        "doc_id long, text string",
+    )
+    items = docs.select(
+        F.explode(F.split("text", " ")).alias("item"), "doc_id"
+    )
+    full = countmin_cells(items.select("item"), "item", depth=4, width=32)
+    assert full.count() <= 4 * 32
+    a = countmin_cells(
+        items.where(F.col("doc_id") < 50).select("item"),
+        "item", depth=4, width=32)
+    b = countmin_cells(
+        items.where(F.col("doc_id") >= 50).select("item"),
+        "item", depth=4, width=32)
+    merged = (
+        a.unionByName(b)
+        .groupBy("cm_row", "cm_col")
+        .agg(F.sum("cm_count").alias("cm_count"))
+    )
+    assert (
+        merged.exceptAll(full).count() == 0
+        and full.exceptAll(merged).count() == 0
+    )
+
+
+def test_epoch_plan_greedy_prefix_is_maximal(spark, reg):
+    """Per source: achieved = full_epochs*avail + frac, frac fills
+    the remainder WITHOUT exceeding it, and adding the next doc in
+    hash order would overflow (greedy maximality)."""
+    import duckdb
+
+    rows = {r["source"]: r for r in (
+        reg["epoch_mixture_plan"].fn(spark, SF_DIR)
+        .toPandas().to_dict("records"))}
+    con = duckdb.connect()
+    docs = con.sql(
+        f"""SELECT source, doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n
+            FROM '{SF_DIR}/documents.parquet'
+            ORDER BY source, md5(CAST(doc_id AS VARCHAR)), doc_id"""
+    ).fetchall()
+    per_source = {}
+    for s, d, n in docs:
+        per_source.setdefault(s, []).append(n)
+    for s, r in rows.items():
+        rem = r["target_tokens"] % r["avail_tokens"]
+        assert r["achieved_tokens"] == (
+            r["n_full_epochs"] * r["avail_tokens"] + r["frac_tokens"])
+        assert r["frac_tokens"] <= rem
+        cum, k = 0, 0
+        for n in per_source[s]:
+            if cum + n > rem:
+                break
+            cum += n
+            k += 1
+        assert (r["n_frac_docs"], r["frac_tokens"]) == (k, cum), s
+
+
+def test_chunk_query_is_shuffle_free(spark, reg):
+    """rag_chunk_passages is a pure map-side explode — any Exchange
+    in the plan is a regression."""
+    plan = plan_of(reg["rag_chunk_passages"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+
+
+def test_countmin_probe_join_broadcasts(spark, reg):
+    """The d*w cell grid must broadcast to the probe join; shuffling
+    the probe side against a KB-sized sketch is wrong at any scale."""
+    plan = plan_of(reg["countmin_heavy_hitters"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_epoch_plan_broadcasts_plan_rows(spark, reg):
+    plan = plan_of(reg["epoch_mixture_plan"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_exact_substring_no_pair_join(spark, reg):
+    """The ExactSubstr plan must contain no cartesian/nested-loop —
+    the df-count design has no pairwise stage at all."""
+    plan = plan_of(reg["exact_substring_dedup"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bpe_train_matches_handrolled_reference(spark):
+    """The distributed BPE trainer reproduces a hand-rolled
+    scan-merge BPE (Sennrich et al. 2016) exactly, including the
+    (count desc, pair asc) tie-break."""
+    from collections import Counter
+
+    from foxsec_pipeline_spark.operators.textanalysis import bpe_train
+
+    texts = ["low lower lowest low low newer newest new",
+             "wider wide widest low lower new new newer"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = sorted(
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_train(docs, n_merges=6).collect())
+
+    words = Counter(" ".join(texts).split())
+    reprs = {w: list(w) for w in words}
+    expected = []
+    for r in range(6):
+        pc = Counter()
+        for w, c in words.items():
+            s = reprs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        mx = max(pc.values())
+        a, b = sorted(
+            [p for p, c in pc.items() if c == mx],
+            key=lambda p: p[0] + "\x01" + p[1])[0]
+        expected.append((r, a, b, mx))
+        for w in reprs:
+            s, out, i = reprs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            reprs[w] = out
+    assert got == expected
+
+
+def test_bpe_train_touches_corpus_once(spark, reg):
+    """BPE training distributes because the corpus is scanned exactly
+    once: the word-count agg is checkpointed, so the merge-loop plan
+    contains ZERO parquet re-scans (without the checkpoint, every
+    round's top-1 branch re-derived the corpus agg)."""
+    plan = plan_of(reg["bpe_train_merges"].fn(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 0, plan
+
+
+def test_bpe_segment_bounds(spark, reg):
+    """Subword counts are bounded: >= whitespace tokens (a merge
+    never crosses a word boundary) and <= total characters."""
+    rows = reg["bpe_token_counts"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bpe_units >= r.n_tokens
