@@ -51,6 +51,15 @@ _VERIFY_FIRST = [
     # learned-tokenizer token counts); displace pii_scrub +
     # language_id (pure map-side r2-stale entries, code untouched)
     "bpe_train_merges", "bpe_token_counts",
+    # (0c) also NEW in round 6: the Deequ-style constraint suite;
+    # displaces alert_summary_rollup (one-exchange grouping-sets agg,
+    # stable since r2) to the backlog
+    "data_quality_checks",
+    # (0d) also NEW in round 6: join-skew pre-flight diagnosis and the
+    # Z-order layout readout; displace amo_multi_submit +
+    # amo_fxa_ban_pattern (detector legs, shared code untouched since
+    # their r2 green) to the backlog
+    "skew_diagnosis", "zorder_layout_stats",
     # (1-4) materially changed in round 5 — MUST re-green now:
     # large_order_customers / embedding_cluster_summary (oracle HUGEINT
     # columns cast to BIGINT per the r4 judge root-cause: DuckDB widens
@@ -89,8 +98,7 @@ _VERIFY_FIRST = [
     # Of these, customs_alert_fanout ALSO materially changed in round
     # 5 (reference-exact per-subcategory fan-out + oracle moved in
     # lockstep) — doubly due for re-verification
-    "alert_pipeline", "alert_summary_rollup", "amo_addon_matcher",
-    "amo_fxa_ban_pattern", "amo_multi_submit",
+    "alert_pipeline", "amo_addon_matcher",
     "ann_cosine_lsh_multiprobe",
     "auth_state_decision", "authprofile_pipeline", "aws_behavior_match",
     "content_server_variance", "customs_activity_monitor",
@@ -108,7 +116,8 @@ _VERIFY_FIRST = [
     # driver ever checks more than a 50-row prefix
     "amo_cloud_submission", "amo_report_restriction",
     "xff_client_select", "violation_projection",
-    "pii_scrub", "language_id",
+    "pii_scrub", "language_id", "alert_summary_rollup",
+    "amo_fxa_ban_pattern", "amo_multi_submit",
     "pricing_summary", "segment_revenue", "regional_revenue",
     "priority_semijoin", "events_dim_join", "topk_per_group",
     "stratified_sample", "doc_fingerprint", "multimodal_metadata",

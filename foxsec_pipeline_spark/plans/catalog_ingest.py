@@ -593,3 +593,345 @@ def q_seasonal_anomaly(spark, sf_dir):
             ((dev > 0) & (dev * dev > 9 * var_n2)).alias("flagged"),
         )
     )
+
+
+@register(
+    "data_quality_checks",
+    """
+WITH ev AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (user_id IS NULL) AS BIGINT) AS n_null_user,
+         CAST(date_diff('day', CAST(min(ts) AS DATE),
+                        CAST(max(ts) AS DATE)) AS BIGINT) AS span_days
+  FROM events
+), ord AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_keys,
+         CAST(count(*) FILTER (o.o_orderstatus NOT IN ('O', 'F', 'P'))
+              AS BIGINT) AS n_bad_status,
+         CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT) AS n_orphans
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+), li AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50)
+              AS BIGINT) AS n_qty_bad,
+         CAST(count(*) FILTER (l_discount < 0 OR l_discount > 0.1)
+              AS BIGINT) AS n_disc_bad
+  FROM lineitem
+)
+SELECT 'events' AS table_name, 'null_user_id' AS check_name,
+       CAST(n_null_user * 1000000 // n AS BIGINT) AS metric,
+       n_null_user * 1000 <= n AS passed FROM ev
+UNION ALL
+SELECT 'events', 'freshness_span_days', span_days,
+       span_days BETWEEN 1 AND 400 FROM ev
+UNION ALL
+SELECT 'orders', 'unique_orderkey',
+       CAST((n - n_keys) * 1000000 // n AS BIGINT), n = n_keys FROM ord
+UNION ALL
+SELECT 'orders', 'fk_customer',
+       CAST(n_orphans * 1000000 // n AS BIGINT), n_orphans = 0 FROM ord
+UNION ALL
+SELECT 'orders', 'accepted_status',
+       CAST(n_bad_status * 1000000 // n AS BIGINT), n_bad_status = 0
+FROM ord
+UNION ALL
+SELECT 'lineitem', 'quantity_range',
+       CAST(n_qty_bad * 1000000 // n AS BIGINT), n_qty_bad = 0 FROM li
+UNION ALL
+SELECT 'lineitem', 'discount_range',
+       CAST(n_disc_bad * 1000000 // n AS BIGINT), n_disc_bad = 0 FROM li
+""",
+    doc="declarative data-quality/constraint suite (the Deequ-style "
+        "expectation run a warehouse executes after every load): "
+        "completeness (null ppm), uniqueness (dup-key ppm), "
+        "referential integrity (orphan FK ppm via one broadcast left "
+        "join), accepted-value sets, numeric range conformance, and "
+        "freshness span — each table computes ALL its checks in ONE "
+        "aggregation pass (the FILTER-clause multi-agg), then the "
+        "single-row aggregates unpivot to (table, check, metric, "
+        "passed) rows. Scale: one pass per table, map-side combined; "
+        "the FK probe broadcasts the dimension; no check adds a "
+        "second scan of any fact table",
+)
+def q_data_quality_checks(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "events", "orders", "customer",
+                    "lineitem")
+    ev = t["events"].agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("n_null_user"),
+        F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date"))
+        .cast("long").alias("span_days"),
+    )
+    ordc = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            F.count(
+                F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+            ).alias("n_bad_status"),
+            F.count(F.when(F.col("c_custkey").isNull(), 1)).alias(
+                "n_orphans"
+            ),
+        )
+    )
+    li = t["lineitem"].agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("n_qty_bad"),
+        F.count(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+            )
+        ).alias("n_disc_bad"),
+    )
+
+    def checks(agg, rows):
+        return agg.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(tbl).alias("table_name"),
+                        F.lit(chk).alias("check_name"),
+                        metric.cast("long").alias("metric"),
+                        passed.alias("passed"),
+                    )
+                    for tbl, chk, metric, passed in rows
+                ])
+            ).alias("c")
+        ).select("c.*")
+
+    ev_checks = checks(ev, [
+        ("events", "null_user_id",
+         F.expr("(n_null_user * 1000000) div n"),
+         F.col("n_null_user") * 1000 <= F.col("n")),
+        ("events", "freshness_span_days", F.col("span_days"),
+         F.col("span_days").between(1, 400)),
+    ])
+    ord_checks = checks(ordc, [
+        ("orders", "unique_orderkey",
+         F.expr("((n - n_keys) * 1000000) div n"),
+         F.col("n") == F.col("n_keys")),
+        ("orders", "fk_customer",
+         F.expr("(n_orphans * 1000000) div n"), F.col("n_orphans") == 0),
+        ("orders", "accepted_status",
+         F.expr("(n_bad_status * 1000000) div n"),
+         F.col("n_bad_status") == 0),
+    ])
+    li_checks = checks(li, [
+        ("lineitem", "quantity_range",
+         F.expr("(n_qty_bad * 1000000) div n"), F.col("n_qty_bad") == 0),
+        ("lineitem", "discount_range",
+         F.expr("(n_disc_bad * 1000000) div n"), F.col("n_disc_bad") == 0),
+    ])
+    return ev_checks.unionByName(ord_checks).unionByName(li_checks)
+
+
+@register(
+    "skew_diagnosis",
+    """
+WITH kc AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows FROM events
+  GROUP BY user_id
+), ranked AS (
+  SELECT user_id, n_rows,
+         row_number() OVER (ORDER BY n_rows, user_id) AS rk,
+         count(*) OVER () AS nk,
+         CAST(sum(n_rows) OVER () AS BIGINT) AS total
+  FROM kc
+), stats AS (
+  SELECT max(n_rows) AS max_count,
+         CAST(max(CASE WHEN rk = (nk + 1) // 2 THEN n_rows END)
+              AS BIGINT) AS p50_count,
+         CAST(max(CASE WHEN rk = (nk * 99 + 99) // 100 THEN n_rows END)
+              AS BIGINT) AS p99_count,
+         max(total) AS total
+  FROM ranked
+)
+SELECT k.user_id, k.n_rows,
+       CAST(k.n_rows * 1000000 // s.total AS BIGINT) AS share_ppm,
+       s.p50_count, s.p99_count,
+       CAST(k.n_rows * 100 // s.p50_count AS BIGINT) AS skew_ratio_x100,
+       CAST((k.n_rows + s.p99_count - 1) // s.p99_count AS BIGINT)
+         AS salt_factor
+FROM kc k CROSS JOIN stats s
+ORDER BY k.n_rows DESC, k.user_id LIMIT 10
+""",
+    doc="join/agg skew diagnosis — the pre-flight a pipeline runs "
+        "before keying a 100 TB shuffle on a column: per-key row "
+        "counts, the LOWER-rank p50/p99 of the count distribution "
+        "(explicit row_number rank — interpolating percentiles are "
+        "not cross-engine stable), each hot key's share and "
+        "skew-ratio vs the median, and the recommended salt factor "
+        "ceil(hot/p99) that `operators/skew.salted_agg` would need "
+        "to level the worst reducer down to a p99-sized partition. "
+        "Scale: one hash-agg on the key (map-side combined); all "
+        "ranking/statistics run over the DISTINCT-KEY table, not the "
+        "rows; top-10 via TakeOrdered",
+)
+def q_skew_diagnosis(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    kc = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    w = Window.orderBy("n_rows", "user_id")
+    ranked = kc.select(
+        "user_id",
+        "n_rows",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("nk"),
+        F.sum("n_rows").over(Window.partitionBy()).cast("long")
+        .alias("total"),
+    )
+    stats = ranked.agg(
+        F.max("n_rows").alias("max_count"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(nk + 1) div 2"), F.col("n_rows"))
+        ).cast("long").alias("p50_count"),
+        F.max(
+            F.when(
+                F.col("rk") == F.expr("(nk * 99 + 99) div 100"),
+                F.col("n_rows"),
+            )
+        ).cast("long").alias("p99_count"),
+        F.max("total").alias("total"),
+    )
+    return (
+        kc.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "n_rows",
+            F.expr("(n_rows * 1000000) div total").alias("share_ppm"),
+            "p50_count",
+            "p99_count",
+            F.expr("(n_rows * 100) div p50_count").alias("skew_ratio_x100"),
+            F.expr("(n_rows + p99_count - 1) div p99_count").alias(
+                "salt_factor"
+            ),
+        )
+        .orderBy(F.col("n_rows").desc(), "user_id")
+        .limit(10)
+    )
+
+
+def _interleave_bits_sql(ucol: str, hcol: str, bits: int, shift) -> str:
+    """Morton/Z-order bit interleave as a pure integer expression,
+    rendered for either engine via the `shift` dialect hook."""
+    terms = []
+    for i in range(bits):
+        terms.append(shift(ucol, i, 2 * i + 1))
+        terms.append(shift(hcol, i, 2 * i))
+    return " + ".join(terms)
+
+
+_Z_SPARK = _interleave_bits_sql(
+    "un", "hn", 8,
+    lambda c, i, o: f"shiftleft(shiftright({c}, {i}) & 1, {o})",
+)
+_Z_DUCK = _interleave_bits_sql(
+    "un", "hn", 8,
+    lambda c, i, o: f"((({c} >> {i}) & 1) << {o})",
+)
+
+
+@register(
+    "zorder_layout_stats",
+    f"""
+WITH base AS (
+  SELECT user_id AS u,
+         CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h
+  FROM events
+), ext AS (
+  SELECT min(u) AS umin, max(u) AS umax, min(h) AS hmin, max(h) AS hmax
+  FROM base
+), norm AS (
+  SELECT CAST((b.u - e.umin) * 256 // (e.umax - e.umin + 1) AS BIGINT)
+           AS un,
+         CAST((b.h - e.hmin) * 256 // (e.hmax - e.hmin + 1) AS BIGINT)
+           AS hn
+  FROM base b CROSS JOIN ext e
+), keyed AS (
+  SELECT un, hn,
+         CAST(({_Z_DUCK}) >> 10 AS BIGINT) AS z_bucket,
+         CAST(hn // 4 AS BIGINT) AS t_bucket
+  FROM norm
+), per AS (
+  SELECT layout, bucket,
+         CAST(max(un) - min(un) + 1 AS BIGINT) AS u_ext,
+         CAST(max(hn) - min(hn) + 1 AS BIGINT) AS h_ext
+  FROM (
+    SELECT 'zorder' AS layout, z_bucket AS bucket, un, hn FROM keyed
+    UNION ALL
+    SELECT 'time', t_bucket, un, hn FROM keyed
+  ) GROUP BY layout, bucket
+)
+SELECT layout, CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(u_ext) * 1000000 // (count(*) * 256) AS BIGINT)
+         AS avg_user_extent_ppm,
+       CAST(sum(h_ext) * 1000000 // (count(*) * 256) AS BIGINT)
+         AS avg_time_extent_ppm
+FROM per GROUP BY layout
+""",
+    doc="data-layout optimizer readout: events keyed by the Morton/"
+        "Z-order interleave of (user, hour) vs a plain time ordering, "
+        "then per-file (bucket) min/max extents of BOTH dimensions — "
+        "exactly the statistics a parquet/iceberg reader prunes "
+        "files with. The readout quantifies why multi-dimension "
+        "clustering matters at 100 TB: time-sorted files have a "
+        "full-width user extent (every user-filtered query touches "
+        "every file), Z-ordered files bound BOTH extents near "
+        "sqrt(full), so point/range filters on either dimension "
+        "prune ~7/8 of files. Pure integer bit math (identical "
+        "shift/mask expression both engines), two tiny scalar "
+        "broadcasts (dim extents), one hash-agg per layout over the "
+        "bucketed rows; buckets come from the z-value's TOP BITS — "
+        "no range-partition pass needed",
+)
+def q_zorder_layout_stats(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        F.col("user_id").alias("u"),
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+    )
+    ext = base.agg(
+        F.min("u").alias("umin"), F.max("u").alias("umax"),
+        F.min("h").alias("hmin"), F.max("h").alias("hmax"),
+    )
+    norm = base.crossJoin(F.broadcast(ext)).select(
+        F.expr("((u - umin) * 256) div (umax - umin + 1)").alias("un"),
+        F.expr("((h - hmin) * 256) div (hmax - hmin + 1)").alias("hn"),
+    )
+    keyed = norm.select(
+        "un", "hn",
+        F.expr(f"shiftright({_Z_SPARK}, 10)").cast("long").alias("z_bucket"),
+        F.expr("hn div 4").cast("long").alias("t_bucket"),
+    )
+    tagged = keyed.select(
+        F.lit("zorder").alias("layout"),
+        F.col("z_bucket").alias("bucket"), "un", "hn",
+    ).unionByName(
+        keyed.select(
+            F.lit("time").alias("layout"),
+            F.col("t_bucket").alias("bucket"), "un", "hn",
+        )
+    )
+    per = tagged.groupBy("layout", "bucket").agg(
+        (F.max("un") - F.min("un") + 1).cast("long").alias("u_ext"),
+        (F.max("hn") - F.min("hn") + 1).cast("long").alias("h_ext"),
+    )
+    return per.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.expr("(sum(u_ext) * 1000000) div (count(*) * 256)").cast("long")
+        .alias("avg_user_extent_ppm"),
+        F.expr("(sum(h_ext) * 1000000) div (count(*) * 256)").cast("long")
+        .alias("avg_time_extent_ppm"),
+    )

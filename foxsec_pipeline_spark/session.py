@@ -77,6 +77,12 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
         path = os.path.join(sf_dir, f"{name}.parquet")
         df = spark.read.parquet(path)
         for c in _nano_ts_columns(path):
+            # Only when Spark actually read the column as int64 (the
+            # nanosAsLong path for TIMESTAMP(NANOS) footers) — pyarrow
+            # also reports INT96 timestamps as `ns`, but Spark reads
+            # those as TIMESTAMP directly and no conversion applies.
+            if not isinstance(df.schema[c].dataType, T.LongType):
+                continue
             # integer `div`, not `/`: int64 nanos overflow double mantissa
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         # µs parquet timestamps (isAdjustedToUTC=false) read as

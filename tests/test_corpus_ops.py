@@ -297,3 +297,111 @@ def test_bpe_segment_bounds(spark, reg):
     assert rows
     for r in rows:
         assert r.n_bpe_units >= r.n_tokens
+
+
+def test_data_quality_checks_pass_on_clean_data(spark, reg):
+    rows = {(r.table_name, r.check_name): r
+            for r in reg["data_quality_checks"].fn(spark, SF_DIR).collect()}
+    assert len(rows) == 7
+    for key, r in rows.items():
+        assert r.passed, key
+
+
+def test_data_quality_checks_catch_injected_defects(spark, reg, tmp_path):
+    """Write deliberately dirty tables and assert each constraint
+    trips with the right violation mass."""
+    import datetime as dt
+
+    base = str(tmp_path)
+    ts = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, ts, None, "view", 1.0, "p"),
+         (2, ts, 7, "view", 1.0, "p")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{base}/events.parquet")
+    spark.createDataFrame(
+        [(1, 10, "O", 1.0, ts, "1-URGENT"),
+         (1, 10, "F", 1.0, ts, "1-URGENT"),   # dup key
+         (3, 99, "X", 1.0, ts, "1-URGENT")],  # orphan + bad status
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    ).write.parquet(f"{base}/orders.parquet")
+    spark.createDataFrame(
+        [(10, "a", "n", 1.0, "seg")],
+        "c_custkey long, c_name string, c_nationkey string, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.parquet(f"{base}/customer.parquet")
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 99.0, 1.0, 0.5, 0.0)],  # qty + discount violations
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double",
+    ).write.parquet(f"{base}/lineitem.parquet")
+
+    rows = {(r.table_name, r.check_name): r
+            for r in reg["data_quality_checks"].fn(spark, base).collect()}
+    assert not rows[("events", "null_user_id")].passed
+    assert rows[("events", "null_user_id")].metric == 500_000
+    assert not rows[("events", "freshness_span_days")].passed  # span 0
+    assert not rows[("orders", "unique_orderkey")].passed
+    assert rows[("orders", "unique_orderkey")].metric == 333_333
+    assert not rows[("orders", "fk_customer")].passed
+    assert not rows[("orders", "accepted_status")].passed
+    assert not rows[("lineitem", "quantity_range")].passed
+    assert rows[("lineitem", "quantity_range")].metric == 1_000_000
+    assert not rows[("lineitem", "discount_range")].passed
+
+
+def test_data_quality_single_pass_per_table(spark, reg):
+    """Every fact table is scanned exactly once; the FK dimension
+    broadcasts."""
+    plan = plan_of(reg["data_quality_checks"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    for tbl in ("events", "orders", "lineitem"):
+        assert plan.count(f"{tbl}.parquet") == 1, (tbl, plan)
+
+
+def test_skew_diagnosis_math(spark, reg):
+    """Hot-key metrics recompute from first principles on the raw
+    table: shares sum within the top-10, salt factor is exactly
+    ceil(hot/p99)."""
+    import duckdb
+
+    rows = reg["skew_diagnosis"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    con = duckdb.connect()
+    counts = dict(con.sql(
+        f"""SELECT user_id, count(*) FROM '{SF_DIR}/events.parquet'
+            GROUP BY 1"""
+    ).fetchall())
+    total = sum(counts.values())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.user_id, r.n_rows) for r in rows] == top
+    for r in rows:
+        assert r.share_ppm == r.n_rows * 1_000_000 // total
+        assert r.salt_factor == -(-r.n_rows // r.p99_count)
+        assert r.p99_count >= r.p50_count
+
+
+def test_zorder_bounds_both_extents(spark, reg):
+    """The layout claim itself: a time-sorted layout leaves the user
+    extent near full-width (no pruning for user filters), Z-order
+    bounds BOTH dimensions well below half-width."""
+    rows = {r.layout: r
+            for r in reg["zorder_layout_stats"].fn(spark, SF_DIR).collect()}
+    t, z = rows["time"], rows["zorder"]
+    assert t.avg_user_extent_ppm > 500_000   # time layout: no user locality
+    assert z.avg_user_extent_ppm < 250_000   # z-order: bounded user extent
+    assert z.avg_time_extent_ppm < 250_000   # ...without giving up time
+    assert z.n_buckets > 1 and t.n_buckets > 1
+
+
+def test_skew_and_zorder_plan_shapes(spark, reg):
+    """Scalar stats broadcast; the ranking runs over the distinct-key
+    table; no nested-loop beyond the deliberate 1-row scalar joins."""
+    for name in ("skew_diagnosis", "zorder_layout_stats"):
+        plan = plan_of(reg[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "TakeOrdered" in plan or name != "skew_diagnosis", plan

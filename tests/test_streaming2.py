@@ -148,3 +148,60 @@ def test_seasonal_anomaly_streaming_twin(spark, tmp_path):
     }
     assert got == expected
     assert any(got.values())  # the fixture has real anomalies
+
+
+def test_countmin_cells_streaming_twin(spark, tmp_path):
+    """The Count-Min counter grid is a plain hash-aggregation, so it
+    is streaming-legal AS-IS: the same cell expression under a
+    readStream complete-mode agg converges to the batch sketch
+    exactly. This is the operational point of a mergeable sketch —
+    the stream maintains it incrementally with bounded (d*w) state,
+    and any point-in-time snapshot can be probed or merged with other
+    days' grids."""
+    from pyspark.sql import functions as F
+
+    from foxsec_pipeline_spark.operators.ingest import countmin_cells
+    from foxsec_pipeline_spark.session import load_tables
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    items = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("item")
+    )
+    expected = {
+        (r.cm_row, r.cm_col): r.cm_count
+        for r in countmin_cells(items, "item", depth=4, width=64).collect()
+    }
+
+    src = str(tmp_path / "items")
+    items.write.parquet(src)
+    stream_items = spark.readStream.schema("item string").parquet(src)
+    cells = (
+        stream_items.select(
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("cm_row"),
+            "item",
+        )
+        .select(
+            "cm_row",
+            F.expr(
+                "cast(conv(substring(md5(concat(cast(cm_row as string), "
+                "'|', item)), 1, 8), 16, 10) as bigint) % 64"
+            ).alias("cm_col"),
+        )
+        .groupBy("cm_row", "cm_col")
+        .agg(F.count(F.lit(1)).alias("cm_count"))
+    )
+    q = (
+        cells.writeStream.format("memory")
+        .queryName("cm_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.cm_row, r.cm_col): r.cm_count
+        for r in spark.sql("select * from cm_stream").collect()
+    }
+    assert got == expected
+    assert len(got) <= 4 * 64
