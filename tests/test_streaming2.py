@@ -205,3 +205,126 @@ def test_countmin_cells_streaming_twin(spark, tmp_path):
     }
     assert got == expected
     assert len(got) <= 4 * 64
+
+
+def test_corpus_ingestion_streaming_twin(spark, tmp_path):
+    """The corpus keep/drop pipeline runs as a STREAM: the batch
+    catalog query (`quality_filter_pipeline`) joins four legs over
+    one scan; the streaming twin fuses the same gates (quality,
+    language id, within-doc repetition) into ONE stateless per-row
+    projection — the repetition leg's per-doc window becomes an
+    array-HOF over the doc's own tokens, legal because a document is
+    a bounded row, not a partition — plus ONE dropDuplicates state on
+    the content hash (keep-first == the batch min-id keeper under
+    ordered arrival). Survivor set and every per-doc decision column
+    match the batch pipeline exactly."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from foxsec_pipeline_spark.session import load_tables
+
+    sf_dir = "/root/testdata/sf0.001"
+    expected = {
+        r["doc_id"]: (r["quality"], r["pred_lang"],
+                      r["dup_shingle_ratio"], r["keep"], r["drop_reason"])
+        for r in entrymod.queries()["quality_filter_pipeline"](
+            spark, sf_dir).collect()
+        if r["is_keeper"]
+    }
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs")
+    # one file, ordered by doc_id: first-arrival dedup == min-id keeper
+    docs.orderBy("doc_id").coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        src
+    )
+    tok = F.split(F.trim("text"), r"\s+")
+    n = F.size(tok)
+    stop = {
+        "en": ["the", "a", "of", "and", "is", "to", "in"],
+        "es": ["el", "la", "de", "y", "es", "en", "un"],
+        "fr": ["le", "la", "de", "et", "est", "en", "un"],
+        "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    }
+
+    def ratio(words):
+        return F.size(F.filter(tok, lambda t: t.isin(words))) / F.greatest(
+            n, F.lit(1)
+        )
+
+    diversity = F.size(F.array_distinct(tok)) / F.greatest(n, F.lit(1))
+    len_ok = F.when((n >= 10) & (n <= 10000), 1.0).otherwise(0.0)
+    quality = F.round(
+        0.4 * len_ok
+        + 0.3 * F.least(diversity * 2, F.lit(1.0))
+        + 0.3 * F.least(ratio(stop["en"]) * 10, F.lit(1.0)),
+        6,
+    )
+    scores = F.array(*[
+        F.struct(F.round(ratio(w), 6).alias("score"), F.lit(la).alias("lang"))
+        for la, w in sorted(stop.items())
+    ])
+    best = F.array_max(scores)
+    pred_lang = F.when(best["score"] > 0, best["lang"]).otherwise("und")
+    sh = F.expr(
+        "transform(sequence(1, size(_tok) - 2), i -> concat_ws(' ', "
+        "element_at(_tok, i), element_at(_tok, i + 1), "
+        "element_at(_tok, i + 2)))"
+    )
+    rep = F.when(
+        n >= 3,
+        F.round(
+            1.0 - F.size(F.array_distinct(sh)) / F.size(sh).cast("double"),
+            6,
+        ),
+    ).otherwise(0.0)
+
+    from foxsec_pipeline_spark.functions.text import doc_fingerprint
+
+    gated = (
+        stream.withColumn("_tok", tok)
+        .select(
+            "doc_id",
+            quality.alias("quality"),
+            pred_lang.alias("pred_lang"),
+            rep.alias("dup_shingle_ratio"),
+            doc_fingerprint(F.col("text")).alias("ch"),
+        )
+        .dropDuplicates(["ch"])
+    )
+    keep = (
+        (F.col("pred_lang") == "en")
+        & (F.col("quality") >= 0.5)
+        & (F.col("dup_shingle_ratio") <= 0.6)
+    )
+    reason = (
+        F.when(F.col("pred_lang") != "en", "language")
+        .when(F.col("quality") < 0.5, "quality")
+        .when(F.col("dup_shingle_ratio") > 0.6, "repetition")
+        .otherwise("keep")
+    )
+    out = gated.select(
+        "doc_id", "quality", "pred_lang", "dup_shingle_ratio",
+        keep.alias("keep"), reason.alias("drop_reason"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("corpus_ingest_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: (r["quality"], r["pred_lang"],
+                      r["dup_shingle_ratio"], r["keep"], r["drop_reason"])
+        for r in spark.sql("select * from corpus_ingest_stream").collect()
+    }
+    assert set(got) == set(expected)
+    assert got == expected
+    assert any(v[3] for v in got.values())       # some docs kept
+    assert any(not v[3] for v in got.values())   # some gated out
