@@ -60,6 +60,10 @@ _VERIFY_FIRST = [
     # amo_fxa_ban_pattern (detector legs, shared code untouched since
     # their r2 green) to the backlog
     "skew_diagnosis", "zorder_layout_stats",
+    # (0e) also NEW in round 6: SCD2 point-in-time (AS OF) enrichment;
+    # displaces alert_pipeline (composition of individually-verified
+    # legs) to the backlog
+    "scd2_point_in_time_join",
     # (1-4) materially changed in round 5 — MUST re-green now:
     # large_order_customers / embedding_cluster_summary (oracle HUGEINT
     # columns cast to BIGINT per the r4 judge root-cause: DuckDB widens
@@ -98,7 +102,7 @@ _VERIFY_FIRST = [
     # Of these, customs_alert_fanout ALSO materially changed in round
     # 5 (reference-exact per-subcategory fan-out + oracle moved in
     # lockstep) — doubly due for re-verification
-    "alert_pipeline", "amo_addon_matcher",
+    "amo_addon_matcher",
     "ann_cosine_lsh_multiprobe",
     "auth_state_decision", "authprofile_pipeline", "aws_behavior_match",
     "content_server_variance", "customs_activity_monitor",
@@ -116,7 +120,7 @@ _VERIFY_FIRST = [
     # driver ever checks more than a 50-row prefix
     "amo_cloud_submission", "amo_report_restriction",
     "xff_client_select", "violation_projection",
-    "pii_scrub", "language_id", "alert_summary_rollup",
+    "pii_scrub", "language_id", "alert_summary_rollup", "alert_pipeline",
     "amo_fxa_ban_pattern", "amo_multi_submit",
     "pricing_summary", "segment_revenue", "regional_revenue",
     "priority_semijoin", "events_dim_join", "topk_per_group",

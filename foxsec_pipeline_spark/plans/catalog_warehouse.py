@@ -271,3 +271,107 @@ def q_last_touch_attribution(spark, sf_dir):
             (F.sum("__cents") / 100.0).alias("revenue"),
         )
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+WITH obs AS (
+  SELECT user_id, ts, event_id,
+         CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER) % 5
+           AS segment
+  FROM events
+), flagged AS (
+  SELECT *, lag(segment) OVER w AS prev_segment
+  FROM obs
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, segment, ts AS valid_from, event_id
+  FROM flagged
+  WHERE prev_segment IS NULL OR segment != prev_segment
+), dim AS (
+  SELECT user_id, segment, valid_from,
+         lead(valid_from) OVER w AS valid_to,
+         CAST(row_number() OVER w AS BIGINT) AS version
+  FROM changes
+  WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+), fact AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts, d.segment, d.version
+FROM fact f JOIN dim d
+  ON f.user_id = d.user_id
+ AND f.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+""",
+    doc="point-in-time (AS OF) enrichment against the SCD2 dimension: "
+        "every purchase event picks the segment version whose "
+        "[valid_from, valid_to) interval contains its timestamp — "
+        "the temporal-correctness join that prevents feature leakage "
+        "in training-data builds (enriching with TODAY'S dimension "
+        "row is the classic label-leak). The oracle is the literal "
+        "SQL range join; the Spark plan is JOINLESS: version-start "
+        "rows and facts union into one stream, one last-ignorenulls "
+        "window per user carries the in-effect version onto each "
+        "fact (dim rows sort before facts at equal ts, so a version "
+        "is effective AT its own valid_from — matching the range "
+        "join's inclusive lower bound; zero-length intervals from "
+        "same-ts changes resolve to the later event_id on both "
+        "paths). Scale: the range join would explode on hot users "
+        "(every fact x every version per user); the union+window "
+        "form is one shuffle on user_id, linear in rows, and the "
+        "same exchange serves the SCD2 build itself",
+)
+def q_scd2_point_in_time_join(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    obs = ev.select(
+        "user_id", "ts", "event_id",
+        (F.regexp_extract(F.col("props"), r"([0-9]+)", 1).cast("int") % 5)
+        .alias("segment"),
+    )
+    w_obs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        obs.withColumn("prev_segment", F.lag("segment").over(w_obs))
+        .where(
+            F.col("prev_segment").isNull()
+            | (F.col("segment") != F.col("prev_segment"))
+        )
+        .select("user_id", "segment", F.col("ts").alias("vts"), "event_id")
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("vts", "event_id")
+    dim = changes.select(
+        "user_id", "segment", "vts", "event_id",
+        F.row_number().over(w_ver).cast("long").alias("version"),
+    )
+    tagged_dim = dim.select(
+        "user_id",
+        F.col("vts").alias("ts"),
+        F.lit(0).alias("tag"),
+        "event_id",
+        "segment",
+        "version",
+        F.lit(None).cast("long").alias("fact_event_id"),
+    )
+    tagged_fact = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("int").alias("segment"),
+        F.lit(None).cast("long").alias("version"),
+        F.col("event_id").alias("fact_event_id"),
+    )
+    w_asof = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_dim.unionByName(tagged_fact).select(
+        "user_id", "ts", "tag", "fact_event_id",
+        F.last("segment", ignorenulls=True).over(w_asof).alias("segment"),
+        F.last("version", ignorenulls=True).over(w_asof).alias("version"),
+    )
+    return carried.where(F.col("tag") == 1).select(
+        F.col("fact_event_id").alias("event_id"),
+        "user_id", "ts", "segment", "version",
+    )

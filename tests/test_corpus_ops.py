@@ -405,3 +405,32 @@ def test_skew_and_zorder_plan_shapes(spark, reg):
         plan = plan_of(reg[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, (name, plan)
         assert "TakeOrdered" in plan or name != "skew_diagnosis", plan
+
+
+def test_scd2_point_in_time_is_joinless(spark, reg):
+    """The AS OF enrichment must be the union+window form — a real
+    per-user range join would explode on hot users. No join operator
+    of any kind may appear in the plan."""
+    plan = plan_of(reg["scd2_point_in_time_join"].fn(spark, SF_DIR))
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, (op, plan)
+
+
+def test_scd2_point_in_time_no_leakage(spark, reg):
+    """Temporal correctness: every enriched fact's version is the one
+    in effect AT the fact's ts — never a later version (the classic
+    feature leak). Recomputed against the SCD2 table itself."""
+    dim = reg["scd2_user_segment"].fn(spark, SF_DIR).collect()
+    facts = reg["scd2_point_in_time_join"].fn(spark, SF_DIR).collect()
+    by_user = {}
+    for d in dim:
+        by_user.setdefault(d.user_id, []).append(d)
+    assert facts
+    for f in facts:
+        match = [d for d in by_user[f.user_id]
+                 if d.valid_from <= f.ts
+                 and (d.valid_to is None or f.ts < d.valid_to)]
+        assert len(match) == 1, (f, match)
+        assert (f.segment, f.version) == (
+            match[0].segment, match[0].version)
