@@ -64,6 +64,10 @@ _VERIFY_FIRST = [
     # displaces alert_pipeline (composition of individually-verified
     # legs) to the backlog
     "scd2_point_in_time_join",
+    # (0f) also NEW in round 6: winnowing fingerprints (MOSS);
+    # displaces authprofile_pipeline (composition of individually
+    # re-verified legs) to the backlog
+    "winnowing_fingerprints",
     # (1-4) materially changed in round 5 — MUST re-green now:
     # large_order_customers / embedding_cluster_summary (oracle HUGEINT
     # columns cast to BIGINT per the r4 judge root-cause: DuckDB widens
@@ -104,7 +108,7 @@ _VERIFY_FIRST = [
     # lockstep) — doubly due for re-verification
     "amo_addon_matcher",
     "ann_cosine_lsh_multiprobe",
-    "auth_state_decision", "authprofile_pipeline", "aws_behavior_match",
+    "auth_state_decision", "aws_behavior_match",
     "content_server_variance", "customs_activity_monitor",
     "customs_alert_fanout", "customs_prefilter_split", "decontaminate",
     "dedup_clusters", "etd_finding_matcher",
@@ -121,6 +125,7 @@ _VERIFY_FIRST = [
     "amo_cloud_submission", "amo_report_restriction",
     "xff_client_select", "violation_projection",
     "pii_scrub", "language_id", "alert_summary_rollup", "alert_pipeline",
+    "authprofile_pipeline",
     "amo_fxa_ban_pattern", "amo_multi_submit",
     "pricing_summary", "segment_revenue", "regional_revenue",
     "priority_semijoin", "events_dim_join", "topk_per_group",

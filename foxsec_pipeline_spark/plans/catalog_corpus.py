@@ -488,3 +488,120 @@ def q_bpe_token_counts(spark, sf_dir):
     return n_tok.join(seg, "doc_id").select(
         "doc_id", "n_tokens", "n_bpe_units"
     )
+
+
+@register(
+    "winnowing_fingerprints",
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+  FROM documents
+), s AS (
+  SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n FROM t
+), g AS (
+  SELECT doc_id, n - 3 AS n_grams, CAST(p AS BIGINT) AS p,
+         CAST('0x' || substr(md5(array_to_string(tok[p + 1 : p + 4], ' ')),
+              1, 11) AS BIGINT) * 65536 + (65535 - p) AS hp
+  FROM (SELECT doc_id, n, tok, unnest(generate_series(0, n - 4)) AS p
+        FROM s WHERE n >= 4)
+), m AS (
+  SELECT doc_id, n_grams, p,
+         min(hp) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+  FROM g
+), fp AS (
+  SELECT DISTINCT doc_id, n_grams,
+         sel // 65536 AS fp_hash,
+         65535 - (sel % 65536) AS fp_pos
+  FROM m WHERE p <= n_grams - 4
+), df AS (
+  SELECT fp_hash FROM fp GROUP BY fp_hash
+  HAVING min(doc_id) <> max(doc_id)
+)
+SELECT f.doc_id, CAST(max(f.n_grams) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_fingerprints,
+       CAST(count(*) FILTER (d.fp_hash IS NOT NULL) AS BIGINT)
+         AS n_shared_fps,
+       CAST(count(*) * 1000000 // max(f.n_grams) AS BIGINT)
+         AS density_ppm
+FROM fp f LEFT JOIN df d ON f.fp_hash = d.fp_hash
+GROUP BY f.doc_id
+""",
+    doc="winnowing document fingerprinting (Schleimer-Wilkerson-Aiken "
+        "2003, the MOSS algorithm): word-4-gram hashes -> in every "
+        "window of 4 consecutive hashes select the minimum, rightmost "
+        "on ties — guaranteeing any shared run of >= 7 words shares a "
+        "fingerprint, at ~2/(w+1) the storage of exact_substring's "
+        "every-window hashing. The rightmost-min rule is implemented "
+        "by ENCODING the position into the comparable — hp = "
+        "hash*65536 + (65535 - p) — so the windowed min() IS the "
+        "argmin and both engines decode (hash, pos) back with pure "
+        "integer div/mod (44-bit hash x 16-bit position, no int64 "
+        "overflow; doc length < 65536 asserted by construction). "
+        "Scale: map-side gram hashing, one bounded per-doc window "
+        "pass, then the same df-count shape as exact_substring — no "
+        "pairwise stage; the fingerprint table is ~2/(w+1) of the "
+        "gram table, which is the point of winnowing",
+)
+def q_winnowing_fingerprints(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    tok = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", tok.alias("_tok"), F.size(tok).cast("long").alias("n")
+    ).where(F.col("n") >= 4)
+    g = base.select(
+        "doc_id",
+        (F.col("n") - 3).alias("n_grams"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n") - 4)
+        ).alias("p"),
+        "_tok",
+    ).select(
+        "doc_id",
+        "n_grams",
+        "p",
+        (
+            F.expr(
+                "cast(conv(substring(md5(concat_ws(' ', "
+                "slice(_tok, cast(p + 1 as int), 4))), 1, 11), 16, 10) "
+                "as bigint)"
+            )
+            * 65536
+            + (65535 - F.col("p"))
+        ).alias("hp"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    m = g.withColumn("sel", F.min("hp").over(w))
+    fp = (
+        m.where(F.col("p") <= F.col("n_grams") - 4)
+        .select(
+            "doc_id",
+            "n_grams",
+            F.expr("sel div 65536").alias("fp_hash"),
+            (65535 - F.col("sel") % 65536).alias("fp_pos"),
+        )
+        .distinct()
+    )
+    df_shared = (
+        fp.groupBy("fp_hash")
+        .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+        .where(F.col("_lo") != F.col("_hi"))
+        .select("fp_hash", F.lit(1).alias("_shared"))
+    )
+    return (
+        fp.join(df_shared, "fp_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.count(F.col("_shared")).cast("long").alias("n_shared_fps"),
+        )
+        .withColumn(
+            "density_ppm",
+            F.expr("(n_fingerprints * 1000000) div n_grams"),
+        )
+    )

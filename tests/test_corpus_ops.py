@@ -434,3 +434,29 @@ def test_scd2_point_in_time_no_leakage(spark, reg):
         assert len(match) == 1, (f, match)
         assert (f.segment, f.version) == (
             match[0].segment, match[0].version)
+
+
+def test_winnowing_guarantee_on_fixture(spark, reg, tmp_path):
+    """The winnowing guarantee (Schleimer et al. 2003): any shared
+    run of >= w + k - 1 = 7 words MUST share at least one selected
+    fingerprint; and density stays near the theoretical 2/(w+1)."""
+    shared = " ".join(f"s{j}" for j in range(7))
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"a{j}" for j in range(20)) + " " + shared),
+         (2, shared + " " + " ".join(f"b{j}" for j in range(20))),
+         (3, " ".join(f"c{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    docs = docs.withColumn("lang", F.lit("en")) \
+               .withColumn("source", F.lit("s")) \
+               .withColumn("n_chars", F.length("text"))
+    base = str(tmp_path)
+    docs.write.parquet(f"{base}/documents.parquet")
+    rows = {r.doc_id: r
+            for r in reg["winnowing_fingerprints"].fn(spark, base).collect()}
+    assert rows[1].n_shared_fps >= 1
+    assert rows[2].n_shared_fps >= 1
+    assert rows[3].n_shared_fps == 0
+    # density ~ 2/(w+1) = 0.4; generous band
+    for r in rows.values():
+        assert 150_000 <= r.density_ppm <= 700_000, r
