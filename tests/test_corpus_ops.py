@@ -460,3 +460,76 @@ def test_winnowing_guarantee_on_fixture(spark, reg, tmp_path):
     # density ~ 2/(w+1) = 0.4; generous band
     for r in rows.values():
         assert 150_000 <= r.density_ppm <= 700_000, r
+
+
+def test_dup_span_stats_matches_bruteforce_on_random_corpus(spark):
+    """Seeded random corpus over a 6-word alphabet (forcing heavy
+    k-gram collisions), k=4: the distributed interval-union math must
+    equal a brute-force Python reference exactly for every doc."""
+    import random
+
+    rng = random.Random(20240814)
+    texts = {
+        i: [rng.choice("abcdef") for _ in range(rng.randint(1, 30))]
+        for i in range(50)
+    }
+    k = 4
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in texts.items()],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_dup_windows, r.dup_tokens)
+           for r in dup_span_stats(docs, k=k).collect()}
+
+    owners = {}
+    for i, ws in texts.items():
+        for p in range(len(ws) - k + 1):
+            owners.setdefault(tuple(ws[p:p + k]), set()).add(i)
+    for i, ws in texts.items():
+        starts = [p for p in range(len(ws) - k + 1)
+                  if len(owners[tuple(ws[p:p + k])]) >= 2]
+        covered = set()
+        for p in starts:
+            covered.update(range(p, p + k))
+        assert got[i] == (len(starts), len(covered)), i
+
+
+def test_winnowing_matches_bruteforce_selection(spark, reg, tmp_path):
+    """The min-encoding trick must reproduce the textbook winnowing
+    selection (rightmost minimum per window) exactly: fingerprint
+    COUNTS per doc equal a brute-force Python winnower using the same
+    md5-derived hashes."""
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    texts = {i: [rng.choice("abcdefgh") for _ in range(rng.randint(4, 40))]
+             for i in range(30)}
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in texts.items()],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s")).withColumn("n_chars", F.length("text"))
+    base = str(tmp_path)
+    docs.write.parquet(f"{base}/documents.parquet")
+    got = {r.doc_id: r.n_fingerprints
+           for r in reg["winnowing_fingerprints"].fn(spark, base).collect()}
+
+    k, w = 4, 4
+    for i, ws in texts.items():
+        L = len(ws) - k + 1
+        if L < 1:
+            assert i not in got
+            continue
+        hs = [int(hashlib.md5(" ".join(ws[p:p + k]).encode())
+                  .hexdigest()[:11], 16) for p in range(L)]
+        sel = set()
+        for p in range(0, L - w + 1):
+            window = hs[p:p + w]
+            m = min(window)
+            q = max(j for j in range(w) if window[j] == m) + p
+            sel.add((hs[q], q))
+        if L >= w:
+            assert got[i] == len(sel), i
+        else:
+            assert i not in got  # no full window exists
