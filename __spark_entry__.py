@@ -68,6 +68,10 @@ _VERIFY_FIRST = [
     # displaces authprofile_pipeline (composition of individually
     # re-verified legs) to the backlog
     "winnowing_fingerprints",
+    # (0g) also NEW in round 6: exact-integer OLS volume trend;
+    # displaces customs_activity_monitor (golden-replayed detector,
+    # code untouched) to the backlog
+    "hourly_trend_slopes",
     # (1-4) materially changed in round 5 — MUST re-green now:
     # large_order_customers / embedding_cluster_summary (oracle HUGEINT
     # columns cast to BIGINT per the r4 judge root-cause: DuckDB widens
@@ -109,7 +113,7 @@ _VERIFY_FIRST = [
     "amo_addon_matcher",
     "ann_cosine_lsh_multiprobe",
     "auth_state_decision", "aws_behavior_match",
-    "content_server_variance", "customs_activity_monitor",
+    "content_server_variance",
     "customs_alert_fanout", "customs_prefilter_split", "decontaminate",
     "dedup_clusters", "etd_finding_matcher",
     "login_failure_at_risk_account",
@@ -125,7 +129,7 @@ _VERIFY_FIRST = [
     "amo_cloud_submission", "amo_report_restriction",
     "xff_client_select", "violation_projection",
     "pii_scrub", "language_id", "alert_summary_rollup", "alert_pipeline",
-    "authprofile_pipeline",
+    "authprofile_pipeline", "customs_activity_monitor",
     "amo_fxa_ban_pattern", "amo_multi_submit",
     "pricing_summary", "segment_revenue", "regional_revenue",
     "priority_semijoin", "events_dim_join", "topk_per_group",

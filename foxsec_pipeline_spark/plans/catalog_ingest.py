@@ -935,3 +935,79 @@ def q_zorder_layout_stats(spark, sf_dir):
         F.expr("(sum(h_ext) * 1000000) div (count(*) * 256)").cast("long")
         .alias("avg_time_extent_ppm"),
     )
+
+
+@register(
+    "hourly_trend_slopes",
+    """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS eh,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), xs AS (
+  SELECT event_type, y,
+         eh - min(eh) OVER (PARTITION BY event_type) AS x
+  FROM hourly
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xs GROUP BY 1
+)
+SELECT event_type, n AS n_windows,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       (n * sxy - sx * sy > 0) AS rising,
+       CAST((n * sxy - sx * sy) * 1000000
+            // greatest(n * sxx - sx * sx, 1) AS BIGINT)
+         AS slope_uppm
+FROM s
+""",
+    doc="per-type volume trend: ordinary-least-squares slope of hourly "
+        "event counts over time, carried as the EXACT integer rational "
+        "(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) — numerator, denominator, "
+        "sign, and a micro-units-per-hour readout all in int64, so no "
+        "float accumulation-order hazard exists between engines (the "
+        "same discipline as seasonal_anomaly's divisionless z-test). "
+        "The capacity-planning / abuse-ramp readout. Scale: one "
+        "hourly hash-agg (map-side combined) then ALL regression "
+        "sums over the tiny (type x hours) table; the per-type min() "
+        "window runs on that table too, never the raw rows",
+)
+def q_hourly_trend_slopes(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("eh"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    xs = hourly.select(
+        "event_type",
+        "y",
+        (
+            F.col("eh")
+            - F.min("eh").over(Window.partitionBy("event_type"))
+        ).alias("x"),
+    )
+    s = xs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_windows"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        (num > 0).alias("rising"),
+    ).withColumn(
+        "slope_uppm",
+        F.expr("(slope_num * 1000000) div greatest(slope_den, 1)"),
+    )
