@@ -45,6 +45,13 @@ _VERIFY_FIRST = [
     # violation_projection (lowest-risk stale entries whose shared
     # code is untouched this round) to the backlog to hold the
     # prefix at exactly 50.
+    # (0e) NEW in round 6 (mining tranche, catalog_mining.py):
+    # apriori frequent itemsets, exact-integer changepoint, CDC
+    # snapshot diff, Markov transition matrix — never driver-checked;
+    # they take the first four slots, pushing four more of the
+    # stale-but-stable map-side entries past the 50 boundary.
+    "frequent_itemsets", "changepoint_mean_shift",
+    "snapshot_diff", "markov_transitions",
     "rag_chunk_passages", "exact_substring_dedup",
     "countmin_heavy_hitters", "epoch_mixture_plan",
     # (0b) also NEW in round 6: BPE tokenizer induction (train + the

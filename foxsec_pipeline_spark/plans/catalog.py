@@ -79,6 +79,7 @@ def registry() -> dict[str, QuerySpec]:
         catalog_data,
         catalog_detectors,
         catalog_ingest,
+        catalog_mining,
         catalog_pipeline,
         catalog_relational,
         catalog_relational2,

@@ -1,0 +1,405 @@
+"""Catalog tranche (round 6, continued): pattern-mining and
+change-detection analytics — apriori-pruned frequent itemsets,
+exact-integer mean-shift changepoint detection, row-level snapshot
+diff (the CDC primitive between two table versions), and first-order
+Markov transition matrices over per-user event streams.
+
+These are the detection/ops analytics the reference's alerting
+surface implies but never materializes as batch queries: association
+mining over co-purchases, abuse-ramp changepoints on event volumes
+(the batch twin of the threshold/seasonal detectors, cf.
+`httprequest/ThresholdAnalysis.java`), incremental snapshot
+reconciliation (what a BigQuery-sink consumer does downstream of
+`CompositeOutput.java`), and behavioral transition profiling (the
+state-sequence view that `authprofile/AuthStateModel.java` keys on).
+
+Determinism discipline matches the rest of the catalog: ratios are
+integer ppm via ``div``, argmax is either an integer-encoded ``max()``
+or a windowed row_number with a total tie-break order, every DuckDB
+aggregate that would widen to HUGEINT is cast back to BIGINT, and no
+float ever reaches an output column except through an exact
+cents/round conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+from .catalog import register
+
+
+def _t(spark, sf_dir, name):
+    return load_tables(spark, sf_dir, name)[name]
+
+
+# Apriori minimum support (orders containing the item) and minimum
+# pair support. Low absolute values because the co-purchase matrix is
+# sparse at test SF; at 100 TB these become relative thresholds but
+# the two-stage prune shape is identical.
+_MIN_ITEM_SUPP = 3
+_MIN_PAIR_SUPP = 2
+
+
+@register(
+    "frequent_itemsets",
+    f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), supp AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS supp
+  FROM items GROUP BY l_partkey
+), freq AS (
+  SELECT l_partkey FROM supp WHERE supp >= {_MIN_ITEM_SUPP}
+), fitems AS (
+  SELECT i.l_orderkey, i.l_partkey
+  FROM items i SEMI JOIN freq USING (l_partkey)
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS pair_support
+  FROM fitems a JOIN fitems b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_MIN_PAIR_SUPP}
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders
+  FROM (SELECT DISTINCT l_orderkey FROM lineitem)
+)
+SELECT p.part_a, p.part_b, p.pair_support,
+       sa.supp AS supp_a, sb.supp AS supp_b,
+       CAST(p.pair_support * 1000000 // sa.supp AS BIGINT)
+         AS conf_ab_ppm,
+       CAST(p.pair_support * 1000000 // sb.supp AS BIGINT)
+         AS conf_ba_ppm,
+       CAST(p.pair_support * t.n_orders * 1000000
+            // (sa.supp * sb.supp) AS BIGINT) AS lift_ppm
+FROM pairs p
+CROSS JOIN tot t
+JOIN supp sa ON p.part_a = sa.l_partkey
+JOIN supp sb ON p.part_b = sb.l_partkey
+""",
+    doc="frequent-itemset / association-rule mining over co-purchased "
+        "parts (classic apriori, pair order): per-order distinct item "
+        "sets -> item support -> the APRIORI PRUNE (only items with "
+        f"support >= {_MIN_ITEM_SUPP} enter pair generation — the "
+        "downward-closure property makes this lossless for pairs with "
+        f"support >= {_MIN_ITEM_SUPP}) -> within-order pair explode -> "
+        "pair support, directed confidences, and lift, all in exact "
+        "integer ppm. Scale: ONE lineitem scan -> per-order item "
+        "baskets (one shuffle on the order key, localCheckpointed "
+        "once for its three consumers — the leakage-audit precedent), "
+        "then the pair explode is MAP-SIDE over each basket array, "
+        "bounded by ORDER SIZE (<= 7 lineitems in this schema — "
+        "quadratic only in a bounded constant, never in corpus size). "
+        "The apriori prune is applied as the equivalent end-filter on "
+        "supp_a/supp_b (downward closure: a pair containing an "
+        "infrequent item is excluded either way, so pre-prune and "
+        "post-filter return identical rows) with supports joining in "
+        "as part-dimension broadcasts. No self-join, no all-pairs "
+        "stage at any skew",
+)
+def q_frequent_itemsets(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=False)
+    )
+    supp = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("supp"))
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.part_a", "pr.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_support"))
+        .where(F.col("pair_support") >= _MIN_PAIR_SUPP)
+    )
+    tot = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    sa = supp.select(
+        F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a")
+    )
+    sb = supp.select(
+        F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .where(
+            (F.col("supp_a") >= _MIN_ITEM_SUPP)
+            & (F.col("supp_b") >= _MIN_ITEM_SUPP)
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "pair_support",
+            "supp_a",
+            "supp_b",
+            F.expr("(pair_support * 1000000) div supp_a").alias(
+                "conf_ab_ppm"
+            ),
+            F.expr("(pair_support * 1000000) div supp_b").alias(
+                "conf_ba_ppm"
+            ),
+            F.expr(
+                "(pair_support * n_orders * 1000000) div (supp_a * supp_b)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+@register(
+    "changepoint_mean_shift",
+    """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS eh,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, eh, c,
+         CAST(row_number() OVER w AS BIGINT) AS i,
+         CAST(sum(c) OVER w AS BIGINT) AS s1,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS s
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY eh
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), stat AS (
+  SELECT event_type, eh, i, n, s, s1,
+         abs(s1 * (n - i) - (s - s1) * i) AS d_stat,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY abs(s1 * (n - i) - (s - s1) * i) DESC, eh
+         ) AS rn
+  FROM seq WHERE i < n
+)
+SELECT event_type, n AS n_hours, s AS total_events,
+       eh AS split_eh, i AS left_hours, s1 AS left_sum,
+       CAST(s - s1 AS BIGINT) AS right_sum,
+       CAST(d_stat AS BIGINT) AS d_stat
+FROM stat WHERE rn = 1
+""",
+    doc="offline mean-shift changepoint per event type (the batch twin "
+        "of the seasonal/threshold ramp detectors, cf. "
+        "`httprequest/ThresholdAnalysis.java:74-129`'s spike "
+        "semantics): hourly volumes -> for every candidate split after "
+        "observed-hour i the EXACT INTEGER statistic |S1*(n-i) - "
+        "S2*i| (the cross-multiplied between-segment mean difference "
+        "scaled by i*(n-i) — argmax-equivalent to the unnormalized "
+        "CUSUM peak, zero float hazard) -> earliest-hour argmax. "
+        "Scale: the heavy agg is (type, hour) hash-agg with map-side "
+        "combine; every window runs over the type x observed-hours "
+        "table, whose size is hours-in-retention x type cardinality — "
+        "INDEPENDENT of event count, so partitions stay KB-sized at "
+        "100 TB",
+)
+def q_changepoint_mean_shift(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("eh"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("eh")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    seq = hourly.select(
+        "event_type",
+        "eh",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("eh"))
+        .cast("long")
+        .alias("i"),
+        F.sum("c").over(wcum).cast("long").alias("s1"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum("c").over(wall).cast("long").alias("s"),
+    )
+    d = F.abs(
+        F.col("s1") * (F.col("n") - F.col("i"))
+        - (F.col("s") - F.col("s1")) * F.col("i")
+    )
+    stat = seq.where(F.col("i") < F.col("n")).select(
+        "event_type",
+        "eh",
+        "i",
+        "n",
+        "s",
+        "s1",
+        d.alias("d_stat"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                d.desc(), F.col("eh")
+            )
+        )
+        .alias("rn"),
+    )
+    return stat.where(F.col("rn") == 1).select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("s").alias("total_events"),
+        F.col("eh").alias("split_eh"),
+        F.col("i").alias("left_hours"),
+        F.col("s1").alias("left_sum"),
+        (F.col("s") - F.col("s1")).cast("long").alias("right_sum"),
+        F.col("d_stat").cast("long").alias("d_stat"),
+    )
+
+
+@register(
+    "snapshot_diff",
+    """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+), old AS (
+  SELECT o_orderkey, price_cents FROM base WHERE o_orderkey % 97 <> 5
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN price_cents + 500
+              ELSE price_cents END AS price_cents
+  FROM base WHERE o_orderkey % 89 <> 3
+)
+SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       CAST(coalesce(o.o_orderkey, n.o_orderkey) AS BIGINT)
+         AS o_orderkey,
+       CAST(coalesce(o.price_cents, -1) AS BIGINT) AS old_price_cents,
+       CAST(coalesce(n.price_cents, -1) AS BIGINT) AS new_price_cents
+FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.price_cents <> n.price_cents
+""",
+    doc="row-level snapshot diff — the CDC primitive a warehouse "
+        "consumer runs between two loads of the same table (what sits "
+        "downstream of the BigQuery sink, `CompositeOutput.java:86-105`"
+        "): two deterministic versions of orders (keys dropped from "
+        "either side via modulus to simulate inserts/deletes; a "
+        "modulus-selected slice re-priced to simulate updates), "
+        "full-outer-joined on the primary key, classified "
+        "insert/delete/update, unchanged rows suppressed; absent "
+        "sides surface as -1 (column is a price in cents, always "
+        ">= 0, so the sentinel is unambiguous). Scale: ONE full-outer "
+        "join on a unique key — sort-merge with zero skew by "
+        "construction (PK), no fan-out; output is only the changed "
+        "rows, which is the point of shipping diffs instead of "
+        "snapshots",
+)
+def q_snapshot_diff(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    old = base.where(F.col("o_orderkey") % 97 != 5)
+    new = base.where(F.col("o_orderkey") % 89 != 3).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("price_cents") + 500
+        )
+        .otherwise(F.col("price_cents"))
+        .alias("price_cents"),
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    j = o.join(
+        n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    return j.where(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.price_cents") != F.col("n.price_cents"))
+    ).select(
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey"))
+        .cast("long")
+        .alias("o_orderkey"),
+        F.coalesce(F.col("o.price_cents"), F.lit(-1))
+        .cast("long")
+        .alias("old_price_cents"),
+        F.coalesce(F.col("n.price_cents"), F.lit(-1))
+        .cast("long")
+        .alias("new_price_cents"),
+    )
+
+
+@register(
+    "markov_transitions",
+    """
+WITH e AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+), t AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n_transitions
+  FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS n_from
+  FROM t GROUP BY 1
+)
+SELECT t.from_type, t.to_type, t.n_transitions, tot.n_from,
+       CAST(t.n_transitions * 1000000 // tot.n_from AS BIGINT)
+         AS p_ppm
+FROM t JOIN tot USING (from_type)
+""",
+    doc="first-order Markov transition matrix over per-user event "
+        "streams — the behavioral-state view `authprofile/"
+        "AuthStateModel.java` keys on, materialized as a batch "
+        "profile: events ordered per user (ts then event_id — a total "
+        "order, so lead() is deterministic), adjacent-pair counts, "
+        "and per-source-state transition probability in exact ppm. "
+        "Scale: ONE shuffle on user_id for the lead() (same bounded "
+        "per-user partition shape as every session operator in the "
+        "catalog), then a hash-agg on the type x type matrix whose "
+        "size is type-cardinality squared — tiny — and the row-count "
+        "normalizer joins back as a broadcast",
+)
+def q_markov_transitions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    t = (
+        e.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    tot = t.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("n_from")
+    )
+    return t.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "n_from",
+        F.expr("(n_transitions * 1000000) div n_from").alias("p_ppm"),
+    )

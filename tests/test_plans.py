@@ -451,3 +451,41 @@ def test_seasonal_profile_is_broadcast(spark, reg):
     plan = plan_of(reg["seasonal_anomaly"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_frequent_itemsets_single_scan_no_self_join(spark, reg):
+    """frequent_itemsets: the basket design reads lineitem exactly once
+    (localCheckpoint fan-out), the pair explode is map-side over the
+    basket array (no self-join -> no SortMergeJoin anywhere), supports
+    attach as broadcasts, and the only nested-loop is the 1-row totals
+    cross join."""
+    plan = plan_of(reg["frequent_itemsets"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Scan parquet") == 0, plan  # checkpoint feeds all
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_changepoint_is_joinless(spark, reg):
+    """changepoint_mean_shift: hash-agg to (type, hour) then windows
+    over the bounded hourly table — no join operator of any kind."""
+    plan = plan_of(reg["changepoint_mean_shift"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+
+
+def test_snapshot_diff_single_pk_join(spark, reg):
+    """snapshot_diff: exactly one full-outer sort-merge join on the
+    unique order key; no other join, no cartesian."""
+    plan = plan_of(reg["snapshot_diff"].fn(spark, SF_DIR))
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_markov_normalizer_is_broadcast(spark, reg):
+    """markov_transitions: the per-source-state row-count normalizer
+    (type-cardinality rows) must broadcast back onto the transition
+    matrix."""
+    plan = plan_of(reg["markov_transitions"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
