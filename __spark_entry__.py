@@ -52,6 +52,9 @@ _VERIFY_FIRST = [
     # stale-but-stable map-side entries past the 50 boundary.
     "frequent_itemsets", "changepoint_mean_shift",
     "snapshot_diff", "markov_transitions",
+    # (0f) NEW in round 6: inverted-index posting stats and the MOSS
+    # pair report over winnowing fingerprints — never driver-checked.
+    "inverted_index_stats", "winnowing_plagiarism_pairs",
     "rag_chunk_passages", "exact_substring_dedup",
     "countmin_heavy_hitters", "epoch_mixture_plan",
     # (0b) also NEW in round 6: BPE tokenizer induction (train + the

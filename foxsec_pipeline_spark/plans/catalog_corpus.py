@@ -490,61 +490,11 @@ def q_bpe_token_counts(spark, sf_dir):
     )
 
 
-@register(
-    "winnowing_fingerprints",
-    """
-WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
-  FROM documents
-), s AS (
-  SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n FROM t
-), g AS (
-  SELECT doc_id, n - 3 AS n_grams, CAST(p AS BIGINT) AS p,
-         CAST('0x' || substr(md5(array_to_string(tok[p + 1 : p + 4], ' ')),
-              1, 11) AS BIGINT) * 65536 + (65535 - p) AS hp
-  FROM (SELECT doc_id, n, tok, unnest(generate_series(0, n - 4)) AS p
-        FROM s WHERE n >= 4)
-), m AS (
-  SELECT doc_id, n_grams, p,
-         min(hp) OVER (PARTITION BY doc_id ORDER BY p
-                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
-  FROM g
-), fp AS (
-  SELECT DISTINCT doc_id, n_grams,
-         sel // 65536 AS fp_hash,
-         65535 - (sel % 65536) AS fp_pos
-  FROM m WHERE p <= n_grams - 4
-), df AS (
-  SELECT fp_hash FROM fp GROUP BY fp_hash
-  HAVING min(doc_id) <> max(doc_id)
-)
-SELECT f.doc_id, CAST(max(f.n_grams) AS BIGINT) AS n_grams,
-       CAST(count(*) AS BIGINT) AS n_fingerprints,
-       CAST(count(*) FILTER (d.fp_hash IS NOT NULL) AS BIGINT)
-         AS n_shared_fps,
-       CAST(count(*) * 1000000 // max(f.n_grams) AS BIGINT)
-         AS density_ppm
-FROM fp f LEFT JOIN df d ON f.fp_hash = d.fp_hash
-GROUP BY f.doc_id
-""",
-    doc="winnowing document fingerprinting (Schleimer-Wilkerson-Aiken "
-        "2003, the MOSS algorithm): word-4-gram hashes -> in every "
-        "window of 4 consecutive hashes select the minimum, rightmost "
-        "on ties — guaranteeing any shared run of >= 7 words shares a "
-        "fingerprint, at ~2/(w+1) the storage of exact_substring's "
-        "every-window hashing. The rightmost-min rule is implemented "
-        "by ENCODING the position into the comparable — hp = "
-        "hash*65536 + (65535 - p) — so the windowed min() IS the "
-        "argmin and both engines decode (hash, pos) back with pure "
-        "integer div/mod (44-bit hash x 16-bit position, no int64 "
-        "overflow; doc length < 65536 asserted by construction). "
-        "Scale: map-side gram hashing, one bounded per-doc window "
-        "pass, then the same df-count shape as exact_substring — no "
-        "pairwise stage; the fingerprint table is ~2/(w+1) of the "
-        "gram table, which is the point of winnowing",
-)
-def q_winnowing_fingerprints(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
+def _winnow_fp(docs):
+    """Winnowing fingerprint selection (shared by the per-doc density
+    readout and the plagiarism pair report): word-4-gram hashes,
+    rightmost-min per window of 4 via position-encoded min(), distinct
+    (doc_id, n_grams, fp_hash, fp_pos)."""
     tok = tokens(F.col("text"))
     base = docs.select(
         "doc_id", tok.alias("_tok"), F.size(tok).cast("long").alias("n")
@@ -576,7 +526,7 @@ def q_winnowing_fingerprints(spark, sf_dir):
         .rowsBetween(Window.currentRow, 3)
     )
     m = g.withColumn("sel", F.min("hp").over(w))
-    fp = (
+    return (
         m.where(F.col("p") <= F.col("n_grams") - 4)
         .select(
             "doc_id",
@@ -586,6 +536,71 @@ def q_winnowing_fingerprints(spark, sf_dir):
         )
         .distinct()
     )
+
+
+# Shared CTE prefix for the two winnowing queries: gram hashing,
+# rightmost-min-per-window selection, distinct fingerprint set.
+_WINNOW_CTES = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+  FROM documents
+), s AS (
+  SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n FROM t
+), g AS (
+  SELECT doc_id, n - 3 AS n_grams, CAST(p AS BIGINT) AS p,
+         CAST('0x' || substr(md5(array_to_string(tok[p + 1 : p + 4], ' ')),
+              1, 11) AS BIGINT) * 65536 + (65535 - p) AS hp
+  FROM (SELECT doc_id, n, tok, unnest(generate_series(0, n - 4)) AS p
+        FROM s WHERE n >= 4)
+), m AS (
+  SELECT doc_id, n_grams, p,
+         min(hp) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+  FROM g
+), fp AS (
+  SELECT DISTINCT doc_id, n_grams,
+         sel // 65536 AS fp_hash,
+         65535 - (sel % 65536) AS fp_pos
+  FROM m WHERE p <= n_grams - 4
+)
+"""
+
+
+@register(
+    "winnowing_fingerprints",
+    _WINNOW_CTES
+    + """
+, df AS (
+  SELECT fp_hash FROM fp GROUP BY fp_hash
+  HAVING min(doc_id) <> max(doc_id)
+)
+SELECT f.doc_id, CAST(max(f.n_grams) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_fingerprints,
+       CAST(count(*) FILTER (d.fp_hash IS NOT NULL) AS BIGINT)
+         AS n_shared_fps,
+       CAST(count(*) * 1000000 // max(f.n_grams) AS BIGINT)
+         AS density_ppm
+FROM fp f LEFT JOIN df d ON f.fp_hash = d.fp_hash
+GROUP BY f.doc_id
+""",
+    doc="winnowing document fingerprinting (Schleimer-Wilkerson-Aiken "
+        "2003, the MOSS algorithm): word-4-gram hashes -> in every "
+        "window of 4 consecutive hashes select the minimum, rightmost "
+        "on ties — guaranteeing any shared run of >= 7 words shares a "
+        "fingerprint, at ~2/(w+1) the storage of exact_substring's "
+        "every-window hashing. The rightmost-min rule is implemented "
+        "by ENCODING the position into the comparable — hp = "
+        "hash*65536 + (65535 - p) — so the windowed min() IS the "
+        "argmin and both engines decode (hash, pos) back with pure "
+        "integer div/mod (44-bit hash x 16-bit position, no int64 "
+        "overflow; doc length < 65536 asserted by construction). "
+        "Scale: map-side gram hashing, one bounded per-doc window "
+        "pass, then the same df-count shape as exact_substring — no "
+        "pairwise stage; the fingerprint table is ~2/(w+1) of the "
+        "gram table, which is the point of winnowing",
+)
+def q_winnowing_fingerprints(spark, sf_dir):
+    fp = _winnow_fp(_docs(spark, sf_dir))
     df_shared = (
         fp.groupBy("fp_hash")
         .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
@@ -603,5 +618,172 @@ def q_winnowing_fingerprints(spark, sf_dir):
         .withColumn(
             "density_ppm",
             F.expr("(n_fingerprints * 1000000) div n_grams"),
+        )
+    )
+
+
+@register(
+    "inverted_index_stats",
+    """
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM t GROUP BY 1, 2
+), ix AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS cf,
+         max(tf * 4294967296 + (4294967295 - doc_id)) AS enc
+  FROM tf GROUP BY term HAVING count(*) >= 2
+)
+SELECT term, df, cf,
+       CAST(enc // 4294967296 AS BIGINT) AS top_tf,
+       CAST(4294967295 - (enc % 4294967296) AS BIGINT) AS top_doc_id
+FROM ix
+""",
+    doc="inverted-index posting-list statistics — the retrieval-serving "
+        "twin of the corpus tokenization surface: per-term document "
+        "frequency, collection frequency, and the top-scoring posting "
+        "(max tf, ties to the LOWEST doc_id) for every term appearing "
+        "in >= 2 docs. The argmax uses the catalog's integer-encoding "
+        "idiom — enc = tf*2^32 + (2^32-1-doc_id) — so the top posting "
+        "is a plain max() aggregate: PARTIAL-COMBINABLE, which is what "
+        "makes stopword-grade term skew safe (a windowed row_number "
+        "over a hot term's full posting list would put every posting "
+        "of 'the' in one partition; the max() combines map-side). "
+        "tf < 2^31 and doc_id < 2^32 hold by construction. Scale: two "
+        "hash-aggs — (term, doc) then term — both map-side-combining, "
+        "no join, no window",
+)
+def q_inverted_index_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = t.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    enc = F.col("tf") * F.lit(4294967296).cast("long") + (
+        F.lit(4294967295).cast("long") - F.col("doc_id")
+    )
+    ix = (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+            F.max(enc).alias("enc"),
+        )
+        .where(F.col("df") >= 2)
+    )
+    return ix.select(
+        "term",
+        "df",
+        "cf",
+        F.expr("enc div 4294967296").cast("long").alias("top_tf"),
+        (
+            F.lit(4294967295).cast("long")
+            - F.col("enc") % F.lit(4294967296).cast("long")
+        ).alias("top_doc_id"),
+    )
+
+
+# Ubiquitous-fingerprint cap for the pair report: fingerprints shared
+# by more than this many docs are boilerplate (license headers, common
+# idioms) and are dropped before pairing — the same df_cap posture as
+# the dedup candidate machinery.
+_WINNOW_DF_CAP = 16
+
+
+@register(
+    "winnowing_plagiarism_pairs",
+    _WINNOW_CTES
+    + f"""
+, d AS (
+  SELECT DISTINCT doc_id, fp_hash FROM fp
+), docn AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM d GROUP BY doc_id
+), bk AS (
+  SELECT fp_hash FROM d GROUP BY fp_hash
+  HAVING count(*) BETWEEN 2 AND {_WINNOW_DF_CAP}
+), bd AS (
+  SELECT d.doc_id, d.fp_hash FROM d SEMI JOIN bk USING (fp_hash)
+), pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM bd a JOIN bd b
+    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b,
+       CAST(p.n_shared * 1000000 // least(na.n_fp, nb.n_fp) AS BIGINT)
+         AS overlap_ppm
+FROM pr p
+JOIN docn na ON p.doc_a = na.doc_id
+JOIN docn nb ON p.doc_b = nb.doc_id
+""",
+    doc="the MOSS report stage on top of winnowing_fingerprints "
+        "(Schleimer et al. 2003 §4): doc pairs sharing >= 2 selected "
+        "fingerprints, scored by shared-fingerprint containment "
+        "against the smaller doc's distinct-fingerprint set (exact "
+        "ppm). Pairing is bucket-local on fp_hash with the df-cap "
+        f"prefilter (2..{_WINNOW_DF_CAP} docs per fingerprint — "
+        "ubiquitous boilerplate fingerprints are dropped BEFORE the "
+        "join, the same df_cap posture as every dedup candidate "
+        "generator in the catalog), so per-key fan-out is bounded by "
+        "the cap squared and no all-pairs stage exists at any skew. "
+        "The winnowing guarantee transfers: any shared run of >= 7 "
+        "words yields a shared fingerprint, so real plagiarism of 2+ "
+        "separated runs cannot score zero",
+)
+def q_winnowing_plagiarism_pairs(spark, sf_dir):
+    fp = _winnow_fp(_docs(spark, sf_dir))
+    d = fp.select("doc_id", "fp_hash").distinct()
+    docn = d.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    bk = (
+        d.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(
+            (F.col("_df") >= 2) & (F.col("_df") <= _WINNOW_DF_CAP)
+        )
+        .select("fp_hash")
+    )
+    bd = d.join(bk, "fp_hash", "semi")
+    a = bd.alias("a")
+    b = bd.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+    na = docn.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")
+    )
+    nb = docn.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")
+    )
+    return (
+        pr.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.expr(
+                "(n_shared * 1000000) div least(n_fp_a, n_fp_b)"
+            ).alias("overlap_ppm"),
         )
     )

@@ -489,3 +489,21 @@ def test_markov_normalizer_is_broadcast(spark, reg):
     plan = plan_of(reg["markov_transitions"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_inverted_index_no_join_no_window(spark, reg):
+    """inverted_index_stats: two partial-combinable hash-aggs; the
+    top-posting argmax is an integer-encoded max() — no join and no
+    window anywhere, so stopword skew cannot concentrate a posting
+    list into one partition."""
+    plan = plan_of(reg["inverted_index_stats"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_winnowing_pairs_bucket_local(spark, reg):
+    """winnowing_plagiarism_pairs: pairing must be the df-capped
+    bucket-local equi-join on fp_hash — no cartesian/nested-loop."""
+    plan = plan_of(reg["winnowing_plagiarism_pairs"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
