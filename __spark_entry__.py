@@ -55,6 +55,8 @@ _VERIFY_FIRST = [
     # (0f) NEW in round 6: inverted-index posting stats and the MOSS
     # pair report over winnowing fingerprints — never driver-checked.
     "inverted_index_stats", "winnowing_plagiarism_pairs",
+    # (0g) NEW in round 6: the lossless PPJoin similarity join.
+    "prefix_jaccard_join",
     "rag_chunk_passages", "exact_substring_dedup",
     "countmin_heavy_hitters", "epoch_mixture_plan",
     # (0b) also NEW in round 6: BPE tokenizer induction (train + the
@@ -129,11 +131,13 @@ _VERIFY_FIRST = [
     "login_failure_at_risk_account",
     "notify_merge", "per_endpoint_error_rate",
     "quality_filter_pipeline", "salted_hard_limit",
+    # ---- slot 50 ends at salted_hard_limit (recounted after the 7
+    # new round-6 entries above pushed the boundary up; the seven
+    # r2-stale entries below move to the backlog region) ----
     "session_limit_analysis", "source_login_failure",
     "source_login_failure_dist", "status_comparator",
     "text_repetition",
     "threshold_with_nat_exclusion", "token_count_bpe",
-    # ---- slot 50 ends at token_count_bpe ----
     # backlog (driver-green r3/r4 in current form): only matters if the
     # driver ever checks more than a 50-row prefix
     "amo_cloud_submission", "amo_report_restriction",

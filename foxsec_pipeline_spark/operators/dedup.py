@@ -698,3 +698,124 @@ def bloom_decontaminate(
         F.sum("all_hit").cast("long").alias("n_flagged"),
         (F.sum("all_hit") > 0).alias("is_contaminated"),
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """LOSSLESS token-set Jaccard-join via prefix filtering (the
+    PPJoin candidate rule, Xiao et al. 2008 / Chaudhuri et al. 2006).
+
+    Candidate generation: order every doc's distinct tokens by global
+    rarity (ascending document frequency, token as tie-break) and keep
+    only the PREFIX of length |d| - ceil(t*|d|) + 1. Two sets with
+    Jaccard >= t must overlap in >= ceil(t*max(|A|,|B|)) >=
+    ceil(t*|A|) tokens, so if A and B share NO prefix token, their
+    overlap is confined to the suffixes and is < that bound — hence
+    every qualifying pair shares at least one prefix token. Unlike
+    the `df_cap` pruning in `ngram_jaccard_pairs` (which documents a
+    slight underestimate) this candidate rule is EXACT: recall 1.0 by
+    construction, verified against brute force in tests.
+
+    Verification: candidates re-join their full sorted token arrays
+    and the exact intersection is computed map-side
+    (`array_intersect`); the threshold test is the cross-multiplied
+    integer comparison `t_den*|∩| >= t_num*|∪|` — t stays the
+    rational t_num/t_den end to end, no float ever.
+
+    Scale: the prefix keeps the RAREST tokens, so per-token fan-out
+    in the candidate join is small by construction (the frequent
+    tokens that would explode a shingle join never enter the prefix);
+    the exact verify is bounded by candidate count x doc length. One
+    explode, one window per doc (bounded by doc length), one
+    candidate equi-join, two id-keyed array re-attachments.
+    """
+    from pyspark.sql import Window
+
+    tok = (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+        )
+        .distinct()
+    )
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("wdf"))
+    ranked = tok.join(dfreq, "w").select(
+        id_col,
+        "w",
+        F.row_number()
+        .over(
+            Window.partitionBy(id_col).orderBy("wdf", "w")
+        )
+        .cast("long")
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(id_col))
+        .cast("long")
+        .alias("n"),
+    )
+    # prefix length |d| - ceil(t|d|) + 1 with ceil in exact integers
+    pref = ranked.where(
+        F.col("r")
+        <= F.col("n")
+        - F.expr(f"(n * {t_num} + {t_den - 1}) div {t_den}")
+        + 1
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = tok.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("w")).alias("ws"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    sa = sets.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("ws").alias("ws_a"),
+        F.col("n").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("ws").alias("ws_b"),
+        F.col("n").alias("n_b"),
+    )
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("ws_a", "ws_b"))
+            .cast("long")
+            .alias("n_inter"),
+        )
+        .withColumn(
+            "n_union",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("long"),
+        )
+    )
+    return scored.where(
+        F.col("n_inter") * t_den >= F.col("n_union") * t_num
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        "n_union",
+        F.expr("(n_inter * 1000000) div n_union").alias("jaccard_ppm"),
+    )

@@ -533,3 +533,41 @@ def test_winnowing_matches_bruteforce_selection(spark, reg, tmp_path):
             assert got[i] == len(sel), i
         else:
             assert i not in got  # no full window exists
+
+
+def test_prefix_jaccard_matches_bruteforce_all_pairs(spark):
+    """Recall-1.0 claim of the prefix filter: on a seeded random
+    corpus over a tiny alphabet (forcing many similar token sets),
+    the PPJoin-pruned result must equal brute-force all-pairs
+    token-set Jaccard >= 3/5 exactly — same pairs, same
+    intersection/union counts."""
+    import random
+
+    from foxsec_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rng = random.Random(20250815)
+    texts = {
+        i: [rng.choice("abcdefgh") for _ in range(rng.randint(1, 12))]
+        for i in range(60)
+    }
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in texts.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.n_union)
+        for r in prefix_filter_jaccard_pairs(docs, t_num=3, t_den=5).collect()
+    }
+
+    sets = {i: set(ws) for i, ws in texts.items()}
+    want = {}
+    ids = sorted(sets)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * 5 >= union * 3:
+                want[(a, b)] = (inter, union)
+    assert got == want

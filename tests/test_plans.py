@@ -507,3 +507,13 @@ def test_winnowing_pairs_bucket_local(spark, reg):
     plan = plan_of(reg["winnowing_plagiarism_pairs"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_prefix_jaccard_equi_join_only(spark, reg):
+    """prefix_jaccard_join: candidates come from the prefix-token
+    equi-join and arrays re-attach by id — no cartesian or
+    nested-loop anywhere despite being an all-pairs-semantics
+    similarity join."""
+    plan = plan_of(reg["prefix_jaccard_join"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
