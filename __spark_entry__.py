@@ -55,8 +55,9 @@ _VERIFY_FIRST = [
     # (0f) NEW in round 6: inverted-index posting stats and the MOSS
     # pair report over winnowing fingerprints — never driver-checked.
     "inverted_index_stats", "winnowing_plagiarism_pairs",
-    # (0g) NEW in round 6: the lossless PPJoin similarity join.
-    "prefix_jaccard_join",
+    # (0g) NEW in round 6: the lossless PPJoin similarity join and
+    # degree-ordered triangle counting.
+    "prefix_jaccard_join", "copurchase_triangles",
     "rag_chunk_passages", "exact_substring_dedup",
     "countmin_heavy_hitters", "epoch_mixture_plan",
     # (0b) also NEW in round 6: BPE tokenizer induction (train + the
@@ -130,10 +131,11 @@ _VERIFY_FIRST = [
     "dedup_clusters", "etd_finding_matcher",
     "login_failure_at_risk_account",
     "notify_merge", "per_endpoint_error_rate",
-    "quality_filter_pipeline", "salted_hard_limit",
-    # ---- slot 50 ends at salted_hard_limit (recounted after the 7
-    # new round-6 entries above pushed the boundary up; the seven
+    "quality_filter_pipeline",
+    # ---- slot 50 ends at quality_filter_pipeline (recounted after
+    # the 8 new round-6 entries above pushed the boundary up; the
     # r2-stale entries below move to the backlog region) ----
+    "salted_hard_limit",
     "session_limit_analysis", "source_login_failure",
     "source_login_failure_dist", "status_comparator",
     "text_repetition",

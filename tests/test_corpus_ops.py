@@ -571,3 +571,41 @@ def test_prefix_jaccard_matches_bruteforce_all_pairs(spark):
             if inter * 5 >= union * 3:
                 want[(a, b)] = (inter, union)
     assert got == want
+
+
+def test_triangles_match_bruteforce_on_sf0001(spark):
+    """Degree-ordered triangle counting must equal a brute-force
+    neighbor-intersection count over the identical edge set (built
+    independently via DuckDB) — per node, exactly."""
+    import duckdb
+
+    from foxsec_pipeline_spark.plans.catalog import registry
+
+    edges = duckdb.sql(
+        "SELECT a.l_partkey AS u, b.l_partkey AS v "
+        "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM "
+        "'/root/testdata/sf0.001/lineitem.parquet') a "
+        "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM "
+        "'/root/testdata/sf0.001/lineitem.parquet') b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2 HAVING count(*) >= 2"
+    ).fetchall()
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    eset = {(u, v) for u, v in edges}
+    for u, v in eset:
+        for w in adj[u] & adj[v]:
+            for node in (u, v, w):
+                want[node] = want.get(node, 0) + 1
+    want = {n: c // 3 for n, c in want.items()}  # each tri seen 3x
+
+    got = {
+        r.part: r.n_triangles
+        for r in registry()["copurchase_triangles"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == {n: c for n, c in want.items() if c > 0}

@@ -517,3 +517,14 @@ def test_prefix_jaccard_equi_join_only(spark, reg):
     plan = plan_of(reg["prefix_jaccard_join"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_triangles_no_cartesian_checkpointed_edges(spark, reg):
+    """copurchase_triangles: wedge and closing joins are equi-joins on
+    the oriented edge list (no cartesian/nested-loop); the edge list
+    materializes once (localCheckpoint) so its four consumers plan
+    zero parquet re-scans."""
+    plan = plan_of(reg["copurchase_triangles"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Scan parquet") == 0, plan
