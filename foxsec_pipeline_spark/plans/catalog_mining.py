@@ -542,3 +542,109 @@ def q_copurchase_triangles(spark, sf_dir):
             "(n_triangles * 2000000) div (degree * (degree - 1))"
         ).alias("clustering_ppm"),
     )
+
+
+@register(
+    "sliding_distinct_hll_merge",
+    """
+WITH hourly AS (
+  SELECT DISTINCT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS eh
+  FROM events
+), ev AS (
+  SELECT event_type, user_id,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS eh
+  FROM events
+), x AS (
+  SELECT e.event_type, e.user_id, e.eh + d.d AS win_eh
+  FROM ev e CROSS JOIN (
+    SELECT unnest(generate_series(0, 2)) AS d) d
+), w AS (
+  SELECT x.event_type, x.win_eh, x.user_id
+  FROM x SEMI JOIN hourly h
+    ON x.event_type = h.event_type AND x.win_eh = h.eh
+)
+SELECT event_type, win_eh,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS hll_ok
+FROM w GROUP BY 1, 2
+""",
+    doc="sliding-window distinct users via MERGEABLE HLL sketches "
+        "(Datasketches hll_sketch_agg/hll_union_agg): one hourly "
+        "sketch per (type, hour) built in a single corpus pass, then "
+        "every 3-hour window ending at an observed hour UNIONS the "
+        "three hourly sketches — the raw events are never re-scanned "
+        "per window, which is the only shape that works when windows "
+        "overlap at 100 TB (exact distinct would re-shuffle the full "
+        "user stream once per window). The estimate is checked "
+        "against the exact sliding distinct (computed for the gate "
+        "via a bounded x3 window-assignment fan-out) as a bound "
+        "boolean — |est - exact| <= max(5, 6% of exact), ~3.8 rsd at "
+        "lgK=12 — which the oracle emits as constant TRUE: the "
+        "driver hash-match IS the sketch-accuracy test. At scale the "
+        "exact column drops and the sketch is the answer; hourly "
+        "sketches also roll up to days/weeks by the same union",
+)
+def q_sliding_distinct_hll_merge(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.expr("unix_micros(ts) div 3600000000").alias("eh"),
+    )
+    hourly_sk = ev.groupBy("event_type", "eh").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    hours = hourly_sk.select("event_type", "eh").localCheckpoint(
+        eager=False
+    )
+    d3 = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("d")
+    sk_w = (
+        hourly_sk.select("event_type", "eh", "sk", d3)
+        .select(
+            "event_type",
+            (F.col("eh") + F.col("d")).alias("win_eh"),
+            "sk",
+        )
+        .join(
+            hours.select(
+                "event_type", F.col("eh").alias("win_eh")
+            ),
+            ["event_type", "win_eh"],
+            "semi",
+        )
+        .groupBy("event_type", "win_eh")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("n_est")
+        )
+    )
+    exact_w = (
+        ev.select("event_type", "user_id", "eh", d3)
+        .select(
+            "event_type",
+            "user_id",
+            (F.col("eh") + F.col("d")).alias("win_eh"),
+        )
+        .join(
+            hours.select(
+                "event_type", F.col("eh").alias("win_eh")
+            ),
+            ["event_type", "win_eh"],
+            "semi",
+        )
+        .groupBy("event_type", "win_eh")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    )
+    return exact_w.join(sk_w, ["event_type", "win_eh"]).select(
+        "event_type",
+        "win_eh",
+        "n_exact",
+        (
+            F.abs(F.col("n_est") - F.col("n_exact"))
+            <= F.greatest(
+                F.lit(5).cast("long"),
+                F.ceil(F.lit(0.06) * F.col("n_exact")).cast("long"),
+            )
+        ).alias("hll_ok"),
+    )
