@@ -58,8 +58,10 @@ _VERIFY_FIRST = [
     # (0g) NEW in round 6: the lossless PPJoin similarity join and
     # degree-ordered triangle counting.
     "prefix_jaccard_join", "copurchase_triangles",
-    # (0h) NEW in round 6: mergeable-HLL sliding distinct.
-    "sliding_distinct_hll_merge",
+    # (0h) NEW in round 6: mergeable-HLL sliding distinct, two-phase
+    # Pareto frontier, exact weighted median.
+    "sliding_distinct_hll_merge", "pareto_frontier_parts",
+    "weighted_median_price",
     "rag_chunk_passages", "exact_substring_dedup",
     "countmin_heavy_hitters", "epoch_mixture_plan",
     # (0b) also NEW in round 6: BPE tokenizer induction (train + the
@@ -132,10 +134,12 @@ _VERIFY_FIRST = [
     "customs_alert_fanout", "customs_prefilter_split", "decontaminate",
     "dedup_clusters", "etd_finding_matcher",
     "login_failure_at_risk_account",
-    "notify_merge", "per_endpoint_error_rate",
-    # ---- slot 50 ends at per_endpoint_error_rate (recounted after
-    # the 9 new round-6 entries above pushed the boundary up; the
-    # r2-stale entries below move to the backlog region) ----
+    # ---- slot 50 ends at login_failure_at_risk_account (recounted —
+    # q[49] checked — after the 11 new round-6 entries above pushed
+    # the boundary up; the r2-stale entries below move to the backlog
+    # region) ----
+    "notify_merge",
+    "per_endpoint_error_rate",
     "quality_filter_pipeline",
     "salted_hard_limit",
     "session_limit_analysis", "source_login_failure",

@@ -648,3 +648,145 @@ def q_sliding_distinct_hll_merge(spark, sf_dir):
             )
         ).alias("hll_ok"),
     )
+
+
+@register(
+    "pareto_frontier_parts",
+    """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS psize
+  FROM part
+), f AS (
+  SELECT p_partkey, price_cents, psize,
+         max(psize) OVER (ORDER BY price_cents
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_lt,
+         max(psize) OVER (PARTITION BY price_cents) AS m_eq
+  FROM p
+)
+SELECT p_partkey, price_cents, psize
+FROM f
+WHERE (m_lt IS NULL OR m_lt < psize) AND m_eq = psize
+""",
+    doc="skyline / Pareto-frontier query (minimize price, maximize "
+        "size): a part survives iff no other part is at most its "
+        "price AND at least its size with one strict — the classic "
+        "two-criteria shortlist. Dominance resolves with two windows "
+        "over integer cents: max size at STRICTLY lower price (RANGE "
+        "... 1 PRECEDING) and max size at EQUAL price; ties on both "
+        "axes co-survive. The Spark plan is TWO-PHASE: per-bucket "
+        "frontiers first (hash buckets, windows partition-bounded), "
+        "then the global frontier over the union of bucket frontiers "
+        "— correct because dominance is transitive (a global survivor "
+        "survives its bucket; a cross-bucket-dominated point is "
+        "eliminated in phase 2), so the single-partition window only "
+        "ever sees the tiny frontier union, never the full table. "
+        "Brute-force-verified at sf0.001. The oracle is the direct "
+        "one-pass global-window form",
+)
+def q_pareto_frontier_parts(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("psize"),
+    )
+
+    def frontier(df, extra_part_cols):
+        w_lt = (
+            Window.partitionBy(*extra_part_cols)
+            .orderBy("price_cents")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_eq = Window.partitionBy(*extra_part_cols, "price_cents")
+        f = df.select(
+            "p_partkey",
+            "price_cents",
+            "psize",
+            *extra_part_cols,
+            F.max("psize").over(w_lt).alias("m_lt"),
+            F.max("psize").over(w_eq).alias("m_eq"),
+        )
+        return f.where(
+            (F.col("m_lt").isNull() | (F.col("m_lt") < F.col("psize")))
+            & (F.col("m_eq") == F.col("psize"))
+        ).select("p_partkey", "price_cents", "psize")
+
+    bucketed = p.withColumn(
+        "bkt", F.pmod(F.xxhash64("p_partkey"), F.lit(32))
+    )
+    local = frontier(bucketed, ["bkt"])
+    return frontier(local, [])
+
+
+@register(
+    "weighted_median_price",
+    """
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wt
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, price_cents, wt,
+         CAST(sum(wt) OVER (PARTITION BY l_returnflag
+           ORDER BY price_cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum,
+         CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT)
+           AS tot
+  FROM w
+)
+SELECT l_returnflag, CAST(min(tot) AS BIGINT) AS total_weight,
+       CAST(min(price_cents) AS BIGINT) AS weighted_median_cents
+FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag
+""",
+    doc="exact weighted median (lower weighted median: smallest price "
+        "whose cumulative quantity-weight reaches half the total) per "
+        "return flag, entirely in int64 cents — the robust 'typical "
+        "price paid' statistic, no sketch and no float. The key scale "
+        "move: the cumulative window runs over the (group, DISTINCT "
+        "price) table produced by a partial-combinable hash-agg — NOT "
+        "over raw lineitem rows — so a group with 10^10 rows but "
+        "10^5 distinct prices windows over 10^5 rows. Heavier domains "
+        "would bucket prices first (same two-phase posture as the "
+        "deciles query); the selection itself is a filter + min, no "
+        "second pass over data",
+)
+def q_weighted_median_price(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = li.groupBy(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    ).agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long"))
+        .cast("long")
+        .alias("wt")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    c = w.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("wt").over(wcum).cast("long").alias("cum"),
+        F.sum("wt").over(wall).cast("long").alias("tot"),
+    )
+    return (
+        c.where(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("tot").cast("long").alias("total_weight"),
+            F.min("price_cents")
+            .cast("long")
+            .alias("weighted_median_cents"),
+        )
+    )

@@ -609,3 +609,32 @@ def test_triangles_match_bruteforce_on_sf0001(spark):
         .collect()
     }
     assert got == {n: c for n, c in want.items() if c > 0}
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """Two-phase (bucket-then-global) skyline must equal brute-force
+    dominance over all parts at sf0.001."""
+    import duckdb
+
+    from foxsec_pipeline_spark.plans.catalog import registry
+
+    pts = duckdb.sql(
+        "SELECT p_partkey, CAST(round(p_retailprice*100) AS BIGINT), "
+        "CAST(p_size AS BIGINT) "
+        "FROM '/root/testdata/sf0.001/part.parquet'"
+    ).fetchall()
+    want = set()
+    for k, pr, sz in pts:
+        dominated = any(
+            (pr2 <= pr and sz2 >= sz and (pr2 < pr or sz2 > sz))
+            for _, pr2, sz2 in pts
+        )
+        if not dominated:
+            want.add((k, pr, sz))
+    got = {
+        (r.p_partkey, r.price_cents, r.psize)
+        for r in registry()["pareto_frontier_parts"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -528,3 +528,20 @@ def test_triangles_no_cartesian_checkpointed_edges(spark, reg):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("Scan parquet") == 0, plan
+
+
+def test_pareto_two_phase_no_join(spark, reg):
+    """pareto_frontier_parts: pure window pipeline (bucketed phase then
+    frontier-union phase) — no join anywhere."""
+    plan = plan_of(reg["pareto_frontier_parts"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_weighted_median_windows_distinct_prices(spark, reg):
+    """weighted_median_price: the cumulative window must sit ABOVE the
+    (group, price) hash-agg — HashAggregate appears below Window in
+    the plan — and no join exists."""
+    plan = plan_of(reg["weighted_median_price"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "HashAggregate" in plan and "Window" in plan, plan
