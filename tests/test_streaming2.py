@@ -328,3 +328,80 @@ def test_corpus_ingestion_streaming_twin(spark, tmp_path):
     assert got == expected
     assert any(v[3] for v in got.values())       # some docs kept
     assert any(not v[3] for v in got.values())   # some gated out
+
+
+def test_hll_hourly_sketch_streaming_twin(spark, tmp_path):
+    """The hourly HLL sketch table behind sliding_distinct_hll_merge
+    is a plain hash-aggregation of mergeable sketch buffers, so the
+    stream maintains it AS-IS (complete-mode groupBy agg with bounded
+    per-(type,hour) state); the sliding 3-hour union over the
+    STREAMED sketch snapshot must estimate identically to the batch
+    path — the operational point: raw events flow once, window
+    rollups only ever merge sketches."""
+    from pyspark.sql import functions as F
+
+    from foxsec_pipeline_spark.session import load_tables
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        "event_type",
+        "user_id",
+        F.expr("unix_micros(ts) div 3600000000").alias("eh"),
+    )
+
+    def window_estimates(hourly_sk):
+        # cut lineage so the semi-join back onto the same derivation
+        # is unambiguous (the catalog query does the same)
+        hours = hourly_sk.select("event_type", "eh").localCheckpoint(
+            eager=False
+        )
+        return {
+            (r.event_type, r.win_eh): r.n_est
+            for r in hourly_sk.select(
+                "event_type",
+                "eh",
+                "sk",
+                F.explode(F.sequence(F.lit(0), F.lit(2))).alias("d"),
+            )
+            .select(
+                "event_type",
+                (F.col("eh") + F.col("d")).alias("win_eh"),
+                "sk",
+            )
+            .join(
+                hours.select("event_type", F.col("eh").alias("win_eh")),
+                ["event_type", "win_eh"],
+                "semi",
+            )
+            .groupBy("event_type", "win_eh")
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                .cast("long")
+                .alias("n_est")
+            )
+            .collect()
+        }
+
+    batch_sk = ev.groupBy("event_type", "eh").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    expected = window_estimates(batch_sk)
+
+    src = str(tmp_path / "ev")
+    ev.write.parquet(src)
+    stream_ev = spark.readStream.schema(
+        "event_type string, user_id long, eh long"
+    ).parquet(src)
+    q = (
+        stream_ev.groupBy("event_type", "eh")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed_sk = spark.table("hll_stream")
+    got = window_estimates(streamed_sk)
+    assert got == expected and len(got) > 0
