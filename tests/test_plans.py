@@ -509,14 +509,17 @@ def test_winnowing_pairs_bucket_local(spark, reg):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_prefix_jaccard_equi_join_only(spark, reg):
-    """prefix_jaccard_join: candidates come from the prefix-token
-    equi-join and arrays re-attach by id — no cartesian or
-    nested-loop anywhere despite being an all-pairs-semantics
-    similarity join."""
+def test_prefix_jaccard_bounded_joins(spark, reg):
+    """prefix_jaccard_join: on the driver corpus (vocab 31 <= 62) the
+    adaptive operator takes the bitmask path — the only loop join
+    allowed is the BROADCAST of the compressed distinct-mask table
+    (bounded by min(#docs, 2^vocab)); no cartesian may appear. On
+    real-text vocabularies the prefix path has no loop join at all
+    (pinned by the 120-word brute-force test)."""
     plan = plan_of(reg["prefix_jaccard_join"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the mask loop
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_triangles_no_cartesian_checkpointed_edges(spark, reg):
