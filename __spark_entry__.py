@@ -61,7 +61,7 @@ _VERIFY_FIRST = [
     # (0h) NEW in round 6: mergeable-HLL sliding distinct, two-phase
     # Pareto frontier, exact weighted median.
     "sliding_distinct_hll_merge", "pareto_frontier_parts",
-    "weighted_median_price",
+    "weighted_median_price", "theil_sen_trend",
     "rag_chunk_passages", "exact_substring_dedup",
     "countmin_heavy_hitters", "epoch_mixture_plan",
     # (0b) also NEW in round 6: BPE tokenizer induction (train + the
@@ -133,11 +133,11 @@ _VERIFY_FIRST = [
     "content_server_variance",
     "customs_alert_fanout", "customs_prefilter_split", "decontaminate",
     "dedup_clusters", "etd_finding_matcher",
-    "login_failure_at_risk_account",
-    # ---- slot 50 ends at login_failure_at_risk_account (recounted —
-    # q[49] checked — after the 11 new round-6 entries above pushed
-    # the boundary up; the r2-stale entries below move to the backlog
+    # ---- slot 50 ends at etd_finding_matcher (recounted — q[49]
+    # checked — after the 12 new round-6 entries above pushed the
+    # boundary up; the r2-stale entries below move to the backlog
     # region) ----
+    "login_failure_at_risk_account",
     "notify_merge",
     "per_endpoint_error_rate",
     "quality_filter_pipeline",

@@ -790,3 +790,105 @@ def q_weighted_median_price(spark, sf_dir):
             .alias("weighted_median_cents"),
         )
     )
+
+
+@register(
+    "theil_sen_trend",
+    """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS eh,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), x AS (
+  SELECT event_type, eh - min(eh) OVER (PARTITION BY event_type) AS x,
+         y
+  FROM hourly
+), p AS (
+  SELECT a.event_type,
+         CAST(((b.y - a.y) * 1000000) // (b.x - a.x) AS BIGINT)
+           AS uslope
+  FROM x a JOIN x b
+    ON a.event_type = b.event_type AND a.x < b.x
+), c AS (
+  SELECT event_type, uslope,
+         CAST(count(*) AS BIGINT) AS wt
+  FROM p GROUP BY 1, 2
+), s AS (
+  SELECT event_type, uslope, wt,
+         CAST(sum(wt) OVER (PARTITION BY event_type ORDER BY uslope
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum,
+         CAST(sum(wt) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+  FROM c
+)
+SELECT event_type, CAST(min(tot) AS BIGINT) AS n_pairs,
+       CAST(min(uslope) AS BIGINT) AS ts_slope_uppm
+FROM s WHERE cum * 2 >= tot GROUP BY event_type
+""",
+    doc="Theil-Sen robust trend per event type — the median of all "
+        "pairwise slopes over hourly volumes, the estimator that "
+        "shrugs off the outlier spikes that bend the OLS twin "
+        "(hourly_trend_slopes): slopes are DEFINED as exact integer "
+        "micro-slopes floor((dy*1e6)/dx) so both engines order and "
+        "median them identically (a true rational median is not "
+        "SQL-orderable; the micro-unit definition is engine-portable "
+        "and loses < 1 micro-unit). The median reuses the "
+        "weighted-median shape: pair slopes hash-agg to (type, "
+        "uslope, weight) FIRST, the cumulative window runs over "
+        "distinct slope values, never raw pairs. Scale: the pair join "
+        "is per-type over the OBSERVED-HOURS table (retention-hours x "
+        "types, independent of event count), so the quadratic stage "
+        "is bounded by hours² per type — ~10^5 pairs for a month of "
+        "hours — while the only fact-sized work is the first "
+        "map-side-combining hash-agg",
+)
+def q_theil_sen_trend(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("eh"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    x = hourly.select(
+        "event_type",
+        (
+            F.col("eh")
+            - F.min("eh").over(Window.partitionBy("event_type"))
+        ).alias("x"),
+        "y",
+    )
+    a = x.alias("a")
+    b = x.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.expr("((b.y - a.y) * 1000000) div (b.x - a.x)").alias(
+            "uslope"
+        ),
+    )
+    c = p.groupBy("event_type", "uslope").agg(
+        F.count(F.lit(1)).cast("long").alias("wt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("uslope")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    s = c.select(
+        "event_type",
+        "uslope",
+        F.sum("wt").over(wcum).cast("long").alias("cum"),
+        F.sum("wt").over(wall).cast("long").alias("tot"),
+    )
+    return (
+        s.where(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("event_type")
+        .agg(
+            F.min("tot").cast("long").alias("n_pairs"),
+            F.min("uslope").cast("long").alias("ts_slope_uppm"),
+        )
+    )

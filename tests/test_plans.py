@@ -548,3 +548,13 @@ def test_weighted_median_windows_distinct_prices(spark, reg):
     plan = plan_of(reg["weighted_median_price"].fn(spark, SF_DIR))
     assert "Join" not in plan, plan
     assert "HashAggregate" in plan and "Window" in plan, plan
+
+
+def test_theil_sen_pairs_over_hourly_table(spark, reg):
+    """theil_sen_trend: the pair self-join must sit above the hourly
+    hash-agg (quadratic only in observed hours), and the median window
+    runs over distinct slope values — HashAggregate below the Window,
+    no cartesian."""
+    plan = plan_of(reg["theil_sen_trend"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan and "Window" in plan, plan
