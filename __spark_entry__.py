@@ -52,6 +52,15 @@ _VERIFY_FIRST = [
     # stale-but-stable map-side entries past the 50 boundary.
     "frequent_itemsets", "changepoint_mean_shift",
     "snapshot_diff", "markov_transitions",
+    # (0i) NEWEST in round 6 — never driver-checked: integer-exact
+    # PageRank over the co-purchase graph, the Benford first-digit
+    # fraud screen, Gini-Simpson token diversity, and hybrid RRF
+    # fusion (exact cosine x int8-dot). Displace four more r2-stale
+    # entries (customs_prefilter_split, decontaminate, dedup_clusters,
+    # etd_finding_matcher — shared code untouched this round) past the
+    # 50 boundary.
+    "copurchase_pagerank", "benford_first_digit",
+    "gini_token_diversity", "rrf_hybrid_fusion",
     # (0f) NEW in round 6: inverted-index posting stats and the MOSS
     # pair report over winnowing fingerprints — never driver-checked.
     "inverted_index_stats", "winnowing_plagiarism_pairs",
@@ -131,12 +140,13 @@ _VERIFY_FIRST = [
     "ann_cosine_lsh_multiprobe",
     "auth_state_decision", "aws_behavior_match",
     "content_server_variance",
-    "customs_alert_fanout", "customs_prefilter_split", "decontaminate",
+    "customs_alert_fanout",
+    # ---- slot 50 ends at customs_alert_fanout (recounted — q[49]
+    # checked — after the 4 newest round-6 entries above pushed the
+    # boundary up again; the r2-stale entries below move to the
+    # backlog region) ----
+    "customs_prefilter_split", "decontaminate",
     "dedup_clusters", "etd_finding_matcher",
-    # ---- slot 50 ends at etd_finding_matcher (recounted — q[49]
-    # checked — after the 12 new round-6 entries above pushed the
-    # boundary up; the r2-stale entries below move to the backlog
-    # region) ----
     "login_failure_at_risk_account",
     "notify_merge",
     "per_endpoint_error_rate",

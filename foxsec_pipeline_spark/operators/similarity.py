@@ -1044,3 +1044,144 @@ def cosine_topk_pq(
         )
     )
     return _score_candidates(cand, queries, corpus, id_col, vec_col, k)
+
+
+def l2_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Exact top-k Euclidean neighbors per query (brute force) — the
+    distance-metric twin of :func:`cosine_topk` with the same
+    broadcast-queries / one-corpus-pass shape.
+
+    Squared distance is computed as |q|^2 + |c|^2 - 2*dot(q, c) with
+    the per-vector self-dots hoisted out of the per-pair expression —
+    and the SQL oracle must use the SAME algebraic form (a direct
+    sum((q_i - c_i)^2) fold accumulates float error differently and
+    can flip rounded ties). Ranking uses the rounded distance with id
+    tie-break, ascending.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("__qq"),
+    )
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("__cc"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "dist2",
+            F.round(
+                F.col("__qq")
+                + F.col("__cc")
+                - F.lit(2.0) * dot(F.col("__qv"), F.col("__cv")),
+                round_decimals,
+            ),
+        )
+        .drop("__qv", "__cv", "__qq", "__cc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(int(k)))
+        .select("query_id", "neighbor_id", "dist2", "rank")
+    )
+
+
+def rrf_fuse(ranked_lists: list[DataFrame], k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of per-query
+    ranked lists — the standard hybrid-retrieval combiner (e.g. dense
+    cosine + a second retriever): each list contributes
+    1/(k + rank), summed per (query, candidate).
+
+    Scores are exact integers in micro-units — 1000000 div (k + rank)
+    — so fusion is engine-portable with zero float hazard (the float
+    similarity scores only ever influenced the input RANKS, which are
+    already deterministic via rounded-score + id tie-breaks). Inputs
+    need columns (query_id, neighbor_id, rank); extra columns are
+    dropped. Scale: each input is already top-k pruned (|queries| * k
+    rows), so the union + hash-agg is query-dimension sized.
+    """
+    parts = [
+        df.select(
+            "query_id",
+            "neighbor_id",
+            F.expr(f"1000000 div ({int(k)} + rank)").alias("__c"),
+            F.col("rank").alias("__r"),
+        )
+        for df in ranked_lists
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return u.groupBy("query_id", "neighbor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.min("__r").cast("long").alias("best_rank"),
+        F.sum("__c").cast("long").alias("rrf_ppm"),
+    )
+
+
+def int8_dot_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k by integer dot product over the int8-quantized codes —
+    the fast-retriever half of a hybrid stack (4x smaller vectors,
+    int8 dot kernels), rank-divergent from exact cosine by exactly
+    the quantization error.
+
+    Codes use the :func:`int8_quantize` scheme (per-vector symmetric,
+    floor(x / max|x| * 127)); the pair score sum(qc_i * cc_i) is then
+    PURE INTEGER — no rounding step at all, so the ranking (score
+    desc, id asc) is trivially engine-exact.
+    """
+
+    def _codes(col):
+        v = F.transform(col, lambda x: x.cast("double"))
+        m = F.array_max(F.transform(v, F.abs))
+        return F.when(
+            m > 0,
+            F.transform(v, lambda x: F.floor(x / m * 127).cast("long")),
+        ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _codes(F.col(vec_col)).alias("__qc"),
+    )
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        _codes(F.col(vec_col)).alias("__cc"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "int8_dot",
+            F.aggregate(
+                F.zip_with(F.col("__qc"), F.col("__cc"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .drop("__qc", "__cc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("int8_dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(int(k)))
+        .select("query_id", "neighbor_id", "int8_dot", "rank")
+    )

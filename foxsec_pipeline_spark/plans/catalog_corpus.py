@@ -849,3 +849,58 @@ def q_prefix_jaccard_join(spark, sf_dir):
     return prefix_filter_jaccard_pairs(
         _docs(spark, sf_dir), t_num=3, t_den=5
     )
+
+
+@register(
+    "gini_token_diversity",
+    """
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM t GROUP BY 1, 2
+), s AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(cnt * cnt) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n AS n_tokens, n_distinct,
+       CAST(1000000 - (1000000 * s2) // (n * n) AS BIGINT) AS gini_ppm
+FROM s
+""",
+    doc="per-document token diversity as the Gini-Simpson index "
+        "1 - sum(p_i^2) in exact integer ppm — the log-free twin of "
+        "Shannon entropy (same corpus-drift rationale: ln() is not "
+        "IEEE-exact across engines, squares and integer division "
+        "are). Low diversity flags boilerplate/template/spam docs the "
+        "repetition filter's fixed n-gram window can miss; emitted "
+        "alongside token and distinct-token counts so the quality "
+        "pipeline can gate on any of the three. Scale: explode -> "
+        "(doc, token) hash-agg (partial map-side combine absorbs "
+        "within-partition repeats) -> per-doc hash-agg; both shuffles "
+        "key on doc_id so the second is a re-partition-free "
+        "child-partitioning reuse; no window, no join",
+)
+def q_gini_token_diversity(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    counts = t.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    s = counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "n_distinct",
+        F.expr(
+            "cast(1000000 - (1000000 * s2) div (n * n) as bigint)"
+        ).alias("gini_ppm"),
+    )

@@ -2742,3 +2742,82 @@ def q_oov_rate_filter(spark, sf_dir):
         F.expr("(n_oov * 1000000) div n_tokens").alias("oov_ppm"),
         (F.expr("(n_oov * 1000000) div n_tokens") > 300000).alias("flagged"),
     )
+
+
+@register(
+    "rrf_hybrid_fusion",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         {_FOLD.format(a='embedding', b='embedding')} AS qq
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv,
+         {_FOLD.format(a='embedding', b='embedding')} AS cc
+  FROM embeddings
+), cos AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round({_FOLD.format(a='qv', b='cv')}
+                          / (sqrt(qq) * sqrt(cc)), 6) DESC,
+                    neighbor_id) AS rank
+  FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+), qz AS (
+  SELECT query_id,
+         CASE WHEN list_max(list_transform(qv, x -> abs(x::DOUBLE))) > 0
+              THEN list_transform(qv, x -> CAST(floor(x::DOUBLE
+                / list_max(list_transform(qv, y -> abs(y::DOUBLE)))
+                * 127) AS BIGINT))
+              ELSE list_transform(qv, x -> CAST(0 AS BIGINT)) END AS qc
+  FROM q
+), cz AS (
+  SELECT neighbor_id,
+         CASE WHEN list_max(list_transform(cv, x -> abs(x::DOUBLE))) > 0
+              THEN list_transform(cv, x -> CAST(floor(x::DOUBLE
+                / list_max(list_transform(cv, y -> abs(y::DOUBLE)))
+                * 127) AS BIGINT))
+              ELSE list_transform(cv, x -> CAST(0 AS BIGINT)) END AS cc
+  FROM c
+), i8 AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY list_reduce(list_transform(range(1, 65),
+                      i -> qc[i] * cc[i]), (x, y) -> x + y) DESC,
+                    neighbor_id) AS rank
+  FROM cz CROSS JOIN qz WHERE query_id <> neighbor_id
+), u AS (
+  SELECT query_id, neighbor_id, rank FROM cos WHERE rank <= 10
+  UNION ALL
+  SELECT query_id, neighbor_id, rank FROM i8 WHERE rank <= 10
+)
+SELECT query_id, neighbor_id,
+       CAST(count(*) AS BIGINT) AS n_lists,
+       CAST(min(rank) AS BIGINT) AS best_rank,
+       CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm
+FROM u GROUP BY query_id, neighbor_id
+""",
+    doc="reciprocal-rank fusion (Cormack et al. 2009) of an exact and "
+        "a quantized retriever — float cosine top-10 and int8-code "
+        "dot-product top-10 (the int8_quantize scheme) — per query: "
+        "the standard hybrid/tiered-retrieval combiner. The two lists "
+        "genuinely diverge by the quantization error (the corpus "
+        "embeddings are unit-norm, so an L2 second list would be "
+        "rank-identical to cosine — tested as the metric-equivalence "
+        "property of l2_topk). Fusion scores are exact integers, "
+        "1000000 div (60 + rank): the int8 list never touches a "
+        "float at scoring time and the cosine list's ranks are "
+        "deterministic via rounded-score + id tie-breaks (the "
+        "ann_cosine_topk precedent). Scale: queries broadcast, ONE "
+        "corpus pass per retriever, each list top-k pruned before "
+        "the union so fusion hash-aggregates |queries| x 2k rows",
+)
+def q_rrf_hybrid_fusion(spark, sf_dir):
+    from ..operators.similarity import cosine_topk, int8_dot_topk, rrf_fuse
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.where(F.col("vec_id") < 10)
+    return rrf_fuse(
+        [cosine_topk(q, emb, k=10), int8_dot_topk(q, emb, k=10)], k=60
+    )

@@ -892,3 +892,205 @@ def q_theil_sen_trend(spark, sf_dir):
             F.min("uslope").cast("long").alias("ts_slope_uppm"),
         )
     )
+
+
+# PageRank: fixed iteration count (unrolled in the oracle), damping
+# 85/100, ranks in integer micro-units so both engines compute the
+# exact same numbers (positive integer division truncates identically).
+_PR_ITERS = 3
+
+
+def _pr_iter_cte(prev: str, this: str) -> str:
+    return f"""{this} AS (
+  SELECT e.dst AS node,
+         CAST(150000 + (85 * sum(r.r // d.degree)) // 100 AS BIGINT) AS r
+  FROM edges e
+  JOIN {prev} r ON e.src = r.node
+  JOIN deg d ON e.src = d.node
+  GROUP BY e.dst
+)"""
+
+
+@register(
+    "copurchase_pagerank",
+    f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_MIN_PAIR_SUPP}
+), edges AS (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL SELECT v AS src, u AS dst FROM pairs
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+  FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg
+), {", ".join(_pr_iter_cte(f"r{i}", f"r{i + 1}") for i in range(_PR_ITERS))}
+SELECT rN.node AS part, d.degree, rN.r AS pagerank_ppm
+FROM r{_PR_ITERS} rN JOIN deg d ON rN.node = d.node
+""",
+    doc="PageRank over the co-purchase graph (same bidirectional edge "
+        f"construction as copurchase_triangles), {_PR_ITERS} power "
+        "iterations at damping 85/100 with ranks in exact integer "
+        "micro-units: contrib(u->v) = r(u) div deg(u), r'(v) = 150000 "
+        "+ (85 * sum(contrib)) div 100 — every op is positive-integer "
+        "division, so Spark `div` and DuckDB `//` agree bit-for-bit "
+        "and the oracle simply unrolls the iterations as CTEs. The "
+        "undirected graph has no dangling nodes (every vertex has an "
+        "out-edge) so no mass-redistribution term is needed. Scale: "
+        "the loop-invariant (src, dst, degree) edge table is built "
+        "once and localCheckpointed; each iteration is ONE "
+        "co-partitioned join (ranks are node-sized — AQE broadcasts "
+        "them when small, and at 1000-executor scale both sides hash "
+        "on src so the edge table never re-shuffles across "
+        "iterations) plus ONE hash-agg on dst; ranks localCheckpoint "
+        "per round to cut lineage exactly like the dedup CC loop. "
+        "Iterations are a fixed constant, not data-dependent",
+)
+def q_copurchase_pagerank(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.u", "pr.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= _MIN_PAIR_SUPP)
+        .select("u", "v")
+    )
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1000000).cast("long").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = ed.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select("dst", F.expr("r div degree").alias("c"))
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(
+                F.expr(
+                    "cast(150000 + (85 * sum(c)) div 100 as bigint)"
+                ).alias("r")
+            )
+            .withColumnRenamed("dst", "node")
+            .localCheckpoint(eager=False)
+        )
+    return ranks.join(
+        deg.withColumnRenamed("src", "node"), "node"
+    ).select(F.col("node").alias("part"), "degree", F.col("r").alias("pagerank_ppm"))
+
+
+# Benford's-law expected first-digit shares, log10(1+1/d) rounded to
+# ppm (the nine literals sum to exactly 1,000,000 so total-variation
+# distances stay exact integers).
+_BENFORD_PPM = [
+    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+    (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+]
+
+
+@register(
+    "benford_first_digit",
+    f"""
+WITH cents AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS c
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), digits AS (
+  SELECT seg, CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM cents
+), counts AS (
+  SELECT seg, d, CAST(count(*) AS BIGINT) AS cnt
+  FROM digits GROUP BY 1, 2
+), n AS (
+  SELECT seg, CAST(sum(cnt) AS BIGINT) AS n FROM counts GROUP BY 1
+), bf AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM)}
+  ) AS t(d, exp_ppm)
+), dev AS (
+  SELECT g.seg, g.n,
+         abs(COALESCE(c.cnt, 0) * 1000000 // g.n - g.exp_ppm) AS dev
+  FROM (SELECT n.seg, n.n, bf.d, bf.exp_ppm FROM n CROSS JOIN bf) g
+  LEFT JOIN counts c ON g.seg = c.seg AND g.d = c.d
+)
+SELECT seg AS segment, CAST(min(n) AS BIGINT) AS n_orders,
+       CAST(max(dev) AS BIGINT) AS max_dev_ppm,
+       CAST(sum(dev) // 2 AS BIGINT) AS tv_ppm
+FROM dev GROUP BY seg
+""",
+    doc="Benford's-law first-digit conformance per customer market "
+        "segment over order totals — the classic forensic-accounting "
+        "fraud screen (fabricated amounts skew away from the "
+        "logarithmic first-digit distribution). First digit comes "
+        "from the integer-cents string head (identical across "
+        "engines; the leading digit of price and of price*100 "
+        "coincide); expected shares are the nine hardcoded "
+        "log10(1+1/d) ppm literals (summing to exactly 1e6), so "
+        "observed-vs-expected deviations — max per digit and "
+        "total-variation distance — are exact integers with zero "
+        "log()/float hazard. Missing digits count as observed 0 via "
+        "the segment x digit grid LEFT JOIN. Scale: the customer "
+        "segment dim joins BROADCAST onto the orders scan; then one "
+        "(segment, digit) hash-agg (<= 9 cells per segment, "
+        "partial-aggregated map-side); the 9-row Benford table "
+        "broadcasts; the grid is segment-dimension sized",
+)
+def q_benford_first_digit(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    digits = orders.join(F.broadcast(cust), "o_custkey").select(
+        "seg",
+        F.expr(
+            "cast(substr(cast(cast(round(o_totalprice * 100) as bigint)"
+            " as string), 1, 1) as bigint)"
+        ).alias("d"),
+    )
+    counts = digits.groupBy("seg", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    n = counts.groupBy("seg").agg(F.sum("cnt").cast("long").alias("n"))
+    bf = F.broadcast(
+        counts.sparkSession.createDataFrame(
+            _BENFORD_PPM, "d bigint, exp_ppm bigint"
+        )
+    )
+    grid = n.crossJoin(bf)
+    dev = grid.join(counts, ["seg", "d"], "left").select(
+        "seg",
+        "n",
+        F.expr(
+            "abs(coalesce(cnt, 0) * 1000000 div n - exp_ppm)"
+        ).alias("dev"),
+    )
+    return dev.groupBy("seg").agg(
+        F.min("n").cast("long").alias("n_orders"),
+        F.max("dev").cast("long").alias("max_dev_ppm"),
+        F.expr("cast(sum(dev) div 2 as bigint)").alias("tv_ppm"),
+    ).select(
+        F.col("seg").alias("segment"), "n_orders", "max_dev_ppm", "tv_ppm"
+    )

@@ -1,0 +1,197 @@
+"""Round-6 additions: co-purchase PageRank, Benford first-digit
+screen, Gini token diversity, and the hybrid RRF fusion — semantic
+properties with pure-Python brute-force cross-checks (DuckDB value
+parity runs in the catalog-wide sweep in test_catalog.py)."""
+
+import contextlib
+import io
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from foxsec_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    int8_dot_topk,
+    l2_topk,
+    rrf_fuse,
+)
+from foxsec_pipeline_spark.plans.catalog import registry
+
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return registry()
+
+
+def test_pagerank_matches_python_power_iteration(spark, reg):
+    """Replay the exact integer power iteration in pure Python over
+    the same edge set and compare every rank bit-for-bit."""
+    out = {
+        r.part: (r.degree, r.pagerank_ppm)
+        for r in reg["copurchase_pagerank"].fn(spark, SF_DIR).collect()
+    }
+    # rebuild the co-purchase edge set the same way (support >= 2)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    items = li.select("l_orderkey", "l_partkey").distinct().collect()
+    by_order = {}
+    for r in items:
+        by_order.setdefault(r.l_orderkey, []).append(r.l_partkey)
+    pair_supp = Counter()
+    for parts in by_order.values():
+        ps = sorted(set(parts))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_supp[(ps[i], ps[j])] += 1
+    edges = []
+    for (u, v), s in pair_supp.items():
+        if s >= 2:
+            edges.append((u, v))
+            edges.append((v, u))
+    deg = Counter(src for src, _ in edges)
+    r = {n: 1_000_000 for n in deg}
+    for _ in range(3):
+        acc = Counter()
+        for src, dst in edges:
+            acc[dst] += r[src] // deg[src]
+        r = {n: 150_000 + (85 * acc[n]) // 100 for n in acc}
+    assert set(out) == set(r)
+    for n, (d, pr) in out.items():
+        assert d == deg[n]
+        assert pr == r[n], (n, pr, r[n])
+    # sanity: damping preserves total mass up to truncation drift
+    n_nodes = len(r)
+    assert 0.9 * n_nodes * 1_000_000 <= sum(r.values()) <= n_nodes * 1_000_000
+
+
+def test_benford_matches_python_recount(spark, reg):
+    """Recompute the per-segment digit histogram + deviations in pure
+    Python from the same parquet and compare."""
+    rows = reg["benford_first_digit"].fn(spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    cust = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    exp = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+           6: 66947, 7: 57992, 8: 51153, 9: 45757}
+    counts: dict[str, Counter] = {}
+    for o in orders:
+        seg = cust[o.o_custkey]
+        d = int(str(int(round(o.o_totalprice * 100)))[0])
+        counts.setdefault(seg, Counter())[d] += 1
+    assert {r.segment for r in rows} == set(counts)
+    for r in rows:
+        c = counts[r.segment]
+        n = sum(c.values())
+        devs = [abs(c.get(d, 0) * 1_000_000 // n - exp[d]) for d in exp]
+        assert r.n_orders == n
+        assert r.max_dev_ppm == max(devs)
+        assert r.tv_ppm == sum(devs) // 2
+        # synthetic uniform prices are NOT Benford-distributed — the
+        # screen must actually fire (tv far above a conforming ~0)
+        assert r.tv_ppm > 100_000
+
+
+def test_gini_matches_python_recount(spark, reg):
+    out = {
+        r.doc_id: r
+        for r in reg["gini_token_diversity"].fn(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    assert len(out) == len(docs)
+    import re
+
+    for d in docs:
+        toks = re.split(r"\s+", d.text.strip())
+        c = Counter(toks)
+        n = sum(c.values())
+        s2 = sum(v * v for v in c.values())
+        g = 1_000_000 - (1_000_000 * s2) // (n * n)
+        r = out[d.doc_id]
+        assert (r.n_tokens, r.n_distinct, r.gini_ppm) == (n, len(c), g)
+
+
+def test_l2_topk_metric_equivalence_on_unit_norm(spark):
+    """On a unit-norm corpus, Euclidean and cosine rankings coincide
+    (|a-b|^2 = 2 - 2cos) — the reason the RRF query pairs cosine with
+    the int8 retriever instead. On anisotropically SCALED vectors the
+    two metrics genuinely diverge."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    cos = {(r.query_id, r.rank): r.neighbor_id
+           for r in cosine_topk(q, emb, k=5).collect()}
+    l2 = {(r.query_id, r.rank): r.neighbor_id
+          for r in l2_topk(q, emb, k=5).collect()}
+    assert cos == l2
+    # scale each vector by a per-id factor: cosine is scale-invariant,
+    # L2 is not, so the rankings must now differ somewhere
+    scaled = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> x * (1.0 + pmod(vec_id, 7)))"
+        ).alias("embedding"),
+    )
+    sq = scaled.where(F.col("vec_id") < 5)
+    cos_s = {(r.query_id, r.rank): r.neighbor_id
+             for r in cosine_topk(sq, scaled, k=5).collect()}
+    l2_s = {(r.query_id, r.rank): r.neighbor_id
+            for r in l2_topk(sq, scaled, k=5).collect()}
+    assert cos_s != l2_s
+
+
+def test_rrf_fuse_hand_computed(spark):
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    got = {r.neighbor_id: r for r in rrf_fuse([a, b], k=60).collect()}
+    # 11 appears in both lists: 1e6//62 + 1e6//61 = 16129 + 16393
+    assert got[11].rrf_ppm == 1_000_000 // 62 + 1_000_000 // 61
+    assert got[11].n_lists == 2 and got[11].best_rank == 1
+    assert got[10].rrf_ppm == 1_000_000 // 61 and got[10].n_lists == 1
+    assert got[12].rrf_ppm == 1_000_000 // 63
+    assert got[13].rrf_ppm == 1_000_000 // 62
+    # fused order puts the double-hit first
+    ranked = sorted(got.values(), key=lambda r: -r.rrf_ppm)
+    assert ranked[0].neighbor_id == 11
+
+
+def test_int8_retriever_diverges_but_overlaps(spark):
+    """The quantized list must differ from exact cosine somewhere
+    (otherwise the fusion is vacuous) while still being a decent
+    approximation (majority overlap in the top-10)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    cos = cosine_topk(q, emb, k=10).collect()
+    i8 = int8_dot_topk(q, emb, k=10).collect()
+    cs = {(r.query_id, r.neighbor_id) for r in cos}
+    is_ = {(r.query_id, r.neighbor_id) for r in i8}
+    assert cs != is_
+    overlap = len(cs & is_) / len(cs)
+    assert overlap >= 0.5, overlap
+
+
+def test_new_query_plan_shapes(spark, reg):
+    """PageRank: no cartesian product, degree join present. Benford:
+    the customer dim joins broadcast."""
+    pr = plan_of(reg["copurchase_pagerank"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in pr
+    bf = plan_of(reg["benford_first_digit"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in bf
+    assert "CartesianProduct" not in bf
+    gi = plan_of(reg["gini_token_diversity"].fn(spark, SF_DIR))
+    assert "Join" not in gi and "CartesianProduct" not in gi
