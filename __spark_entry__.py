@@ -61,6 +61,11 @@ _VERIFY_FIRST = [
     # 50 boundary.
     "copurchase_pagerank", "benford_first_digit",
     "gini_token_diversity", "rrf_hybrid_fusion",
+    # (0j) NEWEST in round 6 — never driver-checked: two-sample KS
+    # drift and the HLL-merge intersection accuracy gate. Displace
+    # login_failure_at_risk_account + notify_merge (r2-stale, shared
+    # code untouched) past the 50 boundary.
+    "ks_drift_orders", "hll_intersection_overlap",
     # (0f) NEW in round 6: inverted-index posting stats and the MOSS
     # pair report over winnowing fingerprints — never driver-checked.
     "inverted_index_stats", "winnowing_plagiarism_pairs",
@@ -139,12 +144,12 @@ _VERIFY_FIRST = [
     "amo_addon_matcher",
     "ann_cosine_lsh_multiprobe",
     "auth_state_decision", "aws_behavior_match",
-    "content_server_variance",
-    "customs_alert_fanout",
-    # ---- slot 50 ends at customs_alert_fanout (recounted — q[49]
-    # checked — after the 4 newest round-6 entries above pushed the
+    # ---- slot 50 ends at aws_behavior_match (recounted — q[49]
+    # checked — after the 6 newest round-6 entries above pushed the
     # boundary up again; the r2-stale entries below move to the
     # backlog region) ----
+    "content_server_variance",
+    "customs_alert_fanout",
     "customs_prefilter_split", "decontaminate",
     "dedup_clusters", "etd_finding_matcher",
     "login_failure_at_risk_account",

@@ -1094,3 +1094,220 @@ def q_benford_first_digit(spark, sf_dir):
     ).select(
         F.col("seg").alias("segment"), "n_orders", "max_dev_ppm", "tv_ppm"
     )
+
+
+_KS_CUTOFF = "1998-05-01 00:00:00"
+
+
+@register(
+    "ks_drift_orders",
+    f"""
+WITH v AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o.o_orderdate < TIMESTAMP '{_KS_CUTOFF}'
+              THEN 0 ELSE 1 END AS side
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), cnt AS (
+  SELECT seg, v,
+         CAST(count(*) FILTER (side = 0) AS BIGINT) AS ca,
+         CAST(count(*) FILTER (side = 1) AS BIGINT) AS cb
+  FROM v GROUP BY seg, v
+), tot AS (
+  SELECT seg, CAST(sum(ca) AS BIGINT) AS na,
+         CAST(sum(cb) AS BIGINT) AS nb
+  FROM cnt GROUP BY seg
+), cum AS (
+  SELECT c.seg, c.v, t.na, t.nb,
+         CAST(sum(c.ca) OVER (PARTITION BY c.seg ORDER BY c.v) AS BIGINT)
+           AS cuma,
+         CAST(sum(c.cb) OVER (PARTITION BY c.seg ORDER BY c.v) AS BIGINT)
+           AS cumb
+  FROM cnt c JOIN tot t ON c.seg = t.seg
+), dev AS (
+  SELECT seg, v, na, nb,
+         abs(cuma * 1000000 // na - cumb * 1000000 // nb) AS d
+  FROM cum
+), ks AS (
+  SELECT seg, CAST(min(na) AS BIGINT) AS n_before,
+         CAST(min(nb) AS BIGINT) AS n_after,
+         CAST(max(d) AS BIGINT) AS ks_ppm
+  FROM dev GROUP BY seg
+)
+SELECT k.seg AS segment, k.n_before, k.n_after, k.ks_ppm,
+       CAST(min(d.v) AS BIGINT) AS ks_at_cents
+FROM ks k JOIN dev d ON k.seg = d.seg AND d.d = k.ks_ppm
+GROUP BY k.seg, k.n_before, k.n_after, k.ks_ppm
+""",
+    doc="two-sample Kolmogorov-Smirnov drift statistic per customer "
+        "segment: order-value distribution before vs after "
+        f"{_KS_CUTOFF.split(' ')[0]} (the month-over-month "
+        "data-quality drift monitor for a continuously ingested "
+        "fact table; TV-on-tokens covers categorical drift, KS "
+        "covers ordered/numeric drift). Exact integers end to end: "
+        "empirical CDFs are cumulative counts over the (segment, "
+        "DISTINCT cents) table scaled to ppm via integer div, the "
+        "statistic is their max absolute gap, and ks_at_cents pins "
+        "the value where the gap is attained (min such value — "
+        "deterministic). Evaluating the gap only at observed values "
+        "is lossless: between consecutive observations both CDFs are "
+        "constant. Scale: one fact scan + broadcast segment dim -> "
+        "(seg, cents) hash-agg, so windows run over DISTINCT VALUES "
+        "per segment, not rows (the weighted-median shape: 1e10 rows "
+        "with 1e5 distinct prices windows over 1e5); the argmax join "
+        "is against the 5-row ks table, broadcast",
+)
+def q_ks_drift_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    v = orders.join(F.broadcast(cust), "o_custkey").select(
+        "seg",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v"),
+        F.expr(
+            f"case when o_orderdate < timestamp'{_KS_CUTOFF}'"
+            " then 0 else 1 end"
+        ).alias("side"),
+    )
+    cnt = v.groupBy("seg", "v").agg(
+        F.sum(F.expr("if(side = 0, 1, 0)")).cast("long").alias("ca"),
+        F.sum(F.expr("if(side = 1, 1, 0)")).cast("long").alias("cb"),
+    )
+    wtot = Window.partitionBy("seg")
+    wcum = (
+        Window.partitionBy("seg")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = cnt.select(
+        "seg",
+        "v",
+        F.sum("ca").over(wtot).cast("long").alias("na"),
+        F.sum("cb").over(wtot).cast("long").alias("nb"),
+        F.sum("ca").over(wcum).cast("long").alias("cuma"),
+        F.sum("cb").over(wcum).cast("long").alias("cumb"),
+    ).select(
+        "seg",
+        "v",
+        "na",
+        "nb",
+        F.expr(
+            "abs(cuma * 1000000 div na - cumb * 1000000 div nb)"
+        ).alias("d"),
+    )
+    ks = dev.groupBy("seg").agg(
+        F.min("na").cast("long").alias("n_before"),
+        F.min("nb").cast("long").alias("n_after"),
+        F.max("d").cast("long").alias("ks_ppm"),
+    ).select(
+        F.col("seg").alias("kseg"), "n_before", "n_after", "ks_ppm"
+    ).localCheckpoint(eager=False)
+    return (
+        dev.join(
+            F.broadcast(ks),
+            (F.col("seg") == F.col("kseg"))
+            & (F.col("d") == F.col("ks_ppm")),
+        )
+        .groupBy("kseg", "n_before", "n_after", "ks_ppm")
+        .agg(F.min("v").cast("long").alias("ks_at_cents"))
+        .select(
+            F.col("kseg").alias("segment"),
+            "n_before",
+            "n_after",
+            "ks_ppm",
+            "ks_at_cents",
+        )
+    )
+
+
+@register(
+    "hll_intersection_overlap",
+    """
+WITH u AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM u a JOIN u b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+), n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1
+)
+SELECT p.type_a, p.type_b, na.n AS n_a, nb.n AS n_b, p.n_inter,
+       TRUE AS inter_within_bound
+FROM pairs p
+JOIN n na ON p.type_a = na.event_type
+JOIN n nb ON p.type_b = nb.event_type
+""",
+    doc="audience-overlap estimation from MERGED HLL sketches with "
+        "inclusion-exclusion — |A∩B| ≈ est(A) + est(B) - est(A∪B) — "
+        "checked against the exact intersection: the query emits the "
+        "exact counts plus a boolean asserting the sketch estimate "
+        "lands within 5%% of the union size, and the oracle emits the "
+        "same exact counts with constant TRUE, so the driver "
+        "hash-match IS the accuracy gate (the sketch_distinct_users "
+        "pattern). This is the operation sketches exist for at 100 "
+        "TB: per-segment sketches are built ONCE (map-side "
+        "combinable, KBs each) and any pair's overlap is answered by "
+        "merging two sketches — no re-scan, no pairwise user-level "
+        "join. The exact legs here are the verification harness, not "
+        "the scale path. lgk=12 -> rsd ~1.6%%; inclusion-exclusion "
+        "compounds three estimates, hence the 5%%-of-union bound",
+)
+def q_hll_intersection_overlap(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    u = ev.select("event_type", "user_id").distinct().localCheckpoint(
+        eager=False
+    )
+    sk = u.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("ska"),
+        F.col("n").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("skb"),
+        F.col("n").alias("n_b"),
+    )
+    est = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.expr("cast(hll_sketch_estimate(ska) as bigint)").alias("ea"),
+            F.expr("cast(hll_sketch_estimate(skb) as bigint)").alias("eb"),
+            F.expr(
+                "cast(hll_sketch_estimate(hll_union(ska, skb)) as bigint)"
+            ).alias("eu"),
+        )
+    )
+    exact = (
+        u.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            u.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return est.join(exact, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        (
+            F.expr("abs((ea + eb - eu) - n_inter)")
+            <= F.expr("cast(ceil(0.05 * eu) as bigint)")
+        ).alias("inter_within_bound"),
+    )

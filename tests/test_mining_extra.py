@@ -195,3 +195,62 @@ def test_new_query_plan_shapes(spark, reg):
     assert "CartesianProduct" not in bf
     gi = plan_of(reg["gini_token_diversity"].fn(spark, SF_DIR))
     assert "Join" not in gi and "CartesianProduct" not in gi
+
+
+def test_ks_drift_matches_python_recount(spark, reg):
+    """Recompute the two-sample KS statistic per segment in pure
+    Python (same integer CDF arithmetic) and compare every column."""
+    from datetime import datetime
+
+    rows = reg["ks_drift_orders"].fn(spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    cust = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    cutoff = datetime(1998, 5, 1)
+    data: dict[str, dict[int, list[int]]] = {}
+    for o in orders:
+        seg = cust[o.o_custkey]
+        v = int(round(o.o_totalprice * 100))
+        side = 0 if o.o_orderdate < cutoff else 1
+        data.setdefault(seg, {}).setdefault(v, [0, 0])[side] += 1
+    assert {r.segment for r in rows} == set(data)
+    for r in rows:
+        cnt = data[r.segment]
+        na = sum(c[0] for c in cnt.values())
+        nb = sum(c[1] for c in cnt.values())
+        cuma = cumb = 0
+        best, best_v = -1, None
+        for v in sorted(cnt):
+            cuma += cnt[v][0]
+            cumb += cnt[v][1]
+            d = abs(cuma * 1_000_000 // na - cumb * 1_000_000 // nb)
+            if d > best:
+                best, best_v = d, v
+        assert (r.n_before, r.n_after) == (na, nb)
+        assert r.ks_ppm == best
+        assert r.ks_at_cents == best_v
+        # both periods draw from the same synthetic generator, so the
+        # drift monitor must NOT fire spuriously (KS well below 20%)
+        assert r.ks_ppm < 200_000
+
+
+def test_hll_intersection_bound_and_exact_legs(spark, reg):
+    """The exact legs must equal a Python set recount, and the
+    inclusion-exclusion sketch estimate must sit within the documented
+    bound for EVERY pair (the driver-gate boolean)."""
+    rows = reg["hll_intersection_overlap"].fn(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    users: dict[str, set] = {}
+    for r in ev:
+        users.setdefault(r.event_type, set()).add(r.user_id)
+    types = sorted(users)
+    expected_pairs = {(a, b) for i, a in enumerate(types)
+                      for b in types[i + 1:]}
+    assert {(r.type_a, r.type_b) for r in rows} == expected_pairs
+    for r in rows:
+        assert r.n_a == len(users[r.type_a])
+        assert r.n_b == len(users[r.type_b])
+        assert r.n_inter == len(users[r.type_a] & users[r.type_b])
+        assert r.inter_within_bound is True
