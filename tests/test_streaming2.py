@@ -405,3 +405,71 @@ def test_hll_hourly_sketch_streaming_twin(spark, tmp_path):
     streamed_sk = spark.table("hll_stream")
     got = window_estimates(streamed_sk)
     assert got == expected and len(got) > 0
+
+
+def test_benford_digit_counts_streaming_twin(spark, tmp_path):
+    """The Benford screen's state is just the (segment, first-digit)
+    count grid — at most 9 cells per segment — so the stream maintains
+    it as a complete-mode agg over a stream-static broadcast join with
+    the customer dim, and the deviation math (max/TV vs the hardcoded
+    log10(1+1/d) ppm expectations) runs on any point-in-time snapshot.
+    The snapshot finished exactly like the batch catalog query."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from foxsec_pipeline_spark.session import load_tables
+
+    sf_dir = "/root/testdata/sf0.001"
+    expected = {
+        r.segment: (r.n_orders, r.max_dev_ppm, r.tv_ppm)
+        for r in entrymod.queries()["benford_first_digit"](
+            spark, sf_dir
+        ).collect()
+    }
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    cust = load_tables(spark, sf_dir, "customer")["customer"].select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    src = str(tmp_path / "orders")
+    orders.select("o_custkey", "o_totalprice").write.parquet(src)
+    stream = spark.readStream.schema(
+        "o_custkey long, o_totalprice double"
+    ).parquet(src)
+    counts = (
+        stream.join(F.broadcast(cust), "o_custkey")
+        .select(
+            "seg",
+            F.expr(
+                "cast(substr(cast(cast(round(o_totalprice * 100) as"
+                " bigint) as string), 1, 1) as bigint)"
+            ).alias("d"),
+        )
+        .groupBy("seg", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("benford_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # finish the deviation math on the streamed snapshot (plain batch
+    # SQL over the tiny grid — segments x 9 rows)
+    exp = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+           6: 66947, 7: 57992, 8: 51153, 9: 45757}
+    grid = {}
+    for r in spark.sql("select * from benford_stream").collect():
+        grid.setdefault(r.seg, {})[r.d] = r.cnt
+    got = {}
+    for seg, c in grid.items():
+        n = sum(c.values())
+        devs = [abs(c.get(d, 0) * 1_000_000 // n - p)
+                for d, p in exp.items()]
+        got[seg] = (n, max(devs), sum(devs) // 2)
+    assert got == expected
+    assert all(len(c) <= 9 for c in grid.values())
