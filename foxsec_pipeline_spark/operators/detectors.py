@@ -565,3 +565,52 @@ def customs_alert_rows(
             reason.alias("reason"),
         )
     )
+
+
+# CustomsNotification's per-subcategory escalation switch
+# (`customs/CustomsNotification.java:46-64`): option flag per
+# subcategory; anything not in the switch is DEFAULT-DENY (the Java
+# switch falls through to `return false` — velocity_monitor_only,
+# activity_monitor, private_relay_forward, account_enumeration never
+# escalate through this path).
+_ESCALATION_FLAGS = {
+    "account_creation_abuse": "escalateAccountCreation",
+    "account_creation_abuse_distributed": "escalateAccountCreationDistributed",
+    "source_login_failure": "escalateSourceLoginFailure",
+    "source_login_failure_distributed": "escalateSourceLoginFailureDistributed",
+    "password_reset_abuse": "escalatePasswordResetAbuse",
+    "velocity": "escalateVelocity",
+    "status_comparator": "escalateStatusComparator",
+}
+
+
+def customs_notification(
+    alerts: DataFrame,
+    options: dict,
+    subcategory_col: str = "subcategory",
+    meta_col: str = "metadata",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """CustomsNotification twin (`customs/CustomsNotification.java`):
+    the per-subcategory escalation gate composed with the CustomsAlert
+    fan-out, producing the rows the Pub/Sub notification topic would
+    carry (the topic write itself is the existing emitter stub seam).
+
+    The reference fans out first and gates second; the gate reads only
+    the PARENT alert's subcategory, and an unknown subcategory yields
+    no rows on either path (fromAlert returns null AND the switch
+    default-denies), so gating the alert stream before fan-out is
+    row-for-row equivalent — and cheaper, since denied alerts never
+    explode. Escalate flags all default false like the
+    Customs.CustomsOptions @Default annotations, so an empty options
+    map notifies nothing.
+    """
+    allowed = [
+        sub
+        for sub, flag in _ESCALATION_FLAGS.items()
+        if bool(options.get(flag))
+    ]
+    gated = alerts.where(F.col(subcategory_col).isin(allowed))
+    return customs_alert_rows(
+        gated, subcategory_col=subcategory_col, meta_col=meta_col, ts=ts
+    )

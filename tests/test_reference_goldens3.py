@@ -1250,3 +1250,71 @@ def test_alert_formatter_preexisting_geo_keys(spark):
     ).collect()[0]["metadata"]
     assert out["sourceaddress_city"] == "PreSet"
     assert "sourceaddress_country" in out
+
+
+def test_customs_notification_escalation_gate(spark):
+    """CustomsNotification.allowEscalation
+    (`customs/CustomsNotification.java:46-64`): a CustomsAlert reaches
+    the notification topic only when its subcategory's escalate flag
+    is set, and subcategories OUTSIDE the switch default-deny (the
+    Java switch falls through to `return false`) — so
+    velocity_monitor_only / activity_monitor / private_relay_forward /
+    account_enumeration never escalate through this path, and an
+    empty options map (flags default false, `Customs.java:215-407`)
+    notifies nothing."""
+    from foxsec_pipeline_spark.operators.detectors import (
+        customs_notification,
+    )
+
+    cases = [
+        ("account_creation_abuse",
+         {"sourceaddress": "216.160.83.56", "count": "3",
+          "email": "user@mail.com, user.1@mail.com, user.1.@mail.com"}),
+        ("source_login_failure",
+         {"sourceaddress": "216.160.83.56", "count": "10",
+          "email": "spock@mozilla.com"}),
+        ("velocity",
+         {"sourceaddress": "81.2.69.192",
+          "sourceaddress_previous": "216.160.83.56",
+          "time_delta_seconds": "9", "km_distance": "7740.82",
+          "uid": "00000000000000000000000000000000",
+          "email": "riker@mozilla.com"}),
+        # in the fan-out surface but NOT in the escalation switch:
+        ("status_comparator",
+         {"email": "spock@mozilla.com", "sourceaddress": "3.3.3.3"}),
+        ("login_failure_at_risk_account",
+         {"email": "spock@mozilla.com", "sourceaddress": "10.0.1.11"}),
+    ]
+    alerts = spark.createDataFrame(
+        [(i, sub, meta, "1970-01-01 00:00:00")
+         for i, (sub, meta) in enumerate(cases)],
+        "case_id int, subcategory string, metadata map<string,string>, "
+        "timestamp string",
+    )
+
+    # empty options: every escalate flag defaults false -> no rows
+    assert customs_notification(alerts, {}).count() == 0
+
+    # enable two flags: only those subcategories fan out, with the
+    # fan-out counts of the conversion table (4 for creation abuse,
+    # 1 for source login failure)
+    opts = {
+        "escalateAccountCreation": True,
+        "escalateSourceLoginFailure": True,
+    }
+    rows = customs_notification(alerts, opts).collect()
+    by_h = {}
+    for r in rows:
+        by_h.setdefault(r["heuristic"], []).append(r)
+    assert set(by_h) == {"account_creation_abuse", "source_login_failure"}
+    assert len(by_h["account_creation_abuse"]) == 4
+    assert len(by_h["source_login_failure"]) == 1
+
+    # status_comparator escalates only via its own flag; at-risk login
+    # is NOT in the switch at all — flag-like option has no effect
+    opts2 = {
+        "escalateStatusComparator": True,
+        "escalateLoginFailureAtRiskAccount": True,  # not a switch case
+    }
+    rows2 = customs_notification(alerts, opts2).collect()
+    assert {r["heuristic"] for r in rows2} == {"status_comparator"}
