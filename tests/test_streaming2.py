@@ -473,3 +473,77 @@ def test_benford_digit_counts_streaming_twin(spark, tmp_path):
         got[seg] = (n, max(devs), sum(devs) // 2)
     assert got == expected
     assert all(len(c) <= 9 for c in grid.values())
+
+
+def test_ks_drift_counts_streaming_twin(spark, tmp_path):
+    """The KS drift monitor's state is the (segment, cents, side)
+    count grid — distinct observed values per segment, not raw rows —
+    maintained as a complete-mode streaming agg over a stream-static
+    broadcast dim join. The CDF-gap finishing math over the snapshot
+    matches the batch catalog query exactly (including the argmax
+    value), so a continuously ingested fact stream gets a live drift
+    readout without re-scanning history."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from foxsec_pipeline_spark.session import load_tables
+
+    sf_dir = "/root/testdata/sf0.001"
+    expected = {
+        r.segment: (r.n_before, r.n_after, r.ks_ppm, r.ks_at_cents)
+        for r in entrymod.queries()["ks_drift_orders"](
+            spark, sf_dir
+        ).collect()
+    }
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    cust = load_tables(spark, sf_dir, "customer")["customer"].select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    src = str(tmp_path / "orders_ks")
+    orders.select("o_custkey", "o_totalprice", "o_orderdate").write.parquet(
+        src
+    )
+    stream = spark.readStream.schema(
+        "o_custkey long, o_totalprice double, o_orderdate timestamp"
+    ).parquet(src)
+    counts = (
+        stream.join(F.broadcast(cust), "o_custkey")
+        .select(
+            "seg",
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v"),
+            F.expr(
+                "case when o_orderdate < timestamp'1998-05-01 00:00:00'"
+                " then 0 else 1 end"
+            ).alias("side"),
+        )
+        .groupBy("seg", "v", "side")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("ks_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    grid: dict[str, dict[int, list[int]]] = {}
+    for r in spark.sql("select * from ks_stream").collect():
+        grid.setdefault(r.seg, {}).setdefault(r.v, [0, 0])[r.side] = r.cnt
+    got = {}
+    for seg, cnt in grid.items():
+        na = sum(c[0] for c in cnt.values())
+        nb = sum(c[1] for c in cnt.values())
+        cuma = cumb = 0
+        best, best_v = -1, None
+        for v in sorted(cnt):
+            cuma += cnt[v][0]
+            cumb += cnt[v][1]
+            d = abs(cuma * 1_000_000 // na - cumb * 1_000_000 // nb)
+            if d > best:
+                best, best_v = d, v
+        got[seg] = (na, nb, best, best_v)
+    assert got == expected
