@@ -327,3 +327,60 @@ def countmin_estimate(
         )
         .select(F.col("_item").alias(item_col), "cm_estimate")
     )
+
+
+def ivm_merge_agg(view: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """Incremental view maintenance for self-maintainable aggregates:
+    merge a materialized aggregate view with a (pre-aggregated)
+    insert-only delta WITHOUT rescanning the base table.
+
+    Both inputs carry the same schema: ``keys`` + the aggregate
+    columns ``n_events`` (count), ``sum_cents`` (sum), ``min_cents``
+    / ``max_cents`` (insert-only min/max — maintainable because
+    inserts can only tighten them; under deletes min/max stop being
+    self-maintainable and need the full-recompute path). The merge is
+    one full-outer join on the GROUPING KEYS — view-dimension sized,
+    never fact-dimension — with null-safe aggregate combination.
+
+    At 100 TB this is the serving-table refresh shape: the nightly
+    view is KEY-dimension KBs/MBs, the delta is one partition of new
+    facts, and the merge never touches historical facts again.
+    """
+    v = view.select(
+        *[F.col(k).alias(f"__vk_{k}") for k in keys],
+        F.col("n_events").alias("__vn"),
+        F.col("sum_cents").alias("__vs"),
+        F.col("min_cents").alias("__vmin"),
+        F.col("max_cents").alias("__vmax"),
+    )
+    d = delta.select(
+        *[F.col(k).alias(f"__dk_{k}") for k in keys],
+        F.col("n_events").alias("__dn"),
+        F.col("sum_cents").alias("__ds"),
+        F.col("min_cents").alias("__dmin"),
+        F.col("max_cents").alias("__dmax"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__vk_{k}").eqNullSafe(F.col(f"__dk_{k}"))
+        cond = c if cond is None else (cond & c)
+    merged = v.join(d, cond, "full_outer")
+    out_keys = [
+        F.coalesce(F.col(f"__vk_{k}"), F.col(f"__dk_{k}")).alias(k)
+        for k in keys
+    ]
+    return merged.select(
+        *out_keys,
+        (F.coalesce(F.col("__vn"), F.lit(0))
+         + F.coalesce(F.col("__dn"), F.lit(0))).cast("long").alias("n_events"),
+        (F.coalesce(F.col("__vs"), F.lit(0))
+         + F.coalesce(F.col("__ds"), F.lit(0))).cast("long").alias("sum_cents"),
+        F.least(
+            F.coalesce(F.col("__vmin"), F.col("__dmin")),
+            F.coalesce(F.col("__dmin"), F.col("__vmin")),
+        ).cast("long").alias("min_cents"),
+        F.greatest(
+            F.coalesce(F.col("__vmax"), F.col("__dmax")),
+            F.coalesce(F.col("__dmax"), F.col("__vmax")),
+        ).cast("long").alias("max_cents"),
+    )

@@ -1011,3 +1011,57 @@ def q_hourly_trend_slopes(spark, sf_dir):
         "slope_uppm",
         F.expr("(slope_num * 1000000) div greatest(slope_den, 1)"),
     )
+
+
+_IVM_CUTOFF = "2024-01-16 00:00:00"
+
+
+@register(
+    "ivm_incremental_agg",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS max_cents
+FROM events GROUP BY event_type
+""",
+    doc="incremental view maintenance, driver-gated as an ALGEBRAIC "
+        "IDENTITY: the Spark side maintains the per-type revenue view "
+        "incrementally — base view aggregated over facts BEFORE the "
+        "cutoff, insert-only delta aggregated over facts after, then "
+        "operators/ingest.ivm_merge_agg combines them with ONE "
+        "full-outer join on the grouping keys (view-dimension sized, "
+        "historical facts never rescanned) — while the oracle "
+        "recomputes the view from scratch. The hash-match therefore "
+        "PROVES merge == recompute for the self-maintainable "
+        "aggregate set (count/sum always; min/max under insert-only "
+        "deltas — deletes would force the recompute path, documented "
+        "on the operator). At 100 TB this is the serving-table "
+        "refresh: the view is key-dimension KBs, the delta is one "
+        "ingest batch, and refresh cost is O(delta + view), not "
+        "O(history)",
+)
+def q_ivm_incremental_agg(spark, sf_dir):
+    from ..operators.ingest import ivm_merge_agg
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+
+    base = agg(ev.where(F.expr(f"ts < timestamp'{_IVM_CUTOFF}'")))
+    delta = agg(ev.where(F.expr(f"ts >= timestamp'{_IVM_CUTOFF}'")))
+    return ivm_merge_agg(base, delta, keys=["event_type"])

@@ -277,3 +277,29 @@ def test_budget_sample_exact_counts_deterministic(spark):
         budget_sample(df, {"s0": 10, "s1": 250, "s2": 0, "s3": 17}).collect()
     )
     assert ids == again
+
+
+def test_ivm_merge_agg_edge_cases(spark):
+    """view-only keys pass through, delta-only keys appear, shared
+    keys combine (count/sum add; min/max tighten toward the extreme);
+    null-safe on the join path."""
+    from foxsec_pipeline_spark.operators.ingest import ivm_merge_agg
+
+    schema = ("k string, n_events long, sum_cents long, "
+              "min_cents long, max_cents long")
+    view = spark.createDataFrame(
+        [("a", 2, 100, 40, 60), ("b", 1, 10, 10, 10)], schema
+    )
+    delta = spark.createDataFrame(
+        [("a", 3, 33, 5, 90), ("c", 1, 7, 7, 7)], schema
+    )
+    got = {r.k: r for r in ivm_merge_agg(view, delta, keys=["k"]).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert (got["a"].n_events, got["a"].sum_cents) == (5, 133)
+    assert (got["a"].min_cents, got["a"].max_cents) == (5, 90)
+    # view-only key unchanged
+    assert (got["b"].n_events, got["b"].sum_cents,
+            got["b"].min_cents, got["b"].max_cents) == (1, 10, 10, 10)
+    # delta-only key materializes
+    assert (got["c"].n_events, got["c"].sum_cents,
+            got["c"].min_cents, got["c"].max_cents) == (1, 7, 7, 7)
