@@ -49,3 +49,19 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     the metastore — a plain ``spark.read.parquet`` of the same files
     would LOSE it and re-shuffle on the next join)."""
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as date/dimension-partitioned parquet — the
+    time-pruning layout every 100 TB fact table needs: a predicate on
+    the partition column becomes a PartitionFilter (directory prune)
+    instead of a data read, so a one-day query over years of history
+    opens one directory. Partition columns should be LOW-cardinality
+    derivations (event_date, not event_ts; region, not user) — high
+    cardinality explodes the file count and kills the metastore."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

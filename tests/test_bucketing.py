@@ -59,3 +59,28 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """A predicate on the partition column must appear as a
+    PartitionFilter in the scan (directory prune) — NOT a pushed data
+    filter — and the pruned read returns exactly the matching rows.
+    (`df.inputFiles()` lists files BEFORE pruning, so the plan line is
+    the only honest assertion.)"""
+    from foxsec_pipeline_spark.sources.bucketing import write_partitioned
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dated = events.withColumn("event_date", F.to_date("ts"))
+    path = str(tmp_path / "events_by_date")
+    write_partitioned(dated, path, ["event_date"])
+
+    back = spark.read.parquet(path)
+    one_day = back.where(F.col("event_date") == "2024-01-05")
+    plan = plan_of(one_day)
+    assert "PartitionFilters" in plan
+    # the date predicate prunes partitions; it must NOT degrade into a
+    # post-scan data filter on event_date
+    scan_block = plan[plan.index("PartitionFilters"):]
+    assert "event_date" in scan_block.split("PushedFilters")[0]
+    expected = dated.where(F.col("event_date") == "2024-01-05").count()
+    assert one_day.count() == expected > 0
