@@ -547,3 +547,86 @@ def test_ks_drift_counts_streaming_twin(spark, tmp_path):
                 best, best_v = d, v
         got[seg] = (na, nb, best, best_v)
     assert got == expected
+
+
+def test_ivm_foreachbatch_streaming_twin(spark, tmp_path):
+    """The serving-view refresh loop end to end: a fact stream feeds
+    foreachBatch, each micro-batch pre-aggregates its delta and merges
+    it into the materialized view with ivm_merge_agg (O(delta + view),
+    history never rescanned), and the final view equals the batch
+    aggregate over all facts. The merge is guarded by the batch id —
+    foreachBatch can REPLAY a batch after a failure, and an
+    unconditional merge would double-count it, so idempotence is part
+    of the contract (asserted by re-applying the last batch)."""
+    from pyspark.sql import functions as F
+
+    from foxsec_pipeline_spark.operators.ingest import ivm_merge_agg
+    from foxsec_pipeline_spark.session import load_tables
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        "event_type",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+
+    expected = {
+        r.event_type: (r.n_events, r.sum_cents, r.min_cents, r.max_cents)
+        for r in agg(ev).collect()
+    }
+
+    src = str(tmp_path / "ivm_events")
+    # several files so availableNow + maxFilesPerTrigger yields
+    # multiple micro-batches (multiple merge rounds)
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_type string, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    state = {"view": None, "seen": set(), "replayable": None}
+
+    def apply_batch(batch_df, batch_id):
+        if batch_id in state["seen"]:
+            return  # replayed batch: already merged, skip (idempotence)
+        state["seen"].add(batch_id)
+        delta = agg(batch_df).localCheckpoint()  # detach from the stream
+        state["replayable"] = (delta, batch_id)
+        if state["view"] is None:
+            state["view"] = delta
+        else:
+            state["view"] = ivm_merge_agg(
+                state["view"], delta, keys=["event_type"]
+            ).localCheckpoint()
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(state["seen"]) >= 2  # genuinely incremental
+
+    got = {
+        r.event_type: (r.n_events, r.sum_cents, r.min_cents, r.max_cents)
+        for r in state["view"].collect()
+    }
+    assert got == expected
+
+    # replay the last batch: the batch-id guard must make it a no-op
+    delta, bid = state["replayable"]
+    before = got
+    apply_batch(delta, bid)
+    after = {
+        r.event_type: (r.n_events, r.sum_cents, r.min_cents, r.max_cents)
+        for r in state["view"].collect()
+    }
+    assert after == before
