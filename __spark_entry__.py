@@ -67,9 +67,11 @@ _VERIFY_FIRST = [
     # code untouched) past the 50 boundary.
     "ks_drift_orders", "hll_intersection_overlap",
     # (0k) NEWEST in round 6: incremental view maintenance gated as an
-    # algebraic identity (Spark merges base+delta, oracle recomputes).
-    # Displaces per_endpoint_error_rate (r2-stale) past the boundary.
-    "ivm_incremental_agg",
+    # algebraic identity (Spark merges base+delta, oracle recomputes),
+    # and beaconing detection (inter-arrival cv^2 in exact integers).
+    # Displace per_endpoint_error_rate + quality_filter_pipeline
+    # (r2-stale) past the boundary.
+    "ivm_incremental_agg", "beacon_detection",
     # (0f) NEW in round 6: inverted-index posting stats and the MOSS
     # pair report over winnowing fingerprints — never driver-checked.
     "inverted_index_stats", "winnowing_plagiarism_pairs",
@@ -147,11 +149,11 @@ _VERIFY_FIRST = [
     # lockstep) — doubly due for re-verification
     "amo_addon_matcher",
     "ann_cosine_lsh_multiprobe",
-    "auth_state_decision",
-    # ---- slot 50 ends at auth_state_decision (recounted — q[49]
-    # checked — after the 7 newest round-6 entries above pushed the
-    # boundary up again; the r2-stale entries below move to the
+    # ---- slot 50 ends at ann_cosine_lsh_multiprobe (recounted —
+    # q[49] checked — after the 8 newest round-6 entries above pushed
+    # the boundary up again; the r2-stale entries below move to the
     # backlog region) ----
+    "auth_state_decision",
     "aws_behavior_match",
     "content_server_variance",
     "customs_alert_fanout",

@@ -1317,3 +1317,86 @@ def q_hll_intersection_overlap(spark, sf_dir):
             <= F.expr("cast(ceil(0.05 * eu) as bigint)")
         ).alias("inter_within_bound"),
     )
+
+
+@register(
+    "beacon_detection",
+    """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t,
+         event_id
+  FROM events
+), d AS (
+  SELECT user_id, event_type,
+         t - lag(t) OVER (PARTITION BY user_id, event_type
+                          ORDER BY t, event_id) AS dt
+  FROM e
+), s AS (
+  SELECT user_id, event_type,
+         CAST(count(dt) AS BIGINT) AS n_deltas,
+         CAST(sum(dt) AS BIGINT) AS span_s,
+         CAST(sum(dt * dt) AS BIGINT) AS sum_sq
+  FROM d WHERE dt IS NOT NULL
+  GROUP BY 1, 2 HAVING count(dt) >= 5
+)
+SELECT user_id, event_type, n_deltas, span_s,
+       CAST(n_deltas * sum_sq - span_s * span_s AS BIGINT) AS var_num,
+       (100 * (n_deltas * sum_sq - span_s * span_s)
+        < span_s * span_s) AS beacon_flag
+FROM s
+""",
+    doc="beaconing detection for defensive monitoring: per (user, "
+        "event_type) series with >= 5 inter-arrival deltas, flag "
+        "machine-regular callbacks by the squared coefficient of "
+        "variation of the deltas — cv^2 = var_num / span^2 where "
+        "var_num = n*sum(d^2) - (sum d)^2 (the integer-exact "
+        "dispersion form the seasonal z-test already uses) and "
+        "sum(d) TELESCOPES to last-first, so span <= the table's "
+        "time range and every product stays far inside int64. "
+        "beacon_flag is cv^2 < 1% — human activity is bursty "
+        "(cv ~ 1), C2 beacons and cron-like automation are "
+        "metronomic (cv << 1). Deltas order by (t, event_id) for a "
+        "total tie-break. Scale: one shuffle on the (user, type) "
+        "key for the lag window, then a hash-agg on the same key "
+        "(partitioning reuse); output is entity-dimension sized. "
+        "The flag threshold is conservative on purpose — the exact "
+        "integer comparison 100*var_num < span^2 never needs a "
+        "float",
+)
+def q_beacon_detection(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("t"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("t", "event_id")
+    d = e.select(
+        "user_id",
+        "event_type",
+        (F.col("t") - F.lag("t").over(w)).alias("dt"),
+    ).where(F.col("dt").isNotNull())
+    s = (
+        d.groupBy("user_id", "event_type")
+        .agg(
+            F.count("dt").cast("long").alias("n_deltas"),
+            F.sum("dt").cast("long").alias("span_s"),
+            F.sum(F.col("dt") * F.col("dt")).cast("long").alias("sum_sq"),
+        )
+        .where(F.col("n_deltas") >= 5)
+    )
+    return s.select(
+        "user_id",
+        "event_type",
+        "n_deltas",
+        "span_s",
+        F.expr(
+            "cast(n_deltas * sum_sq - span_s * span_s as bigint)"
+        ).alias("var_num"),
+        F.expr(
+            "100 * (n_deltas * sum_sq - span_s * span_s)"
+            " < span_s * span_s"
+        ).alias("beacon_flag"),
+    )

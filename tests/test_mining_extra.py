@@ -254,3 +254,50 @@ def test_hll_intersection_bound_and_exact_legs(spark, reg):
         assert r.n_b == len(users[r.type_b])
         assert r.n_inter == len(users[r.type_a] & users[r.type_b])
         assert r.inter_within_bound is True
+
+
+def test_beacon_detection_fires_on_metronomic_series(spark, reg):
+    """The real-data query is oracle-checked in the catalog sweep (and
+    flags nothing on bursty synthetic traffic — correct); this fixture
+    proves the detector semantics: a metronomic 60s-interval series
+    flags (cv ~ 0), a jittered-but-regular one (±5%) flags, a bursty
+    series does not, and a series below the 5-delta minimum emits no
+    row at all. Runs the same registered query against a tiny parquet
+    dir so the whole path (table load, lag ordering, flag math) is the
+    production one."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: perfect 60s beacon (12 events)
+    for i in range(12):
+        rows.append((1, "ping", base + dt.timedelta(seconds=60 * i), eid)); eid += 1
+    # user 2: regular with deterministic +-3s jitter
+    t = base
+    for i in range(12):
+        t = t + dt.timedelta(seconds=60 + (3 if i % 2 == 0 else -3))
+        rows.append((2, "ping", t, eid)); eid += 1
+    # user 3: bursty (1s gaps then an hour gap, repeated)
+    t = base
+    for i in range(12):
+        t = t + dt.timedelta(seconds=1 if i % 3 else 3600)
+        rows.append((3, "ping", t, eid)); eid += 1
+    # user 4: too few events (4 deltas < 5 minimum)
+    for i in range(5):
+        rows.append((4, "ping", base + dt.timedelta(seconds=60 * i), eid)); eid += 1
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(u, ty, ts, e, 0.0) for u, ty, ts, e in rows],
+            "user_id long, event_type string, ts timestamp, "
+            "event_id long, value double",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {r.user_id: r for r in
+               reg["beacon_detection"].fn(spark, d).collect()}
+    assert out[1].beacon_flag is True and out[1].var_num == 0
+    assert out[2].beacon_flag is True  # jitter << mean still flags
+    assert out[3].beacon_flag is False  # bursty: cv >> 10%
+    assert 4 not in out  # below the minimum-deltas gate
