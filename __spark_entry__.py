@@ -72,6 +72,10 @@ _VERIFY_FIRST = [
     # Displace per_endpoint_error_rate + quality_filter_pipeline
     # (r2-stale) past the boundary.
     "ivm_incremental_agg", "beacon_detection",
+    # (0l) NEWEST in round 6: edge-level neighborhood Jaccard (link
+    # prediction from the shared triangle harvest); displaces
+    # salted_hard_limit (r2-stale) past the boundary.
+    "copurchase_link_jaccard",
     # (0f) NEW in round 6: inverted-index posting stats and the MOSS
     # pair report over winnowing fingerprints — never driver-checked.
     "inverted_index_stats", "winnowing_plagiarism_pairs",
@@ -148,11 +152,11 @@ _VERIFY_FIRST = [
     # 5 (reference-exact per-subcategory fan-out + oracle moved in
     # lockstep) — doubly due for re-verification
     "amo_addon_matcher",
-    "ann_cosine_lsh_multiprobe",
-    # ---- slot 50 ends at ann_cosine_lsh_multiprobe (recounted —
-    # q[49] checked — after the 8 newest round-6 entries above pushed
-    # the boundary up again; the r2-stale entries below move to the
+    # ---- slot 50 ends at amo_addon_matcher (recounted — q[49]
+    # checked — after the 9 newest round-6 entries above pushed the
+    # boundary up again; the r2-stale entries below move to the
     # backlog region) ----
+    "ann_cosine_lsh_multiprobe",
     "auth_state_decision",
     "aws_behavior_match",
     "content_server_variance",

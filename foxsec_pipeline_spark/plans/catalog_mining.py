@@ -1400,3 +1400,170 @@ def q_beacon_detection(spark, sf_dir):
             " < span_s * span_s"
         ).alias("beacon_flag"),
     )
+
+
+@register(
+    "copurchase_link_jaccard",
+    f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_MIN_PAIR_SUPP}
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+  ) GROUP BY node
+), oriented AS (
+  SELECT CASE WHEN (du.degree, u) < (dv.degree, v) THEN u ELSE v END
+           AS src,
+         CASE WHEN (du.degree, u) < (dv.degree, v) THEN v ELSE u END
+           AS dst
+  FROM pairs
+  JOIN deg du ON u = du.node
+  JOIN deg dv ON v = dv.node
+), wedges AS (
+  SELECT a.src AS x,
+         least(a.dst, b.dst) AS p, greatest(a.dst, b.dst) AS q
+  FROM oriented a JOIN oriented b
+    ON a.src = b.src AND a.dst < b.dst
+), tri AS (
+  SELECT w.x, w.p, w.q
+  FROM wedges w SEMI JOIN pairs e ON w.p = e.u AND w.q = e.v
+), tri_edges AS (
+  SELECT least(x, p) AS u, greatest(x, p) AS v FROM tri
+  UNION ALL SELECT least(x, q), greatest(x, q) FROM tri
+  UNION ALL SELECT p, q FROM tri
+), cn AS (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors
+  FROM tri_edges GROUP BY u, v
+)
+SELECT e.u, e.v,
+       CAST(COALESCE(c.common_neighbors, 0) AS BIGINT)
+         AS common_neighbors,
+       du.degree AS deg_u, dv.degree AS deg_v,
+       CAST(COALESCE(c.common_neighbors, 0) * 1000000
+            // (du.degree + dv.degree - 2
+                - COALESCE(c.common_neighbors, 0))
+          AS BIGINT) AS link_jaccard_ppm
+FROM pairs e
+LEFT JOIN cn c ON e.u = c.u AND e.v = c.v
+JOIN deg du ON e.u = du.node
+JOIN deg dv ON e.v = dv.node
+WHERE du.degree + dv.degree - 2 - COALESCE(c.common_neighbors, 0) > 0
+""",
+    doc="edge-level neighborhood Jaccard on the co-purchase graph — "
+        "tie strength / link prediction (Liben-Nowell & Kleinberg "
+        "2003's common-neighbors family): for each existing edge "
+        "(u, v), cn = |N(u) ∩ N(v)| is exactly the number of "
+        "triangles through that edge, harvested from the SAME "
+        "degree-ordered triangle construction as "
+        "copurchase_triangles (each triangle contributes its three "
+        "canonical edges; no new join shape, the orientation's "
+        "O(sqrt(m)) wedge bound carries over), and the Jaccard "
+        "denominator is du + dv - 2 - cn (neighbor sets minus the "
+        "endpoints themselves) in exact ppm. Edges whose endpoints "
+        "have no other neighbors (denominator 0: the isolated-pair "
+        "case where both degrees are 1) are excluded — their "
+        "similarity is undefined rather than zero. Scale: identical "
+        "posture to the triangle query plus one LEFT JOIN of the "
+        "edge list against the (smaller) triangle-edge counts",
+)
+def q_copurchase_link_jaccard(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.u", "pr.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= _MIN_PAIR_SUPP)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        pairs.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    a = oriented.alias("a")
+    b = oriented.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.src") == F.col("b.src"))
+        & (F.col("a.dst") < F.col("b.dst")),
+    ).select(
+        F.col("a.src").alias("x"),
+        F.least(F.col("a.dst"), F.col("b.dst")).alias("p"),
+        F.greatest(F.col("a.dst"), F.col("b.dst")).alias("q"),
+    )
+    tri = wedges.join(
+        pairs.select(F.col("u").alias("p"), F.col("v").alias("q")),
+        ["p", "q"],
+        "semi",
+    )
+    tri_edges = (
+        tri.select(
+            F.least("x", "p").alias("u"), F.greatest("x", "p").alias("v")
+        )
+        .unionAll(
+            tri.select(
+                F.least("x", "q").alias("u"),
+                F.greatest("x", "q").alias("v"),
+            )
+        )
+        .unionAll(tri.select(F.col("p").alias("u"), F.col("q").alias("v")))
+    )
+    cn = tri_edges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors")
+    )
+    return (
+        pairs.join(cn, ["u", "v"], "left")
+        .join(F.broadcast(du.withColumnRenamed("du", "deg_u")), "u")
+        .join(F.broadcast(dv.withColumnRenamed("dv", "deg_v")), "v")
+        .select(
+            "u",
+            "v",
+            F.coalesce("common_neighbors", F.lit(0))
+            .cast("long")
+            .alias("common_neighbors"),
+            "deg_u",
+            "deg_v",
+        )
+        .where(
+            F.expr("deg_u + deg_v - 2 - common_neighbors > 0")
+        )
+        .withColumn(
+            "link_jaccard_ppm",
+            F.expr(
+                "(common_neighbors * 1000000)"
+                " div (deg_u + deg_v - 2 - common_neighbors)"
+            ),
+        )
+    )

@@ -301,3 +301,43 @@ def test_beacon_detection_fires_on_metronomic_series(spark, reg):
     assert out[2].beacon_flag is True  # jitter << mean still flags
     assert out[3].beacon_flag is False  # bursty: cv >> 10%
     assert 4 not in out  # below the minimum-deltas gate
+
+
+def test_link_jaccard_matches_python_recount(spark, reg):
+    """Recompute edge-level neighborhood Jaccard from explicit
+    neighbor sets in pure Python (no triangle machinery) and compare
+    every row — proves the triangles-through-edge harvesting equals
+    the direct |N(u) ∩ N(v)| definition, including the
+    denominator-zero exclusion."""
+    rows = {
+        (r.u, r.v): r
+        for r in reg["copurchase_link_jaccard"].fn(spark, SF_DIR).collect()
+    }
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    items = li.select("l_orderkey", "l_partkey").distinct().collect()
+    by_order = {}
+    for r in items:
+        by_order.setdefault(r.l_orderkey, []).append(r.l_partkey)
+    pair_supp = Counter()
+    for parts in by_order.values():
+        ps = sorted(set(parts))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_supp[(ps[i], ps[j])] += 1
+    edges = {p for p, s in pair_supp.items() if s >= 2}
+    nbrs: dict[int, set] = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    expected = {}
+    for u, v in edges:
+        cn = len(nbrs[u] & nbrs[v])
+        denom = len(nbrs[u]) + len(nbrs[v]) - 2 - cn
+        if denom > 0:
+            expected[(u, v)] = (cn, len(nbrs[u]), len(nbrs[v]),
+                                cn * 1_000_000 // denom)
+    assert set(rows) == set(expected)
+    for k, (cn, du, dv, j) in expected.items():
+        r = rows[k]
+        assert (r.common_neighbors, r.deg_u, r.deg_v,
+                r.link_jaccard_ppm) == (cn, du, dv, j), k
