@@ -73,9 +73,10 @@ _VERIFY_FIRST = [
     # (r2-stale) past the boundary.
     "ivm_incremental_agg", "beacon_detection",
     # (0l) NEWEST in round 6: edge-level neighborhood Jaccard (link
-    # prediction from the shared triangle harvest); displaces
-    # salted_hard_limit (r2-stale) past the boundary.
-    "copurchase_link_jaccard",
+    # prediction from the shared triangle harvest) and the
+    # reputation-decay ledger; displace salted_hard_limit +
+    # amo_addon_matcher (r2-stale) past the boundary.
+    "copurchase_link_jaccard", "reputation_decay",
     # (0f) NEW in round 6: inverted-index posting stats and the MOSS
     # pair report over winnowing fingerprints — never driver-checked.
     "inverted_index_stats", "winnowing_plagiarism_pairs",
@@ -151,11 +152,10 @@ _VERIFY_FIRST = [
     # Of these, customs_alert_fanout ALSO materially changed in round
     # 5 (reference-exact per-subcategory fan-out + oracle moved in
     # lockstep) — doubly due for re-verification
+    # ---- slot 50 ends one entry above (recounted — q[49] checked —
+    # after the 10 newest round-6 entries above pushed the boundary up
+    # again; the r2-stale entries below move to the backlog region) ----
     "amo_addon_matcher",
-    # ---- slot 50 ends at amo_addon_matcher (recounted — q[49]
-    # checked — after the 9 newest round-6 entries above pushed the
-    # boundary up again; the r2-stale entries below move to the
-    # backlog region) ----
     "ann_cosine_lsh_multiprobe",
     "auth_state_decision",
     "aws_behavior_match",

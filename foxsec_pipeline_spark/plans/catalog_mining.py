@@ -1567,3 +1567,77 @@ def q_copurchase_link_jaccard(spark, sf_dir):
             ),
         )
     )
+
+
+# Violation penalty halving by age (12h half-life): 20 -> 10 -> 5 ->
+# 2 -> 1 -> 0, an explicit integer table so both engines agree without
+# relying on shift/pow semantics. Integer halving of 20 truncates at
+# 2 (5 div 2), matching iprepd-style coarse decay steps.
+_DECAY_CASE = (
+    "CASE least((tnow - t) {div} 43200, 5) "
+    "WHEN 0 THEN 20 WHEN 1 THEN 10 WHEN 2 THEN 5 "
+    "WHEN 3 THEN 2 WHEN 4 THEN 1 ELSE 0 END"
+)
+
+
+@register(
+    "reputation_decay",
+    f"""
+WITH now_t AS (
+  SELECT CAST(max(epoch_us(ts)) // 1000000 AS BIGINT) AS tnow
+  FROM events
+), v AS (
+  SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t
+  FROM events WHERE event_type = 'error'
+), d AS (
+  SELECT user_id,
+         CAST({_DECAY_CASE.format(div='//')} AS BIGINT) AS pen
+  FROM v CROSS JOIN now_t
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_violations,
+       CAST(count(*) * 20 AS BIGINT) AS raw_penalty,
+       CAST(sum(pen) AS BIGINT) AS decayed_penalty,
+       CAST(greatest(0, 100 - sum(pen)) AS BIGINT) AS reputation
+FROM d GROUP BY user_id
+""",
+    doc="violation-reputation ledger with time decay — the batch twin "
+        "of the lifecycle the reference delegates to the external "
+        "iprepd service (violations submitted via the iprepd sink "
+        "lower a source's reputation, which then heals after "
+        "decay_after; `parser/IPrepdLog.java:38-43` parses the "
+        "service's own decay logs): each 'error' event charges a "
+        "20-point penalty that HALVES per 12h of age on an explicit "
+        "integer table (20/10/5/2/1/0 — no pow(), no float, no "
+        "engine shift-semantics risk), reputation = max(0, 100 - "
+        "decayed sum). 'Now' is the table's max timestamp so the "
+        "query is deterministic and replayable. Scale: the scalar "
+        "max(ts) broadcasts as a 1-row cross join; then one "
+        "hash-agg on user_id — two scans (one column each) or one "
+        "with scan reuse, entity-dimension output",
+)
+def q_reputation_decay(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    now_t = ev.agg(
+        F.expr("cast(max(unix_micros(ts)) div 1000000 as bigint)").alias(
+            "tnow"
+        )
+    )
+    v = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.expr("cast(unix_micros(ts) div 1000000 as bigint)").alias("t"),
+    )
+    d = v.crossJoin(F.broadcast(now_t)).select(
+        "user_id",
+        F.expr(
+            "cast(" + _DECAY_CASE.format(div="div") + " as bigint)"
+        ).alias("pen"),
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_violations"),
+        (F.count(F.lit(1)) * 20).cast("long").alias("raw_penalty"),
+        F.sum("pen").cast("long").alias("decayed_penalty"),
+        F.expr("cast(greatest(0, 100 - sum(pen)) as bigint)").alias(
+            "reputation"
+        ),
+    )

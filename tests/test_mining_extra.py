@@ -341,3 +341,43 @@ def test_link_jaccard_matches_python_recount(spark, reg):
         r = rows[k]
         assert (r.common_neighbors, r.deg_u, r.deg_v,
                 r.link_jaccard_ppm) == (cn, du, dv, j), k
+
+
+def test_reputation_decay_halving_steps(spark, reg):
+    """Fixture through the production query: penalties halve on the
+    explicit 12h table (20/10/5/2/1/0), reputation floors at 0 under
+    many fresh violations, and clean users emit no row."""
+    import datetime as dt
+    import tempfile
+
+    now = dt.datetime(2024, 2, 1)
+    H = dt.timedelta(hours=1)
+    rows = [
+        # user 1: one violation per decay bucket: ages 0h, 13h, 25h,
+        # 37h, 49h, 61h -> 20+10+5+2+1+0 = 38 -> reputation 62
+        (1, "error", now, 0), (1, "error", now - 13 * H, 1),
+        (1, "error", now - 25 * H, 2), (1, "error", now - 37 * H, 3),
+        (1, "error", now - 49 * H, 4), (1, "error", now - 61 * H, 5),
+        # user 2: six fresh violations -> 120 decayed -> floors at 0
+        *[(2, "error", now - dt.timedelta(minutes=m), 10 + m)
+          for m in range(6)],
+        # user 3: clean (non-error only) -> no row
+        (3, "login", now, 99),
+        # anchor: a non-error event AT now pins tnow for everyone
+        (4, "login", now, 100),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(u, ty, ts, e, 0.0) for u, ty, ts, e in rows],
+            "user_id long, event_type string, ts timestamp, "
+            "event_id long, value double",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {r.user_id: r for r in
+               reg["reputation_decay"].fn(spark, d).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1.n_violations, r1.raw_penalty) == (6, 120)
+    assert r1.decayed_penalty == 20 + 10 + 5 + 2 + 1 + 0
+    assert r1.reputation == 100 - 38
+    r2 = out[2]
+    assert r2.decayed_penalty == 120 and r2.reputation == 0
