@@ -77,6 +77,10 @@ _VERIFY_FIRST = [
     # reputation-decay ledger; displace salted_hard_limit +
     # amo_addon_matcher (r2-stale) past the boundary.
     "copurchase_link_jaccard", "reputation_decay",
+    # (0m) NEWEST in round 6: greedy k-center coreset picks (pure
+    # integer argmax, unrolled-CTE oracle); displaces
+    # ann_cosine_lsh_multiprobe (r2-stale) past the boundary.
+    "kcenter_coreset_picks",
     # (0f) NEW in round 6: inverted-index posting stats and the MOSS
     # pair report over winnowing fingerprints — never driver-checked.
     "inverted_index_stats", "winnowing_plagiarism_pairs",
@@ -146,15 +150,17 @@ _VERIFY_FIRST = [
     "oov_rate_filter", "seasonal_anomaly",
     # (7-9) stalest driver evidence (r1-only): green in ROUND 1 only, never
     # re-checked across three rounds of shared-code churn
-    "ann_cosine_lsh", "text_quality", "text_stats",
+    "ann_cosine_lsh", "text_quality",
     # (10-50) next-stalest: last driver row was round 2 — all 43 of
     # them, exactly filling the 50-row prefix (counted, not guessed).
     # Of these, customs_alert_fanout ALSO materially changed in round
     # 5 (reference-exact per-subcategory fan-out + oracle moved in
     # lockstep) — doubly due for re-verification
-    # ---- slot 50 ends one entry above (recounted — q[49] checked —
-    # after the 10 newest round-6 entries above pushed the boundary up
-    # again; the r2-stale entries below move to the backlog region) ----
+    # ---- slot 50 ends one entry above, at text_quality (recounted —
+    # q[49] checked — after the 11 newest round-6 entries above pushed
+    # the boundary up again; the r2-stale entries below move to the
+    # backlog region) ----
+    "text_stats",
     "amo_addon_matcher",
     "ann_cosine_lsh_multiprobe",
     "auth_state_decision",

@@ -1185,3 +1185,74 @@ def int8_dot_topk(
         .where(F.col("rank") <= F.lit(int(k)))
         .select("query_id", "neighbor_id", "int8_dot", "rank")
     )
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985 2-approximation) —
+    diversity selection for labeling/eval budgets: start from the
+    minimum id, repeatedly add the point FARTHEST from the selected
+    set (tie-break min id), k picks total.
+
+    Distances are integer squared-L2 over the :func:`int8_quantize`
+    codes, so every argmax is exact and the selection is
+    engine-reproducible (the oracle unrolls the same k steps as CTEs).
+    Each round is one corpus scan updating the running
+    min-distance-to-set column plus a single-ROW collect of the new
+    center (bounded driver traffic, the codebook-training precedent).
+    At 100 TB you run this on a bounded uniform pre-sample — the
+    2-approximation quality transfers — so the k scans touch the
+    sample, not the corpus.
+
+    Returns (pick_order, vec_id, coverage_radius) where
+    coverage_radius is the chosen point's distance to the previously
+    selected set (-1 for the seed): the non-increasing radius sequence
+    IS the coreset's covering guarantee readout.
+    """
+
+    def _codes(col):
+        v = F.transform(col, lambda x: x.cast("double"))
+        m = F.array_max(F.transform(v, F.abs))
+        return F.when(
+            m > 0,
+            F.transform(v, lambda x: F.floor(x / m * 127).cast("long")),
+        ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+
+    pts = corpus.select(
+        F.col(id_col).alias("__id"), _codes(F.col(vec_col)).alias("__c")
+    ).localCheckpoint(eager=True)
+
+    def dist2_to(code_lits):
+        center = F.array(*[F.lit(int(x)) for x in code_lits])
+        return F.aggregate(
+            F.zip_with(
+                F.col("__c"), center, lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    seed = pts.orderBy("__id").limit(1).collect()[0]
+    picks = [(0, seed["__id"], -1)]
+    state = pts.select(
+        "__id", "__c", dist2_to(seed["__c"]).alias("__mind")
+    ).localCheckpoint(eager=True)
+    for i in range(1, int(k)):
+        nxt = (
+            state.orderBy(F.col("__mind").desc(), F.col("__id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((i, nxt["__id"], nxt["__mind"]))
+        state = state.select(
+            "__id",
+            "__c",
+            F.least(F.col("__mind"), dist2_to(nxt["__c"])).alias("__mind"),
+        ).localCheckpoint(eager=True)
+    return corpus.sparkSession.createDataFrame(
+        picks, "pick_order long, vec_id long, coverage_radius long"
+    )

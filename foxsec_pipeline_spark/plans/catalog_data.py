@@ -2821,3 +2821,75 @@ def q_rrf_hybrid_fusion(spark, sf_dir):
     return rrf_fuse(
         [cosine_topk(q, emb, k=10), int8_dot_topk(q, emb, k=10)], k=60
     )
+
+
+_KC_K = 8
+_KC_CODES = (
+    "CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) > 0 "
+    "THEN list_transform(embedding, x -> CAST(floor(x::DOUBLE "
+    "/ list_max(list_transform(embedding, y -> abs(y::DOUBLE))) "
+    "* 127) AS BIGINT)) "
+    "ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END"
+)
+_KC_DIST = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> (x.c[i] - s.c[i]) * (x.c[i] - s.c[i])), (a, b) -> a + b)"
+)
+
+
+def _kcenter_oracle(k: int) -> str:
+    parts = [
+        f"WITH cz AS (\n  SELECT vec_id AS id, {_KC_CODES} AS c\n"
+        "  FROM embeddings\n), c0 AS (\n"
+        "  SELECT id FROM cz ORDER BY id LIMIT 1\n), m1 AS (\n"
+        f"  SELECT x.id, x.c, {_KC_DIST} AS d\n"
+        "  FROM cz x CROSS JOIN "
+        "(SELECT z.c FROM cz z JOIN c0 ON z.id = c0.id) s\n)"
+    ]
+    for i in range(1, k):
+        parts.append(
+            f", p{i} AS (\n  SELECT id, d FROM m{i} "
+            "ORDER BY d DESC, id LIMIT 1\n)"
+        )
+        if i < k - 1:
+            parts.append(
+                f", m{i + 1} AS (\n"
+                f"  SELECT x.id, x.c, least(x.d, {_KC_DIST}) AS d\n"
+                f"  FROM m{i} x CROSS JOIN "
+                f"(SELECT z.c FROM cz z JOIN p{i} ON z.id = p{i}.id) s\n)"
+            )
+    sel = [
+        "SELECT CAST(0 AS BIGINT) AS pick_order, c0.id AS vec_id,\n"
+        "       CAST(-1 AS BIGINT) AS coverage_radius FROM c0"
+    ]
+    for i in range(1, k):
+        sel.append(
+            f"SELECT CAST({i} AS BIGINT), p{i}.id, "
+            f"CAST(p{i}.d AS BIGINT) FROM p{i}"
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(sel)
+
+
+@register(
+    "kcenter_coreset_picks",
+    _kcenter_oracle(_KC_K),
+    doc="greedy k-center coreset (Gonzalez 1985 2-approximation) over "
+        "the int8-quantized embeddings — diversity selection for "
+        "labeling/eval budgets: seed at the min id, then "
+        f"{_KC_K - 1} rounds of 'add the point farthest from the "
+        "selected set' (integer squared-L2 over the quantized codes, "
+        "min-id tie-break), emitting the pick order and each pick's "
+        "distance-to-set — the non-increasing coverage-radius "
+        "sequence that IS the coreset guarantee readout. Every "
+        "distance is a pure-integer argmax, so the oracle unrolls "
+        "the same greedy steps as CTEs and matches exactly. Scale: "
+        "each round is one scan updating the running min-distance "
+        "column plus a single-row collect (the codebook-training "
+        "precedent); production runs it on a bounded uniform "
+        "pre-sample where the 2-approximation quality transfers",
+)
+def q_kcenter_coreset(spark, sf_dir):
+    from ..operators.similarity import kcenter_coreset
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return kcenter_coreset(emb, k=_KC_K)

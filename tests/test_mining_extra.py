@@ -381,3 +381,42 @@ def test_reputation_decay_halving_steps(spark, reg):
     assert r1.reputation == 100 - 38
     r2 = out[2]
     assert r2.decayed_penalty == 120 and r2.reputation == 0
+
+
+def test_kcenter_coreset_matches_python_greedy(spark, reg):
+    """Replay the greedy k-center selection in pure Python over the
+    same quantized codes and compare every pick; the coverage-radius
+    sequence must be non-increasing (each new pick is farther from the
+    set than any later one can be)."""
+    import math
+
+    rows = sorted(
+        reg["kcenter_coreset_picks"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.pick_order,
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    codes = {}
+    for r in emb:
+        m = max(abs(x) for x in r.embedding)
+        codes[r.vec_id] = (
+            [math.floor(x / m * 127) for x in r.embedding]
+            if m > 0 else [0] * len(r.embedding)
+        )
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    seed = min(codes)
+    picks = [(0, seed, -1)]
+    mind = {i: d2(c, codes[seed]) for i, c in codes.items()}
+    for k in range(1, 8):
+        nxt = max(mind, key=lambda i: (mind[i], -i))
+        picks.append((k, nxt, mind[nxt]))
+        for i, c in codes.items():
+            dd = d2(c, codes[nxt])
+            if dd < mind[i]:
+                mind[i] = dd
+    got = [(r.pick_order, r.vec_id, r.coverage_radius) for r in rows]
+    assert got == picks
+    radii = [r.coverage_radius for r in rows[1:]]
+    assert radii == sorted(radii, reverse=True)
