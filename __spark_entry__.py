@@ -80,7 +80,7 @@ _VERIFY_FIRST = [
     # (0m) NEWEST in round 6: greedy k-center coreset picks (pure
     # integer argmax, unrolled-CTE oracle); displaces
     # ann_cosine_lsh_multiprobe (r2-stale) past the boundary.
-    "kcenter_coreset_picks",
+    "kcenter_coreset_picks", "vocab_growth_curve",
     # (0f) NEW in round 6: inverted-index posting stats and the MOSS
     # pair report over winnowing fingerprints — never driver-checked.
     "inverted_index_stats", "winnowing_plagiarism_pairs",
@@ -150,16 +150,17 @@ _VERIFY_FIRST = [
     "oov_rate_filter", "seasonal_anomaly",
     # (7-9) stalest driver evidence (r1-only): green in ROUND 1 only, never
     # re-checked across three rounds of shared-code churn
-    "ann_cosine_lsh", "text_quality",
+    "ann_cosine_lsh",
     # (10-50) next-stalest: last driver row was round 2 — all 43 of
     # them, exactly filling the 50-row prefix (counted, not guessed).
     # Of these, customs_alert_fanout ALSO materially changed in round
     # 5 (reference-exact per-subcategory fan-out + oracle moved in
     # lockstep) — doubly due for re-verification
-    # ---- slot 50 ends one entry above, at text_quality (recounted —
-    # q[49] checked — after the 11 newest round-6 entries above pushed
+    # ---- slot 50 ends one entry above, at ann_cosine_lsh (recounted —
+    # q[49] checked — after the 12 newest round-6 entries above pushed
     # the boundary up again; the r2-stale entries below move to the
     # backlog region) ----
+    "text_quality",
     "text_stats",
     "amo_addon_matcher",
     "ann_cosine_lsh_multiprobe",

@@ -904,3 +904,73 @@ def q_gini_token_diversity(spark, sf_dir):
             "cast(1000000 - (1000000 * s2) div (n * n) as bigint)"
         ).alias("gini_ppm"),
     )
+
+
+@register(
+    "vocab_growth_curve",
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+  FROM documents
+), bg AS (
+  SELECT doc_id, tok[i] || chr(2) || tok[i + 1] AS bigram
+  FROM (
+    SELECT doc_id, tok, unnest(range(1, len(tok))) AS i FROM t
+  )
+), first_seen AS (
+  SELECT bigram, CAST(min(doc_id) AS BIGINT) AS first_doc
+  FROM bg GROUP BY bigram
+), bucketed AS (
+  SELECT CAST(first_doc // 10 AS BIGINT) AS doc_bucket,
+         CAST(count(*) AS BIGINT) AS new_units
+  FROM first_seen GROUP BY 1
+)
+SELECT doc_bucket, new_units,
+       CAST(sum(new_units) OVER (ORDER BY doc_bucket) AS BIGINT)
+         AS cum_vocab
+FROM bucketed
+""",
+    doc="vocabulary growth curve (the Heaps\'-law readout that sizes "
+        "tokenizer vocabularies and flags corpus heterogeneity — a "
+        "sudden new-unit burst mid-corpus means a domain/language "
+        "seam): each word BIGRAM\'s first document (min doc_id over "
+        "the ingestion order; bigrams because the synthetic corpus\'s "
+        "unigram vocabulary saturates in the first bucket — real "
+        "corpora use whichever tokenizer unit is being sized), "
+        "bucketed per 10 docs, with the running cumulative "
+        "vocabulary. Exact integers throughout — first-occurrence is "
+        "a plain min() aggregate, no sequential scan. Scale: "
+        "map-side bigram explode -> (unit) hash-agg with partial min "
+        "(the only corpus-sized stage), then the bucket agg and "
+        "cumulative window run over the BUCKET table (corpus/10 "
+        "rows). The global-window cumulative sum is single-partition "
+        "by construction but over buckets, not units",
+)
+def q_vocab_growth_curve(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(trim(text), "
+                "'\\\\s+')) - 1), i -> concat("
+                "element_at(split(trim(text), '\\\\s+'), i), char(2), "
+                "element_at(split(trim(text), '\\\\s+'), i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    first_seen = bg.groupBy("bigram").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    bucketed = first_seen.groupBy(
+        F.expr("first_doc div 10").alias("doc_bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("new_units"))
+    w = (
+        Window.orderBy("doc_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return bucketed.select(
+        "doc_bucket",
+        "new_units",
+        F.sum("new_units").over(w).cast("long").alias("cum_vocab"),
+    )

@@ -683,3 +683,32 @@ def test_prefix_jaccard_prefix_path_matches_bruteforce_and_bitmask(spark):
             if inter * 5 >= union * 3:
                 want[(a, b)] = (inter, union)
     assert got == want and len(want) >= 10
+
+
+def test_vocab_growth_matches_python_recount(spark, reg):
+    """First-seen bigram bucketing recomputed in pure Python; the
+    cumulative curve must be strictly positive, non-decreasing, and
+    end at the total distinct-bigram count."""
+    import re
+
+    rows = sorted(
+        reg["vocab_growth_curve"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.doc_bucket,
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    first = {}
+    for d in docs:
+        toks = re.split(r"\s+", d.text.strip())
+        for a, b in zip(toks, toks[1:]):
+            key = a + "\x02" + b
+            if key not in first or d.doc_id < first[key]:
+                first[key] = d.doc_id
+    from collections import Counter
+
+    buckets = Counter(fd // 10 for fd in first.values())
+    assert {r.doc_bucket: r.new_units for r in rows} == dict(buckets)
+    cum = 0
+    for r in rows:
+        cum += r.new_units
+        assert r.cum_vocab == cum
+    assert cum == len(first)
