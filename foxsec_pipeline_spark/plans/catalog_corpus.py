@@ -948,14 +948,17 @@ FROM bucketed
 )
 def q_vocab_growth_curve(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    bg = docs.select(
+    # tokenize ONCE in a prior projection: inlining split() into the
+    # transform lambda re-evaluates it per element AND per Generate
+    # output row (the HOF re-evaluation pitfall) — measured several
+    # times slower on the bigram explode
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    bg = toked.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(trim(text), "
-                "'\\\\s+')) - 1), i -> concat("
-                "element_at(split(trim(text), '\\\\s+'), i), char(2), "
-                "element_at(split(trim(text), '\\\\s+'), i + 1)))"
+                "transform(sequence(1, size(t) - 1), i -> concat("
+                "element_at(t, i), char(2), element_at(t, i + 1)))"
             )
         ).alias("bigram"),
     )
