@@ -630,3 +630,69 @@ def test_ivm_foreachbatch_streaming_twin(spark, tmp_path):
         for r in state["view"].collect()
     }
     assert after == before
+
+
+def test_reputation_decay_streaming_twin(spark, tmp_path):
+    """The reputation ledger's state is the (user, violation-hour)
+    count grid — bounded by entities x retention window — maintained
+    as a complete-mode streaming agg; the decay/floor math runs on
+    any snapshot against that snapshot's own max event time and
+    matches the batch catalog query exactly. (In production the grid
+    ages out beyond 60h — five half-lives — where the penalty is
+    exactly 0, so state is bounded by the decay horizon, not
+    history.)"""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from foxsec_pipeline_spark.session import load_tables
+
+    sf_dir = "/root/testdata/sf0.001"
+    expected = {
+        r.user_id: (r.n_violations, r.raw_penalty, r.decayed_penalty,
+                    r.reputation)
+        for r in entrymod.queries()["reputation_decay"](
+            spark, sf_dir
+        ).collect()
+    }
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    src = str(tmp_path / "rep_events")
+    ev.select("user_id", "event_type", "ts").write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp"
+    ).parquet(src)
+    # grid keyed at SECOND granularity here because the batch query
+    # decays from exact event times; a production grid buckets to the
+    # half-life resolution
+    grid = (
+        stream.groupBy(
+            "user_id",
+            "event_type",
+            F.expr("cast(unix_micros(ts) div 1000000 as bigint)").alias("t"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    q = (
+        grid.writeStream.format("memory")
+        .queryName("rep_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.sql("select * from rep_stream").collect()
+    tnow = max(r.t for r in rows)
+    got = {}
+    for r in rows:
+        if r.event_type != "error":
+            continue
+        k = min((tnow - r.t) // 43200, 5)
+        pen = [20, 10, 5, 2, 1, 0][k]
+        n, raw, dec = got.get(r.user_id, (0, 0, 0))
+        got[r.user_id] = (n + r.cnt, raw + 20 * r.cnt, dec + pen * r.cnt)
+    final = {
+        u: (n, raw, dec, max(0, 100 - dec))
+        for u, (n, raw, dec) in got.items()
+    }
+    assert final == expected
