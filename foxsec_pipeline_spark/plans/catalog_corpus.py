@@ -977,3 +977,55 @@ def q_vocab_growth_curve(spark, sf_dir):
         "new_units",
         F.sum("new_units").over(w).cast("long").alias("cum_vocab"),
     )
+
+
+@register(
+    "source_rank_normalize",
+    """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         CAST(rank() OVER (PARTITION BY source
+                           ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       CAST(CASE WHEN n > 1 THEN (rk - 1) * 1000000 // (n - 1)
+                 ELSE 0 END AS BIGINT) AS pct_rank_ppm
+FROM r
+""",
+    doc="per-source percent-rank normalization of a quality signal "
+        "(n_chars here; any score column in practice) — the "
+        "calibration step before MIXING heterogeneous sources: raw "
+        "scores aren't comparable across sources with different "
+        "scales, their within-source ranks are. rank() carries a "
+        "doc_id tie-break so it is a total order and "
+        "engine-identical; ppm via integer division, single-doc "
+        "sources pin to 0. Scale: ONE window over the source "
+        "partition — partition count = source count, each sized by "
+        "its source's docs; no join, no second pass. Skewed sources "
+        "(one source = half the corpus) make this the rare case "
+        "where a per-source SORT is inherent to the semantics — at "
+        "100 TB the mitigation is range-partitioning within the hot "
+        "source, which Spark's window exec does via rangeBetween "
+        "spill, not a plan change",
+)
+def q_source_rank_normalize(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.rank().over(w).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(
+            "cast(case when n > 1 then (rk - 1) * 1000000 div (n - 1)"
+            " else 0 end as bigint)"
+        ).alias("pct_rank_ppm"),
+    )
