@@ -81,7 +81,7 @@ _VERIFY_FIRST = [
     # integer argmax, unrolled-CTE oracle); displaces
     # ann_cosine_lsh_multiprobe (r2-stale) past the boundary.
     "kcenter_coreset_picks", "vocab_growth_curve",
-    "source_rank_normalize",
+    "source_rank_normalize", "top_session_paths",
     # (0f) NEW in round 6: inverted-index posting stats and the MOSS
     # pair report over winnowing fingerprints — never driver-checked.
     "inverted_index_stats", "winnowing_plagiarism_pairs",
@@ -153,7 +153,6 @@ _VERIFY_FIRST = [
     # gained new code this round (l2/int8/rrf/kcenter) and its last
     # driver row is r1-old; seasonal_anomaly (r5-green, code untouched
     # since) moves to the backlog instead
-    "ann_cosine_lsh",
     # (7-9) stalest driver evidence (r1-only): green in ROUND 1 only, never
     # re-checked across three rounds of shared-code churn
     # (10-50) next-stalest: last driver row was round 2 — all 43 of
@@ -162,8 +161,9 @@ _VERIFY_FIRST = [
     # 5 (reference-exact per-subcategory fan-out + oracle moved in
     # lockstep) — doubly due for re-verification
     # ---- slot 50 ends one entry above (recounted — q[49] checked —
-    # after the 13 newest round-6 entries above pushed the boundary up
+    # after the 14 newest round-6 entries above pushed the boundary up
     # again; the r2-stale entries below move to the backlog region) ----
+    "ann_cosine_lsh",
     "seasonal_anomaly",
     "text_quality",
     "text_stats",

@@ -1641,3 +1641,80 @@ def q_reputation_decay(spark, sf_dir):
             "reputation"
         ),
     )
+
+
+@register(
+    "top_session_paths",
+    """
+WITH e AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), tri AS (
+  SELECT a.user_id,
+         a.event_type || '>' || b.event_type || '>' || c.event_type
+           AS path
+  FROM e a
+  JOIN e b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+  JOIN e c ON a.user_id = c.user_id AND c.rn = a.rn + 2
+), counts AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM tri GROUP BY path
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, path)
+              AS rk
+  FROM counts
+)
+SELECT path, n_occurrences, n_users FROM ranked WHERE rk <= 20
+""",
+    doc="top user journeys: the 20 most frequent 3-step event-type "
+        "paths across all users, with occurrence and distinct-user "
+        "counts — the product-analytics path report that complements "
+        "the first-order Markov matrix (markov_transitions gives "
+        "edge probabilities; this surfaces the dominant multi-step "
+        "sequences those edges compose into). Per-user total order "
+        "is (ts, event_id) like every sequence op in the catalog. "
+        "The oracle's rn self-joins are the semantic spec; the Spark "
+        "plan builds each user's ordered event array ONCE and "
+        "explodes its length-3 windows MAP-SIDE (the RAG-chunking "
+        "shape) — one shuffle to assemble sequences, one hash-agg on "
+        "the path, then the top-20 window runs over the PATH-COUNT "
+        "table - bounded by |event types|^3 rows at any corpus "
+        "size, so its single partition is trivially small. Path "
+        "strings join with '>' which the event-type vocabulary "
+        "cannot contain",
+)
+def q_top_session_paths(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    seqs = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "struct(ts, event_id, event_type))), x -> x.event_type)"
+            ).alias("seq")
+        )
+    )
+    tri = seqs.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(seq) - 2, 0)), "
+                "i -> concat(element_at(seq, i), '>', "
+                "element_at(seq, i + 1), '>', element_at(seq, i + 2)))"
+            )
+        ).alias("path"),
+    )
+    counts = tri.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("path"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select("path", "n_occurrences", "n_users")
+    )
