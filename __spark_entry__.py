@@ -82,6 +82,7 @@ _VERIFY_FIRST = [
     # ann_cosine_lsh_multiprobe (r2-stale) past the boundary.
     "kcenter_coreset_picks", "vocab_growth_curve",
     "source_rank_normalize", "top_session_paths",
+    "transition_dwell_times",
     # (0f) NEW in round 6: inverted-index posting stats and the MOSS
     # pair report over winnowing fingerprints — never driver-checked.
     "inverted_index_stats", "winnowing_plagiarism_pairs",
@@ -147,8 +148,8 @@ _VERIFY_FIRST = [
     # priority_semijoin + events_dim_join (next lowest-risk r2-stale
     # pure-SQL relational queries) to keep the prefix at exactly 50
     "dataset_split_assign", "mixture_budget_sample",
-    "split_leakage_check", "corpus_drift", "multimodal_phash_dedup",
-    "oov_rate_filter",
+    "split_leakage_check", "multimodal_phash_dedup",
+    "ann_cosine_lsh",
     # ann_cosine_lsh stays in the prefix: operators/similarity.py
     # gained new code this round (l2/int8/rrf/kcenter) and its last
     # driver row is r1-old; seasonal_anomaly (r5-green, code untouched
@@ -161,9 +162,12 @@ _VERIFY_FIRST = [
     # 5 (reference-exact per-subcategory fan-out + oracle moved in
     # lockstep) — doubly due for re-verification
     # ---- slot 50 ends one entry above (recounted — q[49] checked —
-    # after the 14 newest round-6 entries above pushed the boundary up
-    # again; the r2-stale entries below move to the backlog region) ----
-    "ann_cosine_lsh",
+    # after the 15 newest round-6 entries above pushed the boundary up
+    # again; corpus_drift — r5-green, code untouched — swaps out so
+    # ann_cosine_lsh, whose module gained new code this round, stays
+    # in; the r2-stale entries below move to the backlog region) ----
+    "corpus_drift",
+    "oov_rate_filter",
     "seasonal_anomaly",
     "text_quality",
     "text_stats",

@@ -1718,3 +1718,90 @@ def q_top_session_paths(spark, sf_dir):
         .where(F.col("rk") <= 20)
         .select("path", "n_occurrences", "n_users")
     )
+
+
+@register(
+    "transition_dwell_times",
+    """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t,
+         event_id
+  FROM events
+), p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER w AS to_type,
+         lead(t) OVER w - t AS dwell_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), d AS (
+  SELECT from_type, to_type, dwell_s FROM p WHERE to_type IS NOT NULL
+), c AS (
+  SELECT from_type, to_type, dwell_s,
+         CAST(count(*) AS BIGINT) AS wt
+  FROM d GROUP BY 1, 2, 3
+), s AS (
+  SELECT from_type, to_type, dwell_s, wt,
+         CAST(sum(wt) OVER (PARTITION BY from_type, to_type
+                            ORDER BY dwell_s) AS BIGINT) AS cum,
+         CAST(sum(wt) OVER (PARTITION BY from_type, to_type)
+           AS BIGINT) AS tot
+  FROM c
+)
+SELECT from_type, to_type,
+       CAST(min(tot) AS BIGINT) AS n_transitions,
+       CAST(min(dwell_s) AS BIGINT) AS median_dwell_s
+FROM s WHERE cum * 2 >= tot
+GROUP BY from_type, to_type
+""",
+    doc="timing-aware journey analysis: the exact (lower) median "
+        "dwell time per event-type transition — markov_transitions "
+        "gives WHERE users go next, this gives HOW LONG they linger "
+        "before each hop (the anomaly surface for scripted flows: "
+        "human dwell medians are seconds-to-minutes, automation is "
+        "near-zero). Adjacent pairs via lead() over the (ts, "
+        "event_id)-total-ordered per-user stream; the median is the "
+        "exact weighted-median shape — cumulative window over the "
+        "(transition, DISTINCT dwell) hash-agg, so the windows run "
+        "over distinct observed dwell values per transition, never "
+        "raw rows. No sketch, no float. Scale: one shuffle on "
+        "user_id for the lead, one hash-agg onto the transition x "
+        "dwell grid, windows over that bounded grid",
+)
+def q_transition_dwell_times(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("cast(unix_micros(ts) div 1000000 as bigint)").alias("t"),
+        "event_id",
+    )
+    p = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+        (F.lead("t").over(w) - F.col("t")).alias("dwell_s"),
+    ).where(F.col("to_type").isNotNull())
+    c = p.groupBy("from_type", "to_type", "dwell_s").agg(
+        F.count(F.lit(1)).cast("long").alias("wt")
+    )
+    wcum = (
+        Window.partitionBy("from_type", "to_type")
+        .orderBy("dwell_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("from_type", "to_type")
+    s = c.select(
+        "from_type",
+        "to_type",
+        "dwell_s",
+        F.sum("wt").over(wcum).cast("long").alias("cum"),
+        F.sum("wt").over(wall).cast("long").alias("tot"),
+    )
+    return (
+        s.where(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("from_type", "to_type")
+        .agg(
+            F.min("tot").cast("long").alias("n_transitions"),
+            F.min("dwell_s").cast("long").alias("median_dwell_s"),
+        )
+    )
