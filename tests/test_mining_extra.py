@@ -420,3 +420,77 @@ def test_kcenter_coreset_matches_python_greedy(spark, reg):
     assert got == picks
     radii = [r.coverage_radius for r in rows[1:]]
     assert radii == sorted(radii, reverse=True)
+
+
+def test_final_round6_queries_match_python_recounts(spark, reg):
+    """source_rank_normalize, top_session_paths and
+    transition_dwell_times recomputed in pure Python (DuckDB parity
+    runs in the catalog sweep; this pins the semantics independently
+    of SQL)."""
+    # --- per-source percent rank
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    by_src = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).append((d.n_chars, d.doc_id))
+    expected_rank = {}
+    for src, items in by_src.items():
+        items.sort()
+        n = len(items)
+        for rk, (_, doc_id) in enumerate(items, start=1):
+            expected_rank[doc_id] = (
+                (rk - 1) * 1_000_000 // (n - 1) if n > 1 else 0
+            )
+    got = {r.doc_id: r.pct_rank_ppm
+           for r in reg["source_rank_normalize"].fn(spark, SF_DIR).collect()}
+    assert got == expected_rank
+
+    # --- ordered per-user event streams feed both sequence queries
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    streams = {}
+    for r in ev:
+        streams.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, r.event_type)
+        )
+    for v in streams.values():
+        v.sort()
+
+    # top 3-step paths
+    paths = Counter()
+    path_users = {}
+    for u, seq in streams.items():
+        types = [t for _, _, t in seq]
+        for i in range(len(types) - 2):
+            p = ">".join(types[i:i + 3])
+            paths[p] += 1
+            path_users.setdefault(p, set()).add(u)
+    top = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got_paths = {
+        r.path: (r.n_occurrences, r.n_users)
+        for r in reg["top_session_paths"].fn(spark, SF_DIR).collect()
+    }
+    assert got_paths == {
+        p: (n, len(path_users[p])) for p, n in top
+    }
+
+    # transition dwell medians (lower weighted median over deltas)
+    dwell = {}
+    for seq in streams.values():
+        for (t1, _, ty1), (t2, _, ty2) in zip(seq, seq[1:]):
+            d = int(t2.timestamp()) - int(t1.timestamp())
+            dwell.setdefault((ty1, ty2), []).append(d)
+    expected_dwell = {}
+    for k, ds in dwell.items():
+        ds.sort()
+        n = len(ds)
+        # lower weighted median: first value with cum*2 >= tot
+        cum = 0
+        for v in ds:
+            cum += 1
+            if cum * 2 >= n:
+                expected_dwell[k] = (n, v)
+                break
+    got_dwell = {
+        (r.from_type, r.to_type): (r.n_transitions, r.median_dwell_s)
+        for r in reg["transition_dwell_times"].fn(spark, SF_DIR).collect()
+    }
+    assert got_dwell == expected_dwell
