@@ -2883,10 +2883,13 @@ def _kcenter_oracle(k: int) -> str:
         "sequence that IS the coreset guarantee readout. Every "
         "distance is a pure-integer argmax, so the oracle unrolls "
         "the same greedy steps as CTEs and matches exactly. Scale: "
-        "each round is one scan updating the running min-distance "
-        "column plus a single-row collect (the codebook-training "
-        "precedent); production runs it on a bounded uniform "
-        "pre-sample where the 2-approximation quality transfers",
+        "the operator ENFORCES a deterministic md5-draw pre-sample "
+        "(TakeOrdered, 65,536-row cap where the 2-approximation "
+        "quality transfers) and runs the k argmax rounds driver-side "
+        "in numpy over the collected int64 codes — ONE distributed "
+        "corpus pass total, job-count-asserted (the codebook-training "
+        "TRAIN_DRIVER_ROWS precedent); corpora under the cap keep "
+        "every row so this oracle is unchanged",
 )
 def q_kcenter_coreset(spark, sf_dir):
     from ..operators.similarity import kcenter_coreset

@@ -383,6 +383,42 @@ def test_reputation_decay_halving_steps(spark, reg):
     assert r2.decayed_penalty == 120 and r2.reputation == 0
 
 
+def test_kcenter_coreset_bounded_jobs(spark):
+    """The operator must touch the corpus with ONE distributed pass
+    (md5-draw TakeOrdered sample + bounded collect, the
+    TRAIN_DRIVER_ROWS precedent) — NOT k sequential scans: the Spark
+    job count under a dedicated job group stays <=2 regardless of k
+    (the r6 verdict flagged the old k-iteration plan)."""
+    from foxsec_pipeline_spark.operators.similarity import kcenter_coreset
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("kcenter-jobcount", "kcenter job-count assertion")
+    try:
+        df = kcenter_coreset(emb, k=8)
+        jobs = sc.statusTracker().getJobIdsForGroup("kcenter-jobcount")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(jobs) <= 2, f"expected <=2 jobs, saw {len(jobs)}: {jobs}"
+    assert df.count() == 8
+
+
+def test_kcenter_coreset_sample_cap(spark):
+    """With sample_cap below the corpus size the greedy selection runs
+    on the deterministic md5-draw subset: still k picks, radii still
+    non-increasing, and repeat runs are identical (the draw is a pure
+    function of the ids)."""
+    from foxsec_pipeline_spark.operators.similarity import kcenter_coreset
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = kcenter_coreset(emb, k=5, sample_cap=100).collect()
+    b = kcenter_coreset(emb, k=5, sample_cap=100).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 5
+    radii = [r.coverage_radius for r in sorted(a, key=lambda r: r.pick_order)][1:]
+    assert radii == sorted(radii, reverse=True)
+
+
 def test_kcenter_coreset_matches_python_greedy(spark, reg):
     """Replay the greedy k-center selection in pure Python over the
     same quantized codes and compare every pick; the coverage-radius
