@@ -2,12 +2,17 @@
 columns with typed metadata, processed by Arrow-batched pandas
 functions via mapInPandas.
 
-The decode stage parses real byte layouts pure-python (PNG/JPEG/GIF/
-BMP dimensions, WAV rate/channels — no image/audio libs in this
-container); full pixel/sample decode (resize, ffmpeg frame
-extraction) would dispatch from the same `_decode_payload` seam with
-the same batch contract. Unknown formats fall back to a deterministic
-length-derived fake so the stage stays total.
+The metadata stage parses real byte layouts pure-python (PNG/JPEG/
+GIF/BMP dimensions, WAV rate/channels). PIXEL decode is real too for
+the formats decodable without external libs — PNG (stdlib zlib +
+scanline unfiltering) and uncompressed BMP — feeding `image_phash`,
+the classic resize->DCT->median perceptual hash; entropy-coded
+formats (JPEG/WebP) dispatch to Pillow when installed (dependency-
+gated like the maxminddb GeoIP path; this container has none, so
+those tests skip). ffmpeg frame extraction would dispatch from the
+same seam with the same batch contract. Unknown formats fall back to
+a deterministic length-derived fake so the metadata stage stays
+total.
 
 Scale notes: binary payloads dominate partition size — size
 spark.sql.files.maxPartitionBytes so one Arrow batch of payloads fits
@@ -277,6 +282,279 @@ def media_phash(
             )
 
     return df.select(id_col, "payload").mapInPandas(
+        op, schema=f"{id_col} long, phash long"
+    )
+
+
+def _png_pixels(payload: bytes):
+    """Real PNG pixel decode, stdlib-only (zlib + numpy): parses the
+    chunk stream, inflates the concatenated IDATs, and undoes the five
+    scanline filters (None/Sub/Up/Average/Paeth per the PNG spec
+    §9.2). Supports the formats a training corpus actually contains —
+    8-bit gray / RGB / RGBA / palette, non-interlaced — and returns an
+    (H, W) float64 grayscale array (BT.601 luma), or None if the
+    payload is not a decodable PNG. JPEG (entropy-coded) goes through
+    the PIL path in `_image_pixels`."""
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, ihdr, plte = 8, [], None, None
+    while pos + 8 <= len(payload):
+        clen = int.from_bytes(payload[pos:pos + 4], "big")
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if ihdr is None or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, interlace = ihdr[8], ihdr[9], ihdr[12]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if (
+        channels is None or bit_depth != 8 or interlace != 0
+        or w <= 0 or h <= 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    bpp = channels  # bytes per pixel at bit depth 8
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos + 1
+        ).astype(np.int64)
+        pos += stride + 1
+        up = out[y - 1].astype(np.int64) if y > 0 else np.zeros(
+            stride, dtype=np.int64)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + up) & 0xFF
+        else:
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = up[x]
+                if ftype == 1:  # Sub
+                    rec[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:  # Average
+                    rec[x] = (line[x] + (a + b) // 2) & 0xFF
+                elif ftype == 4:  # Paeth
+                    c = up[x - bpp] if (x >= bpp and y > 0) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    rec[x] = (line[x] + pr) & 0xFF
+                else:
+                    return None
+        out[y] = rec.astype(np.uint8)
+    px = out.reshape(h, w, channels)
+    if color_type == 3:  # palette indices -> RGB
+        if plte is None or len(plte) < 3:
+            return None
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        idx = np.minimum(px[:, :, 0].astype(np.int64), len(pal) - 1)
+        px = pal[idx]
+        channels = 3
+    if channels == 1:
+        return px[:, :, 0].astype(np.float64)
+    if channels == 2:  # gray + alpha
+        return px[:, :, 0].astype(np.float64)
+    r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+    return (299.0 * r + 587.0 * g + 114.0 * b) / 1000.0
+
+
+def _bmp_pixels(payload: bytes):
+    """Real BMP pixel decode (numpy): uncompressed 24/32-bit
+    BITMAPINFOHEADER, BGR(A) rows padded to 4 bytes, bottom-up unless
+    the height is negative. Returns (H, W) float64 grayscale or None."""
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        return None
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    nrows, bottom_up = abs(h), h > 0
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) & ~3
+    if data_off + stride * nrows > len(payload):
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * nrows, offset=data_off
+    ).reshape(nrows, stride)
+    px = rows[:, : w * nbytes].reshape(nrows, w, nbytes)
+    if bottom_up:
+        px = px[::-1]
+    b, g, r = (px[:, :, i].astype(np.float64) for i in range(3))
+    return (299.0 * r + 587.0 * g + 114.0 * b) / 1000.0
+
+
+def _pil_pixels(payload: bytes):
+    """PIL-backed decode for entropy-coded formats (JPEG, WebP, ...),
+    dependency-gated like the maxminddb GeoIP path: used when Pillow
+    is importable, None otherwise (this container has no Pillow —
+    tests/test_multimodal.py skip-gates the parity check)."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        return None
+    import numpy as np
+
+    try:
+        img = Image.open(io.BytesIO(bytes(payload)))
+        return np.asarray(img.convert("L"), dtype=np.float64)
+    except Exception:
+        return None
+
+
+def _image_pixels(payload: bytes, media_type: str):
+    """Pixel-decode dispatch: pure-numpy PNG/BMP decoders first (no
+    external deps), PIL for everything else when present. Returns an
+    (H, W) float64 grayscale array or None for undecodable payloads."""
+    payload = bytes(payload)
+    px = None
+    if media_type == "image/png" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+        px = _png_pixels(payload)
+    elif media_type == "image/bmp" or payload[:2] == b"BM":
+        px = _bmp_pixels(payload)
+    if px is None:
+        px = _pil_pixels(payload)
+    return px
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis (type-II, norm='ortho'): the matrix
+    C with C[k, j] = s_k * cos(pi * (2j + 1) * k / (2n)), so a 2-D DCT
+    is C @ img @ C.T — pure numpy, no scipy in this container."""
+    import numpy as np
+
+    j = np.arange(n, dtype=np.float64)
+    k = j.reshape(-1, 1)
+    C = np.cos(np.pi * (2.0 * j + 1.0) * k / (2.0 * n))
+    C[0] *= np.sqrt(1.0 / n)
+    C[1:] *= np.sqrt(2.0 / n)
+    return C
+
+
+def _resize_area(img, size: int):
+    """Deterministic box resize to (size, size): rows/cols are split
+    into `size` contiguous blocks (linspace boundaries) and each
+    output cell is the mean of its block — the low-pass front of the
+    classic pHash pipeline, numpy-only."""
+    import numpy as np
+
+    h, w = img.shape
+    if h < size or w < size:  # upscale tiny images by repetition
+        img = np.repeat(
+            np.repeat(img, -(-size // h), axis=0), -(-size // w), axis=1
+        )
+        h, w = img.shape
+    rb = np.linspace(0, h, size + 1).astype(np.int64)
+    cb = np.linspace(0, w, size + 1).astype(np.int64)
+    out = np.empty((size, size), dtype=np.float64)
+    csum = np.cumsum(np.cumsum(img, axis=0), axis=1)
+    pad = np.zeros((h + 1, w + 1), dtype=np.float64)
+    pad[1:, 1:] = csum
+    for i in range(size):
+        r0, r1 = rb[i], max(rb[i + 1], rb[i] + 1)
+        area_rows = r1 - r0
+        blk = (
+            pad[r1, cb[1:]] - pad[r0, cb[1:]]
+            - pad[r1, cb[:-1]] + pad[r0, cb[:-1]]
+        )
+        widths = np.maximum(cb[1:] - cb[:-1], 1)
+        out[i] = blk / (area_rows * widths)
+    return out
+
+
+def dct_phash_bits(img, hash_size: int = 8, highfreq_factor: int = 4) -> int:
+    """The classic pHash: box-resize the grayscale image to
+    (hash_size * highfreq_factor)^2, 2-D orthonormal DCT-II, keep the
+    top-left hash_size x hash_size low-frequency block, drop the DC
+    term, and set bit b iff coefficient b exceeds the MEDIAN of the
+    block — 63 bits for the default 8x8, so the hash stays positive
+    in an int64 (the `media_phash` convention). numpy float64
+    throughout: deterministic on any IEEE platform."""
+    import numpy as np
+
+    size = hash_size * highfreq_factor
+    small = _resize_area(np.asarray(img, dtype=np.float64), size)
+    C = _dct_matrix(size)
+    coefs = (C @ small @ C.T)[:hash_size, :hash_size].ravel()[1:]
+    med = float(np.median(coefs))
+    ph = 0
+    for b, c in enumerate(coefs):
+        if float(c) > med:
+            ph |= 1 << b
+    return ph
+
+
+def image_phash(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL perceptual hash over image payloads at the same
+    mapInPandas seam as `media_phash`: pixel decode (pure-numpy
+    PNG/BMP; PIL for JPEG when installed) -> 32x32 box resize ->
+    2-D DCT-II -> 8x8 low-frequency block -> median threshold ->
+    63-bit fingerprint. Undecodable payloads are dropped (a corrupt
+    image has no perceptual content to hash; callers left-join to
+    find them). Output contract matches `media_phash` exactly —
+    (id, phash int64) — so `operators.dedup.hamming_pairs` banding
+    and the downstream dedup shape are identical.
+
+    Scale: fingerprinting is embarrassingly map-side (one Arrow batch
+    in, one int64 column out; payload bytes never shuffle), pairing
+    stays bucket-local in the pigeonhole band join."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, payload, mt in zip(
+                pdf[id_col], pdf["payload"], pdf["media_type"]
+            ):
+                px = _image_pixels(payload, mt)
+                if px is None or px.size == 0:
+                    continue
+                ids.append(i)
+                hashes.append(dct_phash_bits(px))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "phash": pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload", "media_type").mapInPandas(
         op, schema=f"{id_col} long, phash long"
     )
 
