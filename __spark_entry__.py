@@ -44,7 +44,9 @@ _NEVER_CHECKED = [
 # above per the standing rule (never-checked first, newest last).
 # Names are appended here as each query lands with its oracle + plan
 # assertion + SCALE.md entry.
-_NEW_R7: list[str] = []
+_NEW_R7: list[str] = [
+    "shared_state_at_risk",
+]
 
 # Last green driver row r1 (text_stats/text_quality have been green
 # only in round 1 — five rounds of shared-code churn ago).

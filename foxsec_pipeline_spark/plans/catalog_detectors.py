@@ -472,6 +472,82 @@ def q_login_failure_at_risk(spark, sf_dir):
 
 
 @register(
+    "shared_state_at_risk",
+    """
+WITH comp AS (
+  SELECT date_trunc('day', ts) AS window_start, user_id,
+         '10.' || (user_id % 32) || '.0.1' AS addr
+  FROM events GROUP BY 1, 2
+  HAVING count(*) FILTER (WHERE event_type = 'view') >= 2
+     AND count(*) FILTER (WHERE event_type = 'error') >= 1
+), state AS (
+  SELECT user_id AS email, addr AS scanned_by, window_start AS scanned_at,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY window_start DESC, addr) AS rn
+  FROM comp
+)
+SELECT e.event_id, e.ts, e.user_id, s.scanned_by, s.scanned_at,
+       'shared_state_at_risk' AS subcategory
+FROM events e JOIN state s ON e.user_id = s.email AND e.ts >= s.scanned_at
+WHERE s.rn = 1 AND e.event_type = 'error'
+""",
+    doc="the PERSISTENT cross-job state contract (SURVEY §7 hard part "
+        "2; state/DatastoreStateInterface.java replaced by "
+        "streaming/state_table.py): the comparator's email->ScannedBy "
+        "state is written through an on-disk StateTable in TWO "
+        "incremental last-writer-wins merges (events split by day "
+        "parity, so the final snapshot is the result of real "
+        "merge-upserts, not a one-shot write) and the consumer reads "
+        "the snapshot back from disk — producer and consumer share "
+        "ONLY the table path, exactly the Datastore-kind handoff of "
+        "CustomsStatusComparator.java:155-164 -> "
+        "CustomsLoginFailureForAtRiskAccount.java:100-127. The oracle "
+        "computes the same state in one shot: last-writer-wins merge "
+        "is associative ((scanned_at DESC, scanned_by ASC) totally "
+        "orders rows per email), so incremental == one-shot. Scale: "
+        "state is account-cardinality; each merge is one shuffle on "
+        "the key; the consumer broadcasts the snapshot",
+)
+def q_shared_state_at_risk(spark, sf_dir):
+    import tempfile
+
+    from ..operators.customs import status_comparator
+    from ..streaming.state_table import at_risk_state_table
+
+    ev = _events(spark, sf_dir)
+    table = at_risk_state_table(
+        tempfile.mkdtemp(prefix="lfara_state_")
+    )
+    # producer: two chronological deltas (day-windows are whole within
+    # a parity class, so comp(half) pieces tile comp(all))
+    comp = status_comparator(
+        ev, key="user_id",
+        scan_predicate=F.col("event_type") == "view",
+        failure_predicate=F.col("event_type") == "error",
+        ts="ts", duration="1 day", min_scans=2, min_failures=1,
+    ).select(
+        F.col("user_id").alias("email"),
+        F.concat(F.lit("10."), (F.col("user_id") % 32).cast("string"),
+                 F.lit(".0.1")).alias("scanned_by"),
+        F.col("window_start").alias("scanned_at"),
+    )
+    for parity in (0, 1):
+        table.merge(
+            comp.where(F.dayofyear("scanned_at") % 2 == parity),
+            job_id="status-comparator", batch_id=parity,
+        )
+    # consumer: reads ONLY the on-disk snapshot
+    state = table.read(spark)
+    return login_failure_for_at_risk_account(
+        ev, state, account_col="user_id",
+        failure_predicate=F.col("event_type") == "error", ts="ts",
+    ).select(
+        "event_id", "ts", "user_id", "scanned_by", "scanned_at",
+        F.lit("shared_state_at_risk").alias("subcategory"),
+    )
+
+
+@register(
     "customs_alert_fanout",
     """
 WITH hits AS (
