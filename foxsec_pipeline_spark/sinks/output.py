@@ -76,6 +76,91 @@ def blob_id_from_url(url: str) -> tuple[str, str] | None:
 
 
 @dataclass
+class SinkSpec:
+    """One configured DataFrame sink leg: the Spark-connector face of
+    the reference's output specifiers (`CompositeOutput.java:85-121`).
+    `apply` is ordinary `df.write.format(...).options(...).save()`,
+    so any registered DataSource works; the cloud connector jars
+    (spark-bigquery-connector, Pub/Sub Lite) are deployment
+    dependencies — this container tests the configuration and the
+    execution path via built-in formats."""
+
+    format: str
+    options: dict[str, str] = field(default_factory=dict)
+    mode: str = "append"
+    path: str | None = None
+
+    def apply(self, df: DataFrame) -> None:
+        w = df.write.format(self.format).options(**self.options).mode(self.mode)
+        if self.path is not None:
+            w.save(self.path)
+        else:
+            w.save()
+
+
+def bigquery_sink_spec(table: str, write_method: str = "direct") -> SinkSpec:
+    """S10 BigQuery sink wiring (`CompositeOutput.java:86-105`:
+    BigQueryIO WRITE_APPEND / CREATE_NEVER): the spark-bigquery-
+    connector convention — format "bigquery", `table` =
+    project.dataset.table (the reference's --outputBigQuery
+    specifier), append mode. CREATE_NEVER is the connector default
+    (it errors on a missing table unless createDisposition is set)."""
+    if table.count(".") < 1:
+        raise ValueError(
+            "BigQuery output specifier must be [project.]dataset.table"
+        )
+    return SinkSpec(
+        format="bigquery",
+        options={"table": table, "writeMethod": write_method},
+        mode="append",
+    )
+
+
+def pubsub_sink_spec(topic: str) -> SinkSpec:
+    """S11 Pub/Sub sink wiring (`CompositeOutput.java:106-110`
+    PubsubIO.writeStrings): the Pub/Sub Lite connector convention —
+    format "pubsublite", topic resource path. The payload column must
+    be named `data` (binary); `alerts_to_wire(df)` below produces it."""
+    if not topic.startswith("projects/"):
+        raise ValueError("pubsub topic must be a projects/... resource path")
+    return SinkSpec(
+        format="pubsublite",
+        options={"pubsublite.topic.path": topic},
+        mode="append",
+    )
+
+
+def sqs_sink_config(queue_info: str, gcs_fetch=None, kms_decrypt=None) -> dict:
+    """S12 SQS sink wiring (`SqsIO.java:33-60`): resolve the
+    (possibly RuntimeSecrets-wrapped) `url:key:secret:region` spec
+    into the boto3/SDK client config the per-partition emitter needs.
+    SQS has no Spark DataSource sink; like the reference, the write
+    is a per-bundle client call — the engine's executor-side
+    foreachPartition emitter (CompositeOutput.emitters) with this
+    config. Invalid specs are a config error (golden TestSqsIO)."""
+    buf = interpret_secret(queue_info, gcs_fetch=gcs_fetch,
+                           kms_decrypt=kms_decrypt)
+    parts = parse_queue_info(buf)
+    if parts is None:
+        raise ValueError("format of sqs queue specification was invalid")
+    url, key, secret, region = parts
+    return {
+        "queue_url": url,
+        "aws_access_key_id": key,
+        "aws_secret_access_key": secret,
+        "region_name": region,
+    }
+
+
+def alerts_to_wire(alerts: DataFrame) -> DataFrame:
+    """Alert rows -> the single binary `data` column the streaming
+    connectors publish (Pub/Sub Lite sink contract)."""
+    return alerts_to_json(alerts).select(
+        F.encode(F.col("value"), "UTF-8").alias("data")
+    )
+
+
+@dataclass
 class CompositeOutput:
     """Fan-out sink config (`CompositeOutput.java:80-121`)."""
 
@@ -90,11 +175,16 @@ class CompositeOutput:
     # emitters in tests set driver_emit=True to keep closure state
     # observable in-process.
     driver_emit: bool = False
+    # connector-backed sink legs (BigQuery/Pub/Sub/... SinkSpec):
+    # applied to the alert-JSON frame on every batch
+    sink_specs: list[SinkSpec] = field(default_factory=list)
 
     def write_batch(self, alerts: DataFrame) -> None:
         js = alerts_to_json(alerts)
         if self.file_path:
             js.write.mode("append").text(self.file_path)
+        for spec in self.sink_specs:
+            spec.apply(js)
         if self.emitters:
             if self.driver_emit:
                 lines = [r.value for r in js.collect()]

@@ -27,6 +27,28 @@ from pyspark.sql import functions as F
 from ..parser.parse import ParserCfg, parse_events
 
 
+# Raw-record projections per connector format: every source leg must
+# end as one `value` string column. Live stream connectors emit their
+# payload as a binary `data` column (the Kinesis DSv2 connectors and
+# Pub/Sub Lite both do); the reference splits each Kinesis record on
+# newlines into individual events (`input/KinesisInput.java:66-74`),
+# so the projection explodes the decoded payload the same way.
+# File/text legs are already line-shaped.
+def _split_lines_projection(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.explode(
+            F.split(F.decode(F.col("data"), "UTF-8"), r"\r?\n")
+        ).alias("value")
+    ).where(F.length("value") > 0)
+
+
+_RAW_PROJECTIONS = {
+    "kinesis": _split_lines_projection,
+    "aws-kinesis": _split_lines_projection,
+    "pubsublite": _split_lines_projection,
+}
+
+
 @dataclass
 class InputElement:
     """One named input leg (`input/InputElement.java`)."""
@@ -35,7 +57,8 @@ class InputElement:
     # file glob(s) — a list is the reference's repeated addFileInput
     # (`input/InputElement.java` — golden TestInputTypeFileMulti)
     path: str | list[str] | None = None
-    fmt: str = "text"                # text | json | parquet | rate
+    # text | json | parquet | rate | kinesis | aws-kinesis | pubsublite
+    fmt: str = "text"
     parser_cfg: ParserCfg = field(default_factory=ParserCfg)
     options: dict[str, str] = field(default_factory=dict)
 
@@ -45,8 +68,9 @@ class InputElement:
         for k, v in self.options.items():
             reader = reader.option(k, v)
         df = reader.load(self.path) if self.path else reader.load()
-        if self.fmt == "text":
-            df = df.withColumnRenamed("value", "value")
+        project = _RAW_PROJECTIONS.get(self.fmt)
+        if project is not None:
+            df = project(df)
         return df.withColumn("resource", F.lit(self.name))
 
 
@@ -77,6 +101,74 @@ class InputSpec:
         for d in parsed[1:]:
             out = out.unionByName(d)
         return out
+
+
+def kinesis_input_element(
+    name: str,
+    spec: str,
+    fmt: str = "kinesis",
+    initial_position: str = "latest",
+    gcs_fetch=None,
+    kms_decrypt=None,
+) -> InputElement:
+    """S3 Kinesis input wiring (`input/KinesisInput.java:80-107`):
+    the reference's `streamname:accessid:secret:region` input
+    specifier — optionally a RuntimeSecrets gs:// or cloudkms://
+    payload, resolved through the same seams as the sink side —
+    becomes a configured streaming InputElement. Option names follow
+    the open-source Structured Streaming Kinesis connectors
+    (streamName/awsAccessKeyId/awsSecretKey/endpointUrl +
+    startingposition); `fmt` selects the registered DataSource short
+    name ("kinesis" for the classic connector, "aws-kinesis" for the
+    AWS-labs one). InitialPositionInStream.LATEST is the reference
+    default (`KinesisInput.java:56`). The record->lines split is the
+    format's raw projection (applied in InputElement.read). The
+    connector jar is a deployment dependency; this container has no
+    endpoint, so tests assert the configuration, not a live read."""
+    from ..sinks.output import interpret_secret
+
+    buf = interpret_secret(spec, gcs_fetch=gcs_fetch, kms_decrypt=kms_decrypt)
+    parts = buf.split(":")
+    if len(parts) != 4:
+        raise ValueError("format of kinesis input specification was invalid")
+    stream, access_id, secret, region = parts
+    return InputElement(
+        name=name,
+        path=None,
+        fmt=fmt,
+        options={
+            "streamName": stream,
+            "awsAccessKeyId": access_id,
+            "awsSecretKey": secret,
+            "endpointUrl": f"https://kinesis.{region}.amazonaws.com",
+            "startingposition": initial_position.upper(),
+        },
+    )
+
+
+def pubsub_input_element(
+    name: str,
+    subscription: str,
+    fmt: str = "pubsublite",
+) -> InputElement:
+    """S2 Pub/Sub input wiring (`input/InputElement.java:124-126`,
+    `InputCollectionCache.java:41-53` PubsubIO.readStrings): a
+    subscription path becomes a configured streaming InputElement.
+    The public Spark connector is Pub/Sub Lite
+    (`pubsublite.subscription.path` = projects/<n>/locations/<loc>/
+    subscriptions/<name>); classic Pub/Sub reaches Spark through a
+    Lite reservation or a bridge in deployment. Payload arrives as a
+    binary `data` column -> the raw projection decodes to lines."""
+    if not subscription.startswith("projects/"):
+        raise ValueError(
+            "pubsub subscription must be a projects/... resource path"
+        )
+    return InputElement(
+        name=name,
+        path=None,
+        fmt=fmt,
+        options={"pubsublite.subscription.path": subscription},
+    )
 
 
 def cfgtick_message(options: dict) -> str:
