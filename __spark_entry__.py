@@ -46,6 +46,12 @@ _NEVER_CHECKED = [
 # assertion + SCALE.md entry.
 _NEW_R7: list[str] = [
     "shared_state_at_risk",
+    "reservoir_sample_per_key", "lm_typicality_filter",
+    "consistent_hash_assignment", "autocorrelation_lags",
+    "record_linkage_blocking", "ngram_novelty_score",
+    "dsir_importance_weights", "bm25_topk_retrieval",
+    "kcore_decomposition", "cluster_canonical_docs",
+    "tokenizer_fertility",
 ]
 
 # Last green driver row r1 (text_stats/text_quality have been green

@@ -75,6 +75,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import (  # noqa: F401  (register tranches)
         catalog_composed,
         catalog_corpus,
+        catalog_curation,
         catalog_customs,
         catalog_data,
         catalog_detectors,

@@ -1,0 +1,915 @@
+"""Catalog tranche (round 7): corpus-curation and graph additions —
+deterministic per-key sampling, an LM-typicality (perplexity-proxy)
+quality filter, DSIR-style importance weights, BM25 retrieval,
+n-gram novelty, canonical-doc selection over dedup clusters, k-core
+decomposition, blocked record linkage, rendezvous (HRW) shard
+assignment, exact autocorrelation, and tokenizer fertility.
+
+These fill the remaining training-data-pipeline surface: selection
+(DSIR, typicality), retrieval (BM25 — the sparse half of the RAG
+stack next to the ANN family), curation actions (canonical pick per
+duplicate cluster, per-key sampling caps), corpus diagnostics
+(novelty, fertility, autocorrelation), and infrastructure (stable
+shard assignment with minimal rebalance disruption).
+
+Determinism discipline (the catalog standard): ratios are integer
+ppm via `div`, hashes are md5 (engine-portable: Spark
+`conv(substr(md5,..),16,10)` == DuckDB `CAST('0x'||substr(md5,..) AS
+BIGINT)`), every ordering carries an id tie-break, every aggregate is
+cast to BIGINT on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..session import load_tables
+from .catalog import register
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, "documents")["documents"]
+
+
+def _events(spark, sf_dir):
+    return load_tables(spark, sf_dir, "events")["events"]
+
+
+def _t(spark, sf_dir, name):
+    return load_tables(spark, sf_dir, name)[name]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-key sample cap
+
+
+@register(
+    "reservoir_sample_per_key",
+    """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS sample_rank
+FROM r WHERE rk <= 10
+""",
+    doc="deterministic k-per-key sample (the distributed equivalent "
+        "of per-key reservoir sampling, and the per-source CAP a "
+        "mixture build applies before weighting): rank docs within "
+        "each source by md5(doc_id) — a uniform, seed-free draw that "
+        "is reproducible across engines and across runs — and keep "
+        "the first k=10. Unlike `stratified_sample`'s rate-based "
+        "md5-draw (keep p%%), this bounds the COUNT per key exactly. "
+        "Scale: one shuffle on the key; the rank window never sees "
+        "more than one key's rows per partition, and at 100 TB the "
+        "same plan caps per-domain/per-host contributions without a "
+        "global sort",
+)
+def q_reservoir_sample_per_key(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "source", "doc_id", "n_chars",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+        )
+        .where(F.col("sample_rank") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LM-typicality quality filter (perplexity proxy, exact integers)
+
+
+@register(
+    "lm_typicality_filter",
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+  FROM documents
+), bg AS (
+  SELECT doc_id, tok[i] || chr(2) || tok[i + 1] AS bigram
+  FROM (SELECT doc_id, tok, unnest(range(1, len(tok))) AS i FROM t)
+), lm AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY bigram
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM bg
+), scored AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(lm.c) AS BIGINT) AS mass
+  FROM bg b JOIN lm ON b.bigram = lm.bigram
+  GROUP BY b.doc_id
+)
+SELECT s.doc_id, s.n_bigrams,
+       CAST(s.mass * 1000000 // (s.n_bigrams * tot.n) AS BIGINT)
+         AS typicality_ppm,
+       CAST(s.mass * 1000000 // (s.n_bigrams * tot.n) AS BIGINT) < 900
+         AS flagged_atypical
+FROM scored s CROSS JOIN tot
+""",
+    doc="LM-typicality quality filter — the log-free surrogate for "
+        "perplexity gating (the standard 'train a small LM on the "
+        "corpus, drop documents the LM finds surprising' selection "
+        "step, CCNet/Gopher-style): a word-bigram LM is the corpus's "
+        "own bigram counts; a doc's typicality is the mean corpus "
+        "probability of its bigrams, exact-integer ppm = "
+        "sum(count[bigram]) * 1e6 div (doc_bigrams * total_bigrams). "
+        "No ln() anywhere, so the oracle hash-matches on any engine "
+        "(the `oov_rate_filter` precedent, one level deeper than "
+        "vocabulary presence). Scale: bigram explode is map-side; "
+        "the LM is one hash-agg; scoring joins the doc's bigrams to "
+        "the LM on the bigram key (skew-safe: uniform md5-ish key "
+        "space) and re-aggregates per doc — two shuffles total, and "
+        "the LM table is vocabulary-sized (broadcastable when the "
+        "vocab is bounded)",
+)
+def q_lm_typicality_filter(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    bg = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i -> concat("
+                "element_at(t, i), char(2), element_at(t, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    lm = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    total = bg.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scored = (
+        bg.join(lm, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("c").cast("long").alias("mass"),
+        )
+    )
+    ppm = F.expr("mass * 1000000 div (n_bigrams * n)").cast("long")
+    return scored.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_bigrams",
+        ppm.alias("typicality_ppm"),
+        (ppm < 900).alias("flagged_atypical"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) shard assignment
+
+
+_N_SHARDS = 8
+
+
+@register(
+    "consistent_hash_assignment",
+    f"""
+WITH shards AS (
+  SELECT 'shard' || CAST(i AS VARCHAR) AS shard
+  FROM range(0, {_N_SHARDS}) r(i)
+), scored AS (
+  SELECT d.doc_id, s.shard,
+         md5(CAST(d.doc_id AS VARCHAR) || ':' || s.shard) AS w
+  FROM documents d CROSS JOIN shards s
+), owner AS (
+  SELECT doc_id, shard,
+         row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, shard)
+           AS rn
+  FROM scored
+), owner7 AS (
+  SELECT doc_id, shard,
+         row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, shard)
+           AS rn
+  FROM scored WHERE shard <> 'shard{_N_SHARDS - 1}'
+)
+SELECT o.shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN o.shard <> o7.shard THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved_on_removal
+FROM (SELECT doc_id, shard FROM owner WHERE rn = 1) o
+JOIN (SELECT doc_id, shard FROM owner7 WHERE rn = 1) o7 USING (doc_id)
+GROUP BY o.shard
+""",
+    doc="rendezvous / highest-random-weight shard assignment "
+        "(Thaler-Ravishankar 1998 — the consistent-hashing scheme "
+        "that needs no ring state): owner(doc) = argmax over shards "
+        "of md5(doc:shard). Emits per-shard load AND the "
+        "minimal-disruption readout: recomputing ownership with the "
+        "last shard removed must move ONLY the docs it owned "
+        "(expected 1/N of the corpus) — the property that makes HRW "
+        "the right way to assign 100 TB of parquet to a changing "
+        "worker fleet. Exact: md5 hex compares lexicographically "
+        "identically in both engines. Scale: the shard list is a "
+        "constant broadcast (N rows); scoring is map-side; the "
+        "argmax window partitions by doc_id (the natural key, no "
+        "skew); output is shard-cardinality",
+)
+def q_consistent_hash_assignment(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    spark_ = docs.sparkSession
+    shards = spark_.createDataFrame(
+        [(f"shard{i}",) for i in range(_N_SHARDS)], "shard string"
+    )
+    scored = docs.crossJoin(F.broadcast(shards)).select(
+        "doc_id",
+        "shard",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                     F.col("shard"))
+        ).alias("w"),
+    )
+    w_all = Window.partitionBy("doc_id").orderBy(
+        F.col("w").desc(), F.col("shard")
+    )
+    owner = (
+        scored.withColumn("rn", F.row_number().over(w_all))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "shard")
+    )
+    owner7 = (
+        scored.where(F.col("shard") != f"shard{_N_SHARDS - 1}")
+        .withColumn("rn", F.row_number().over(w_all))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("shard").alias("shard7"))
+    )
+    return (
+        owner.join(owner7, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard") != F.col("shard7"), 1).otherwise(0)
+            ).cast("long").alias("n_moved_on_removal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact autocorrelation of the daily event-count series
+
+
+def _acf_oracle() -> str:
+    legs = "\nUNION ALL ".join(
+        f"SELECT CAST({n} AS BIGINT) AS lag_n, c AS x,\n"
+        f"       lead(c, {n}) OVER (ORDER BY d) AS y FROM daily"
+        for n in range(1, 8)
+    )
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), lagged AS (
+{legs}
+)
+SELECT lag_n,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+         AS acf_numerator
+FROM lagged WHERE y IS NOT NULL
+GROUP BY lag_n
+"""
+
+
+@register(
+    "autocorrelation_lags",
+    _acf_oracle(),
+    doc="exact autocorrelation structure of the daily volume series, "
+        "lags 1..7 (the seasonality detector behind capacity planning "
+        "and the drift monitors): for each lag the Pearson NUMERATOR "
+        "n*sum(xy) - sum(x)*sum(y) over (count_t, count_t+lag) pairs, "
+        "kept as exact BIGINTs — no sqrt, so no float divergence; a "
+        "positive lag-7 numerator against a negative lag-3 one reads "
+        "weekly seasonality directly. Scale: the daily series is ONE "
+        "hash-agg over events (date-cardinality result); the 7 "
+        "lagged copies and their windows run over days x 7 rows — "
+        "the deliberately tiny table, like the vocab-growth bucket "
+        "window",
+)
+def q_autocorrelation_lags(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # lead() needs a constant offset, so the 7 lags are 7 window legs
+    # over the SAME (tiny, date-cardinality) daily table, unioned —
+    # the oracle is written with the identical 7-leg UNION ALL
+    legs = []
+    for n in range(1, 8):
+        wn = Window.orderBy("d")
+        legs.append(
+            daily.select(
+                F.lit(n).cast("long").alias("lag_n"),
+                F.col("c").alias("x"),
+                F.lead("c", n).over(wn).alias("y"),
+            )
+        )
+    un = legs[0]
+    for leg in legs[1:]:
+        un = un.unionByName(leg)
+    return (
+        un.where(F.col("y").isNotNull())
+        .groupBy("lag_n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("x").cast("long").alias("sum_x"),
+            F.sum("y").cast("long").alias("sum_y"),
+            (
+                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+                - F.sum("x") * F.sum("y")
+            ).cast("long").alias("acf_numerator"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked record linkage (entity resolution with blocking)
+
+
+@register(
+    "record_linkage_blocking",
+    """
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+)
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       a.c_nationkey AS nationkey, a.c_mktsegment AS mktsegment,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+""",
+    doc="record linkage with BLOCKING — the entity-resolution "
+        "workhorse (Fellegi-Sunter pipelines, dedupe.io, Splink all "
+        "start here): candidate pairs only within a blocking key "
+        "(nation x market segment), then an edit-distance match rule "
+        "(levenshtein <= 2 — identical DP semantics in Spark and "
+        "DuckDB). The equi-join on the block key is the entire scale "
+        "story: pair generation is quadratic ONLY within a block, "
+        "never across the corpus (plan-asserted: no cartesian), the "
+        "same shape as the account_creation_dist clustering and the "
+        "LSH band joins. At 100 TB you add a second blocking pass on "
+        "a different key and union — each pass stays an equi-join",
+)
+def q_record_linkage_blocking(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2
+        )
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            F.col("a.c_nationkey").alias("nationkey"),
+            F.col("a.c_mktsegment").alias("mktsegment"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+            .cast("long").alias("name_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty (corpus-order information gain per doc)
+
+
+@register(
+    "ngram_novelty_score",
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+  FROM documents
+), bg AS (
+  SELECT DISTINCT doc_id, tok[i] || chr(2) || tok[i + 1] AS bigram
+  FROM (SELECT doc_id, tok, unnest(range(1, len(tok))) AS i FROM t)
+), first_seen AS (
+  SELECT bigram, min(doc_id) AS first_doc FROM bg GROUP BY bigram
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+       CAST(sum(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+FROM bg b JOIN first_seen f ON b.bigram = f.bigram
+GROUP BY b.doc_id
+""",
+    doc="per-document n-gram novelty in ingestion order — the "
+        "'information gain' curation signal (docs contributing no "
+        "bigram the corpus hasn't already seen are redundancy "
+        "candidates even when no single duplicate exists; the "
+        "streaming form gates ingestion the way vocab_growth_curve "
+        "reads the corpus-level curve): novelty_ppm = fraction of "
+        "the doc's DISTINCT bigrams whose corpus-wide first "
+        "occurrence (min doc_id) is this doc. Exact integers. "
+        "Scale: one distinct-explode, one min() hash-agg on the "
+        "bigram key, one join back on the same key, one per-doc "
+        "re-agg — the lm_typicality shuffle shape; nothing global",
+)
+def q_ngram_novelty_score(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    bg = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i -> concat("
+                "element_at(t, i), char(2), element_at(t, i + 1)))"
+            )
+        ).alias("bigram"),
+    ).distinct()
+    first_seen = bg.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        bg.join(first_seen, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+            novel.cast("long").alias("n_novel"),
+            F.expr(
+                "cast(sum(case when first_doc = doc_id then 1 else 0 end)"
+                " * 1000000 div count(1) as bigint)"
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (hashed-ngram target/source ratio)
+
+
+_DSIR_BUCKETS = 64
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+), feat AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % {_DSIR_BUCKETS}
+           AS bucket
+  FROM tok
+), src AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS s FROM feat GROUP BY bucket
+), tgt AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS t
+  FROM feat WHERE lang = 'en' GROUP BY bucket
+), ratio AS (
+  SELECT src.bucket,
+         CAST((coalesce(tgt.t, 0) + 1) * 1000000
+              // (src.s + {_DSIR_BUCKETS}) AS BIGINT) AS r_ppm
+  FROM src LEFT JOIN tgt ON src.bucket = tgt.bucket
+)
+SELECT f.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(r.r_ppm) // count(*) AS BIGINT) AS importance_ppm
+FROM feat f JOIN ratio r ON f.bucket = r.bucket
+GROUP BY f.doc_id
+""",
+    doc="DSIR-style importance weights (Xie et al. 2023, Data "
+        "Selection via Importance Resampling): hashed word features "
+        "(md5 -> 64 buckets), per-bucket "
+        "add-one-smoothed target/source probability ratio (target = "
+        "the English slice standing in for the high-quality domain), "
+        "per-doc weight = mean bucket ratio over its tokens — the "
+        "signal importance resampling draws against. Exact-integer "
+        "ppm with add-one smoothing, no logs (the ratio ORDERING is "
+        "what resampling consumes, and div preserves it). Scale: "
+        "feature hashing is map-side; the bucket tables are "
+        "64 rows (broadcast); scoring is one hash-agg "
+        "per doc — the exact shape DSIR runs at corpus scale",
+)
+def q_dsir_importance_weights(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    feat = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.expr("cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)")
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    src = feat.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    tgt = feat.where(F.col("lang") == "en").groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    ratio = (
+        src.join(tgt, "bucket", "left")
+        .select(
+            "bucket",
+            F.expr(
+                f"cast((coalesce(t, 0) + 1) * 1000000 "
+                f"div (s + {_DSIR_BUCKETS}) as bigint)"
+            ).alias("r_ppm"),
+        )
+    )
+    return (
+        feat.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.expr(
+                "cast(sum(r_ppm) div count(1) as bigint)"
+            ).alias("importance_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval (rational arithmetic, engine-exact)
+
+
+_BM25_TOPK = 10
+
+
+@register(
+    "bm25_topk_retrieval",
+    f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS total_tokens
+  FROM dl
+), qterms AS (
+  SELECT w AS term, CAST(count(*) AS BIGINT) AS cf
+  FROM tok GROUP BY w ORDER BY cf DESC, term LIMIT 5
+), tf AS (
+  SELECT t.w AS term, t.doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM tok t SEMI JOIN qterms q ON t.w = q.term
+  GROUP BY t.w, t.doc_id
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.term, tf.doc_id,
+         -- idf_ppm = (N - df + 1) * 1e6 div (df + 1)  (rational idf)
+         -- lennorm_x1000 = 250 + 750 * dl * n_docs div total_tokens
+         -- score = idf_ppm * tf * 2200 div
+         --         (tf * 1000 + 1200 * lennorm_x1000 div 1000)
+         CAST(((s.n_docs - df.df + 1) * 1000000 // (df.df + 1))
+              * tf.tf * 2200
+              // (tf.tf * 1000
+                  + 1200 * (250 + 750 * dl.dl * s.n_docs
+                            // s.total_tokens) // 1000)
+              AS BIGINT) AS score_scaled
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+), ranked AS (
+  SELECT term, doc_id, score_scaled,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY score_scaled DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT term, doc_id, score_scaled, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_BM25_TOPK}
+""",
+    doc="BM25 top-k retrieval (Robertson-Sparck Jones; k1=1.2 b=0.75 "
+        "as x1000 integers) — the sparse half of a hybrid RAG "
+        "retriever next to the ANN family (rrf_hybrid_fusion fuses "
+        "exactly such lists): queries are the 5 most frequent corpus "
+        "terms (deterministic; single-term queries isolate the "
+        "scoring math), score = idf * tf*(k1+1) / (tf + k1*(1 - b + "
+        "b*dl/avgdl)) computed entirely in scaled-integer rational "
+        "arithmetic — idf as an add-one rational ppm, the length "
+        "norm as x1000 — so Spark and the oracle agree bit-for-bit "
+        "with no ln()/float (same discipline as the int8 retriever). "
+        "Scale: the postings build is one hash-agg over the token "
+        "stream SEMI-JOINED to the query terms first (only matching "
+        "postings materialize); doc lengths join on doc_id; corpus "
+        "stats broadcast as one row; top-k per term is a bounded "
+        "window over per-term postings",
+)
+def q_bm25_topk_retrieval(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    dl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    qterms = (
+        tok.groupBy(F.col("w").alias("term"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+        .orderBy(F.col("cf").desc(), F.col("term"))
+        .limit(5)
+        .select("term")
+    )
+    tf = (
+        tok.join(
+            F.broadcast(qterms), tok["w"] == qterms["term"], "left_semi"
+        )
+        .groupBy(F.col("w").alias("term"), "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            F.expr(
+                "cast(((n_docs - df + 1) * 1000000 div (df + 1))"
+                " * tf * 2200"
+                " div (tf * 1000"
+                "      + 1200 * (250 + 750 * dl * n_docs"
+                "                div total_tokens) div 1000)"
+                " as bigint)"
+            ).alias("score_scaled"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("score_scaled").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _BM25_TOPK)
+        .select("term", "doc_id", "score_scaled", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round synchronous peel)
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    parts = [
+        """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), e0 AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+), d0 AS (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+  FROM e0 GROUP BY u
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", a{r} AS (
+  SELECT node FROM d{r - 1} WHERE degree >= {k}
+), e{r} AS (
+  SELECT e.u, e.v FROM e{r - 1} e
+  SEMI JOIN a{r} x ON e.u = x.node
+  SEMI JOIN a{r} y ON e.v = y.node
+), d{r} AS (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+  FROM e{r} GROUP BY u
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS part, degree AS core_degree FROM d{rounds}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "kcore_decomposition",
+    _kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
+    doc=f"k-core peel (k={_KCORE_K}, {_KCORE_ROUNDS} fixed synchronous "
+        "rounds) on the co-purchase graph — the graph-density filter "
+        "behind community mining and fraud-ring triage (a node's "
+        "persistent membership under repeated degree-{k} peeling "
+        "separates structural hubs from incidental co-occurrence; "
+        "same edge definition as copurchase_triangles). FIXED round "
+        "count instead of peel-to-fixpoint, the copurchase_pagerank "
+        "discipline: both engines execute the identical bounded "
+        "computation, so results are engine-exact whether or not the "
+        "peel has converged, and the unrolled-CTE oracle mirrors the "
+        "rounds one-to-one. Scale: each round is one hash-agg for "
+        "degrees (node-cardinality) and two semi-joins of the edge "
+        "list against the survivor set (edge-cardinality, equi-keyed, "
+        "monotonically shrinking); rounds are O(1) by construction — "
+        "the peel does NOT iterate to an unbounded fixpoint",
+)
+def q_kcore_decomposition(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.u", "pr.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("u", "v")
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("degree")
+        )
+        alive = deg.where(F.col("degree") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(
+                alive.withColumnRenamed("node", "u"), "u", "left_semi"
+            )
+            .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return edges.groupBy(F.col("u").alias("part")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-doc selection over dedup clusters
+
+
+@register(
+    "cluster_canonical_docs",
+    None,  # oracle assigned below (reuses the dedup_clusters CC oracle)
+    doc="the curation ACTION on top of dedup resolution: for every "
+        "duplicate cluster (MinHash pairs -> connected components, "
+        "the dedup_clusters plan), pick ONE canonical document to "
+        "keep — highest n_chars, doc_id tie-break (real pipelines "
+        "rank by quality score; the rule is a parameter, the shape "
+        "is this window). Emits (cluster_id, cluster_size, "
+        "canonical_doc, canonical_n_chars) — the keep-list a 100 TB "
+        "dedup pass ships to the next stage. Scale: everything the "
+        "CC resolution already paid, plus ONE window over "
+        "cluster-keyed rows; the canonical pick never touches text",
+)
+def q_cluster_canonical_docs(spark, sf_dir):
+    from ..operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, n=3, num_hashes=8, band_size=2)
+    clusters = dedup_clusters(pairs, docs, id_col="doc_id")
+    joined = clusters.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_keeper").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("cluster_keeper").alias("cluster_id"),
+            F.col("cluster_size"),
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("n_chars").alias("canonical_n_chars"),
+        )
+    )
+
+
+def _canonical_oracle() -> str:
+    from .catalog_data import _clusters_oracle
+
+    return f"""
+SELECT z.cluster_keeper AS cluster_id,
+       CAST(z.cluster_size AS BIGINT) AS cluster_size,
+       d.doc_id AS canonical_doc,
+       CAST(d.n_chars AS BIGINT) AS canonical_n_chars
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_keeper ORDER BY n_chars DESC, doc_id
+  ) AS rn
+  FROM ({_clusters_oracle()}) z0 JOIN documents USING (doc_id)
+) z JOIN documents d ON z.doc_id = d.doc_id
+WHERE z.rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility (BPE units per word, chars per unit)
+
+
+@register(
+    "tokenizer_fertility",
+    None,  # oracle assigned below (wraps the BPE segment oracle)
+    doc="tokenizer fertility by (lang, source) — the compression "
+        "readout that prices a corpus in training compute and flags "
+        "domains the tokenizer serves badly (fertility >> 1000 ppt "
+        "means the learned merges don't cover that slice): the 6 "
+        "trained BPE merges (bpe_train_merges) applied to every doc "
+        "(bpe_token_counts), aggregated per slice — fertility_ppt = "
+        "1000 * bpe_units div words, chars_per_unit_ppt = 1000 * "
+        "chars div bpe_units, exact integers. Scale: the per-doc "
+        "segment counts are the one corpus-sized map pass the BPE "
+        "family already pays; this adds a slice-cardinality hash-agg",
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    from ..operators.textanalysis import bpe_segment_counts, bpe_train
+    from .catalog_corpus import _BPE_N
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, n_merges=_BPE_N)
+    seg = bpe_segment_counts(docs, merges, _BPE_N)
+    n_tok = docs.select(
+        "doc_id", "lang", "source",
+        F.col("n_chars").cast("long").alias("nc"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return (
+        n_tok.join(seg.select("doc_id", "n_bpe_units"), "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_words"),
+            F.sum("n_bpe_units").cast("long").alias("sum_bpe_units"),
+            F.expr(
+                "cast(sum(n_bpe_units) * 1000 div sum(n_tokens) as bigint)"
+            ).alias("fertility_ppt"),
+            F.expr(
+                "cast(sum(nc) * 1000 div sum(n_bpe_units) as bigint)"
+            ).alias("chars_per_unit_ppt"),
+        )
+    )
+
+
+def _fertility_oracle() -> str:
+    from .catalog_corpus import _BPE_SEGMENT_ORACLE
+
+    return f"""
+SELECT d.lang, d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(seg.n_tokens) AS BIGINT) AS sum_words,
+       CAST(sum(seg.n_bpe_units) AS BIGINT) AS sum_bpe_units,
+       CAST(sum(seg.n_bpe_units) * 1000 // sum(seg.n_tokens) AS BIGINT)
+         AS fertility_ppt,
+       CAST(sum(d.n_chars) * 1000 // sum(seg.n_bpe_units) AS BIGINT)
+         AS chars_per_unit_ppt
+FROM ({_BPE_SEGMENT_ORACLE}) seg JOIN documents d USING (doc_id)
+GROUP BY d.lang, d.source
+"""
+
+
+def _late_bind_oracles() -> None:
+    """cluster_canonical_docs / tokenizer_fertility oracles reuse CTE
+    builders from sibling tranches; bind after import to avoid a
+    circular-import at module load."""
+    from .catalog import _REGISTRY
+
+    if _REGISTRY["cluster_canonical_docs"].oracle is None:
+        _REGISTRY["cluster_canonical_docs"].oracle = _canonical_oracle()
+    if _REGISTRY["tokenizer_fertility"].oracle is None:
+        _REGISTRY["tokenizer_fertility"].oracle = _fertility_oracle()
+
+
+_late_bind_oracles()

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Build a K-times scaled copy of a testdata directory for scale-up
+benchmarking (SCALE.md round-7 step-up datapoint).
+
+Scaling rule: K shifted replicas per fact table, with primary keys
+remapped into disjoint ranges so cardinalities grow K-fold while the
+per-key distributions (events per user, lines per order, chars per
+doc) stay exactly the shape the sf0.1 generator produced — the growth
+mode of a real corpus (more users/orders/docs), NOT K exact copies of
+each row (which would turn every document into a K-way duplicate
+group and quadratically distort the dedup operators this exists to
+measure). Content columns are perturbed deterministically per replica
+(documents get a replica-tagged token; embeddings are rolled by one
+position per replica, preserving norms) so replicas are near but not
+exact neighbors. Dimension tables with fixed vocabularies
+(region/nation) are copied unchanged; customer/supplier/part scale
+with remapped keys so FK joins keep their fan-out.
+
+Usage: python scripts/make_scale_data.py [--base /root/testdata/sf0.1]
+       [--out /tmp/sfscale1] [--k 10]
+Writes nothing outside --out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/sfscale1")
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from foxsec_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="make-scale-data")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    os.makedirs(args.out, exist_ok=True)
+    K = args.k
+
+    def replicas(df, *exprs):
+        """Union of K per-replica projections; `rep` is the replica
+        index column available to the shift expressions."""
+        reps = spark.range(K).select(F.col("id").alias("rep"))
+        return df.crossJoin(F.broadcast(reps)).select(*exprs)
+
+    def shift(col, stride):
+        return (F.col(col) + F.col("rep") * F.lit(stride)).alias(col)
+
+    def write(name, df):
+        df.write.mode("overwrite").parquet(
+            os.path.join(args.out, f"{name}.parquet")
+        )
+        print(f"{name}: {df.count()} rows", file=sys.stderr)
+
+    rd = lambda n: spark.read.parquet(f"{args.base}/{n}.parquet")  # noqa: E731
+
+    # key strides: one above each table's max key, computed once
+    ev = rd("events")
+    emax = ev.agg(F.max("event_id"), F.max("user_id")).first()
+    write("events", replicas(
+        ev, shift("event_id", emax[0] + 1), "ts",
+        shift("user_id", emax[1] + 1), "event_type", "value", "props",
+    ))
+
+    docs = rd("documents")
+    dmax = docs.agg(F.max("doc_id")).first()[0]
+    write("documents", replicas(
+        docs, shift("doc_id", dmax + 1),
+        F.when(F.col("rep") == 0, F.col("text")).otherwise(
+            F.concat(F.col("text"), F.lit(" rep"),
+                     F.col("rep").cast("string"))
+        ).alias("text"),
+        "lang", "source",
+        # n_chars tracks the perturbed text (generator invariant)
+        F.when(F.col("rep") == 0, F.col("n_chars")).otherwise(
+            F.col("n_chars") + 4
+            + F.length(F.col("rep").cast("string"))
+        ).alias("n_chars"),
+    ))
+
+    emb = rd("embeddings")
+    vmax = emb.agg(F.max("vec_id")).first()[0]
+    dim = len(emb.select("embedding").first()[0])
+    # roll by `rep` positions: same norm, different direction
+    rolled = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.col("embedding")[
+            (i + F.col("rep").cast("int")) % F.lit(dim)
+        ],
+    )
+    write("embeddings", replicas(
+        emb, shift("vec_id", vmax + 1), rolled.alias("embedding"), "label",
+    ))
+
+    orders = rd("orders")
+    omax = orders.agg(F.max("o_orderkey"), F.max("o_custkey")).first()
+    write("orders", replicas(
+        orders, shift("o_orderkey", omax[0] + 1),
+        shift("o_custkey", omax[1] + 1),
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+    ))
+
+    li = rd("lineitem")
+    # l_orderkey follows orders; part/supp keys stay in-vocabulary so
+    # FK fan-out to the (also scaled) dims is preserved via modulo
+    pmax = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    write("lineitem", replicas(
+        li, shift("l_orderkey", omax[0] + 1),
+        shift("l_partkey", pmax[0] + 1), shift("l_suppkey", pmax[1] + 1),
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    ))
+
+    cust = rd("customer")
+    write("customer", replicas(
+        cust, shift("c_custkey", omax[1] + 1),
+        F.concat(F.col("c_name"), F.lit("#"),
+                 F.col("rep").cast("string")).alias("c_name"),
+        "c_nationkey", "c_acctbal", "c_mktsegment",
+    ))
+
+    part = rd("part")
+    write("part", replicas(
+        part, shift("p_partkey", pmax[0] + 1),
+        F.concat(F.col("p_name"), F.lit(" #"),
+                 F.col("rep").cast("string")).alias("p_name"),
+        "p_brand", "p_type", "p_size", "p_retailprice",
+    ))
+
+    supp = rd("supplier")
+    write("supplier", replicas(
+        supp, shift("s_suppkey", pmax[1] + 1),
+        F.concat(F.col("s_name"), F.lit("#"),
+                 F.col("rep").cast("string")).alias("s_name"),
+        "s_nationkey", "s_acctbal",
+    ))
+
+    for name in ("region", "nation"):
+        write(name, rd(name))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Round-7 curation tranche: pure-Python semantic recounts and plan
+assertions (DuckDB value parity runs in the catalog-wide sweep in
+test_catalog.py)."""
+
+import contextlib
+import io
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from foxsec_pipeline_spark.plans.catalog import registry
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return registry()
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_reservoir_sample_cap_and_determinism(spark, reg):
+    rows = reg["reservoir_sample_per_key"].fn(spark, SF_DIR).collect()
+    per_key = Counter(r.source for r in rows)
+    assert all(v <= 10 for v in per_key.values())
+    again = reg["reservoir_sample_per_key"].fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_consistent_hash_minimal_disruption(spark, reg):
+    """HRW's defining property: removing one shard moves ONLY that
+    shard's documents — every other shard's n_moved_on_removal is 0,
+    and the removed shard's docs redistribute (its own row reports
+    all docs moved)."""
+    rows = {r.shard: r for r in
+            reg["consistent_hash_assignment"].fn(spark, SF_DIR).collect()}
+    total = sum(r.n_docs for r in rows.values())
+    removed = rows["shard7"]
+    assert removed.n_moved_on_removal == removed.n_docs
+    for shard, r in rows.items():
+        if shard != "shard7":
+            assert r.n_moved_on_removal == 0, shard
+    # uniformity sanity: no shard owns more than half the corpus
+    assert max(r.n_docs for r in rows.values()) < total / 2
+
+
+def test_lm_typicality_python_recount(spark, reg):
+    """Recompute the bigram-LM typicality for every doc in pure
+    Python and compare exactly."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    bgs = {}
+    lm = Counter()
+    for d in docs:
+        t = d.text.split()
+        b = [(t[i], t[i + 1]) for i in range(len(t) - 1)]
+        bgs[d.doc_id] = b
+        lm.update(b)
+    total = sum(lm.values())
+    got = {r.doc_id: (r.n_bigrams, r.typicality_ppm)
+           for r in reg["lm_typicality_filter"].fn(spark, SF_DIR).collect()}
+    for did, b in bgs.items():
+        if not b:
+            continue
+        mass = sum(lm[x] for x in b)
+        want = mass * 1000000 // (len(b) * total)
+        assert got[did] == (len(b), want), did
+
+
+def test_kcore_peel_python_recount(spark, reg):
+    """Replay the fixed-round k-core peel in pure Python over the
+    same co-purchase edges."""
+    import duckdb
+
+    edges = duckdb.sql(f"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey
+          FROM '{SF_DIR}/lineitem.parquet'
+        )
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    """).fetchall()
+    adj = set()
+    for u, v in edges:
+        adj.add((u, v))
+        adj.add((v, u))
+    for _ in range(4):
+        deg = Counter(u for u, _ in adj)
+        alive = {n for n, d in deg.items() if d >= 3}
+        adj = {(u, v) for u, v in adj if u in alive and v in alive}
+    want = Counter(u for u, _ in adj)
+    got = {r.part: r.core_degree
+           for r in reg["kcore_decomposition"].fn(spark, SF_DIR).collect()}
+    assert got == dict(want)
+
+
+def test_cluster_canonical_is_member_and_longest(spark, reg):
+    clusters = {
+        r.doc_id: r.cluster_keeper
+        for r in reg["dedup_clusters"].fn(spark, SF_DIR).collect()
+    }
+    n_chars = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars").collect()
+    }
+    rows = reg["cluster_canonical_docs"].fn(spark, SF_DIR).collect()
+    assert len(rows) == len(set(clusters.values()))
+    for r in rows:
+        assert clusters[r.canonical_doc] == r.cluster_id
+        members = [d for d, c in clusters.items() if c == r.cluster_id]
+        best = max(members, key=lambda d: (n_chars[d], -d))
+        assert r.canonical_doc == best
+
+
+def test_bm25_plan_semi_joins_postings(spark, reg):
+    """The postings build must semi-join to the query terms before
+    aggregating (only matching postings materialize) and the query
+    side must broadcast; no cartesian anywhere."""
+    plan = plan_of(reg["bm25_topk_retrieval"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_record_linkage_plan_no_cartesian(spark, reg):
+    """Blocking is the whole point: the pair join must be an
+    equi-join on the block key, never a cartesian."""
+    df = reg["record_linkage_blocking"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    # matches are symmetric-free (a < b) and within-block
+    rows = df.collect()
+    assert all(r.cust_a < r.cust_b for r in rows)
+
+
+def test_bm25_monotonicity_in_tf(spark, reg):
+    """Within one term, docs with equal length are ordered by tf
+    (saturating, never decreasing) — the core BM25 property."""
+    rows = reg["bm25_topk_retrieval"].fn(spark, SF_DIR).collect()
+    assert rows, "vacuous: no BM25 results"
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r.term, []).append(r)
+    for term, rs in by_term.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), term
+        scores = [r.score_scaled
+                  for r in sorted(rs, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True), term
