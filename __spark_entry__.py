@@ -51,7 +51,8 @@ _NEW_R7: list[str] = [
     "record_linkage_blocking", "ngram_novelty_score",
     "dsir_importance_weights", "bm25_topk_retrieval",
     "kcore_decomposition", "cluster_canonical_docs",
-    "tokenizer_fertility",
+    "tokenizer_fertility", "session_overlap_pairs",
+    "new_vs_returning_users", "category_lift_matrix",
 ]
 
 # Last green driver row r1 (text_stats/text_quality have been green

@@ -913,3 +913,234 @@ def _late_bind_oracles() -> None:
 
 
 _late_bind_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap self-join with bucket blocking
+
+
+@register(
+    "session_overlap_pairs",
+    """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events
+), f AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM o
+), s AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_n
+  FROM f
+), sess AS (
+  SELECT user_id, session_n,
+         min(ts) AS s_start, max(ts) AS s_end
+  FROM s GROUP BY user_id, session_n
+  HAVING epoch_us(max(ts)) - epoch_us(min(ts)) >= 600000000
+), bucketed AS (
+  SELECT user_id, session_n, s_start, s_end,
+         unnest(generate_series(date_trunc('day', s_start),
+                                date_trunc('day', s_end),
+                                INTERVAL 1 DAY)) AS day_bucket
+  FROM sess
+)
+SELECT DISTINCT
+       a.user_id AS user_a, a.session_n AS session_a,
+       b.user_id AS user_b, b.session_n AS session_b,
+       CAST((epoch_us(least(a.s_end, b.s_end))
+             - epoch_us(greatest(a.s_start, b.s_start))) // 1000000
+            AS BIGINT) AS overlap_sec
+FROM bucketed a JOIN bucketed b
+  ON a.day_bucket = b.day_bucket AND a.user_id < b.user_id
+WHERE epoch_us(least(a.s_end, b.s_end))
+      - epoch_us(greatest(a.s_start, b.s_start)) >= 300000000
+""",
+    doc="interval-overlap self-join — the co-presence primitive "
+        "behind shared-device/shared-IP correlation (the reference's "
+        "source_correlation joins on exact keys; this is the "
+        "time-interval generalization): 30-min-gap sessions of >= 10 "
+        "minutes, pairs of DIFFERENT users overlapping >= 5 minutes. "
+        "A naive interval join is a cartesian with a range predicate "
+        "(BroadcastNestedLoop at best); the scalable form REPLICATES "
+        "each interval into the day buckets it touches and equi-joins "
+        "on the bucket (the standard interval-bucketization "
+        "technique; DISTINCT removes boundary double-counts). "
+        "Plan-asserted: equi-join, no cartesian. Scale: replication "
+        "factor = interval length / bucket size (~1 here); pair "
+        "fan-out is bounded per bucket by concurrent-session "
+        "density, the knob being the bucket size",
+)
+def q_session_overlap_pairs(spark, sf_dir):
+    from ..operators.ingest import sessionize_full
+
+    sess = (
+        sessionize_full(
+            _events(spark, sf_dir),
+            key_col="user_id", ts_col="ts", id_col="event_id",
+            page_col="event_type", gap_seconds=1800,
+        )
+        .where(F.col("duration_sec") >= 600)
+        .select("user_id", "session_n", "session_start", "session_end")
+    )
+    bucketed = sess.select(
+        "user_id", "session_n", "session_start", "session_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "session_start"),
+                F.date_trunc("day", "session_end"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day_bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    ov = F.unix_micros(
+        F.least(F.col("a.session_end"), F.col("b.session_end"))
+    ) - F.unix_micros(
+        F.greatest(F.col("a.session_start"), F.col("b.session_start"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.day_bucket") == F.col("b.day_bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .where(ov >= 300 * 1_000_000)
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.session_n").alias("session_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.session_n").alias("session_b"),
+            F.expr(
+                "cast((unix_micros(least(a.session_end, b.session_end))"
+                " - unix_micros(greatest(a.session_start,"
+                " b.session_start))) div 1000000 as bigint)"
+            ).alias("overlap_sec"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users (expanding first-seen)
+
+
+@register(
+    "new_vs_returning_users",
+    """
+WITH first_seen AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS first_day FROM events
+  GROUP BY user_id
+), daily AS (
+  SELECT date_trunc('day', ts) AS day, user_id FROM events
+  GROUP BY 1, 2
+)
+SELECT d.day,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN f.first_day = d.day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN f.first_day < d.day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returning
+FROM daily d JOIN first_seen f USING (user_id)
+GROUP BY d.day
+""",
+    doc="daily new vs returning users — the growth-accounting twin "
+        "of retention_cohorts (cohorts slice by signup week; this "
+        "reads acquisition vs retention per day): first-seen day is "
+        "a plain min() hash-agg (the vocab_growth first-occurrence "
+        "pattern over users instead of n-grams), joined back onto "
+        "the distinct (day, user) activity grid. Exact counts. "
+        "Scale: two user-keyed hash-aggs + one join on user_id; "
+        "no window, no expanding state",
+)
+def q_new_vs_returning_users(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    daily = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    return (
+        daily.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(
+                F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)
+            ).cast("long").alias("n_new"),
+            F.sum(
+                F.when(F.col("first_day") < F.col("day"), 1).otherwise(0)
+            ).cast("long").alias("n_returning"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Category lift matrix (log-free mutual-information readout)
+
+
+@register(
+    "category_lift_matrix",
+    """
+WITH base AS (
+  SELECT event_type, user_id % 10 AS segment FROM events
+), joint AS (
+  SELECT event_type, segment, CAST(count(*) AS BIGINT) AS c_xy
+  FROM base GROUP BY 1, 2
+), mx AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS c_x FROM base GROUP BY 1
+), my AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS c_y FROM base GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM base
+)
+SELECT j.event_type, j.segment, j.c_xy,
+       CAST(j.c_xy * tot.n * 1000000 // (mx.c_x * my.c_y) AS BIGINT)
+         AS lift_ppm
+FROM joint j
+JOIN mx USING (event_type) JOIN my USING (segment) CROSS JOIN tot
+""",
+    doc="category lift matrix — the log-free pointwise-mutual-"
+        "information readout (lift = p(x,y)/(p(x)p(y)); PMI is its "
+        "log, and ORDERING by lift equals ordering by PMI, which is "
+        "what feature selection and co-occurrence mining consume): "
+        "event_type x user-segment association in exact-integer ppm, "
+        "1e6 = independence. The same shape scores token-topic and "
+        "domain-label associations in a curation pipeline. Scale: "
+        "one pass for the joint (hash-agg on the pair), marginals "
+        "are grouping-set-sized and broadcast; output is "
+        "|categories| x |segments|",
+)
+def q_category_lift_matrix(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_type", (F.col("user_id") % 10).alias("segment")
+    )
+    joint = base.groupBy("event_type", "segment").agg(
+        F.count(F.lit(1)).cast("long").alias("c_xy")
+    )
+    mx = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c_x")
+    )
+    my = base.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("c_y")
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        joint.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "segment")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type", "segment", "c_xy",
+            F.expr(
+                "cast(c_xy * n * 1000000 div (c_x * c_y) as bigint)"
+            ).alias("lift_ppm"),
+        )
+    )

@@ -156,3 +156,50 @@ def test_bm25_monotonicity_in_tf(spark, reg):
         scores = [r.score_scaled
                   for r in sorted(rs, key=lambda r: r.rank)]
         assert scores == sorted(scores, reverse=True), term
+
+
+def test_session_overlap_plan_and_symmetry(spark, reg):
+    """Interval join must be bucketized (equi-join, no cartesian /
+    nested loop); pairs are canonical (user_a < user_b) and overlap
+    meets the threshold."""
+    df = reg["session_overlap_pairs"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    rows = df.collect()
+    for r in rows:
+        assert r.user_a < r.user_b
+        assert r.overlap_sec >= 300
+
+
+def test_new_vs_returning_invariants(spark, reg):
+    rows = reg["new_vs_returning_users"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_active == r.n_new + r.n_returning
+    first_day = min(r.day for r in rows)
+    fr = next(r for r in rows if r.day == first_day)
+    assert fr.n_returning == 0  # nobody returns on day one
+    total_new = sum(r.n_new for r in rows)
+    n_users = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert total_new == n_users  # every user is new exactly once
+
+
+def test_category_lift_python_recount(spark, reg):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    joint, mx, my = Counter(), Counter(), Counter()
+    for e in ev:
+        seg = e.user_id % 10
+        joint[(e.event_type, seg)] += 1
+        mx[e.event_type] += 1
+        my[seg] += 1
+    n = len(ev)
+    got = {(r.event_type, r.segment): (r.c_xy, r.lift_ppm)
+           for r in reg["category_lift_matrix"].fn(spark, SF_DIR).collect()}
+    assert len(got) == len(joint)
+    for k, c in joint.items():
+        want = c * n * 1000000 // (mx[k[0]] * my[k[1]])
+        assert got[k] == (c, want), k
