@@ -367,6 +367,37 @@ def violations_by_generator_map(
     )
 
 
+def violation_wire_from_alert_json(line: str) -> tuple[str, str, str] | None:
+    """Pure-Python per-line twin of violations_from_alerts +
+    violation_wire_json, for EXECUTOR-side emitters that receive
+    alert JSON lines (the iprepd WriteFn path, `IprepdIO.java:
+    389-420`: non-convertible inputs are ignored, never errors).
+    Returns (type, object, violation_wire_json) or None."""
+    import json as _json
+
+    try:
+        alert = _json.loads(line)
+    except ValueError:
+        return None
+    if not isinstance(alert, dict):
+        return None
+    meta = alert.get("metadata") or {}
+    obj = meta.get("source_address")
+    category = alert.get("category")
+    if not obj or not category:
+        return None
+    wire = _json.dumps(
+        {
+            "object": obj,
+            "type": "ip",
+            "violation": f"fxa:heavy_hitter_{category}",
+            "ip": obj,
+        },
+        separators=(",", ":"),
+    )
+    return ("ip", obj, wire)
+
+
 def violation_wire_json(
     violations: DataFrame, suppress_col: str | None = None
 ) -> Column:
