@@ -90,7 +90,7 @@ def main() -> None:
         _ident, "id long").count()
 
     total = 0.0
-    for name in sorted(reg):
+    for qi, name in enumerate(sorted(reg)):
         spec = reg[name]
         t0 = time.monotonic()
         n = spec.fn(spark, sf_dir).count()
@@ -98,6 +98,15 @@ def main() -> None:
         results[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        # a 200-query session accumulates drag (cached dims, loop
+        # localCheckpoint blocks held until the ContextCleaner GCs
+        # them): measured ~2-4x inflation on alphabetically-late
+        # queries in the r7 run vs a fresh session. Each query is
+        # self-contained, so clear the cache per query and nudge the
+        # JVM GC periodically so the cleaner actually releases blocks.
+        spark.catalog.clearCache()
+        if (qi + 1) % 25 == 0:
+            spark.sparkContext._jvm.System.gc()
 
     # parser throughput guard (BASELINE.md) mirroring the reference's
     # ParserBenchmark input shapes: GLB / nginx / FxaAuth mozlog
