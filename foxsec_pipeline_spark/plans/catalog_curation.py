@@ -1164,3 +1164,168 @@ def q_category_lift_matrix(spark, sf_dir):
             ).alias("lift_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Telemetry gap detection (missing-data timeline)
+
+
+@register(
+    "telemetry_gap_detection",
+    """
+WITH seq AS (
+  SELECT event_type, ts,
+         lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events
+)
+SELECT event_type, prev_ts AS gap_start, ts AS gap_end,
+       CAST((epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS BIGINT)
+         AS gap_sec
+FROM seq
+WHERE prev_ts IS NOT NULL
+  AND epoch_us(ts) - epoch_us(prev_ts) >= 3600000000
+""",
+    doc="telemetry-gap detection — the ingestion-outage monitor every "
+        "security pipeline needs BEFORE trusting its own silence (a "
+        "quiet detector and a broken feed look identical without it; "
+        "the reference leans on cfgtick heartbeats for liveness, this "
+        "is the per-feed data-plane complement): per event-type "
+        "inter-arrival gaps >= 1 hour, with exact gap bounds and "
+        "duration. Scale: one shuffle on the feed key + in-partition "
+        "sort for the lag — the sequence-detection (A7) shape; output "
+        "is gaps only, never the event stream",
+)
+def q_telemetry_gap_detection(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    gap_us = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    return (
+        seq.where(
+            F.col("prev_ts").isNotNull() & (gap_us >= 3600 * 1_000_000)
+        )
+        .select(
+            "event_type",
+            F.col("prev_ts").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            F.expr(
+                "cast((unix_micros(ts) - unix_micros(prev_ts))"
+                " div 1000000 as bigint)"
+            ).alias("gap_sec"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-hop reachability (fixed-round BFS frontier)
+
+
+_KHOP_ROUNDS = 3
+_KHOP_SEEDS = 5
+
+
+def _khop_oracle(rounds: int, n_seeds: int) -> str:
+    parts = [
+        f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), e AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+), deg AS (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+  FROM e GROUP BY u
+), seeds AS (
+  SELECT node FROM deg ORDER BY degree DESC, node LIMIT {n_seeds}
+), r0 AS (
+  SELECT node AS seed, node FROM seeds
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", r{r} AS (
+  SELECT seed, node FROM r{r - 1}
+  UNION
+  SELECT p.seed, e.v AS node
+  FROM r{r - 1} p JOIN e ON p.node = e.u
+)"""
+        )
+    parts.append(
+        f"""
+SELECT seed, CAST(count(*) - 1 AS BIGINT) AS n_reachable
+FROM r{rounds} GROUP BY seed"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "khop_reachability",
+    _khop_oracle(_KHOP_ROUNDS, _KHOP_SEEDS),
+    doc=f"k-hop reachability ({_KHOP_ROUNDS} fixed BFS rounds from "
+        f"the {_KHOP_SEEDS} highest-degree nodes) on the co-purchase "
+        "graph — the blast-radius primitive of security graph triage "
+        "(from a compromised entity, what is reachable in k steps?) "
+        "and of recommendation neighborhoods. Frontier expansion is "
+        "set-valued per seed: each round joins the reached set to the "
+        "edge list and UNIONs (dedup via the union key), so the state "
+        "is (seed, node) pairs — never paths, which explode. FIXED "
+        "round count (the copurchase_pagerank discipline): both "
+        "engines execute the identical bounded computation and the "
+        "oracle unrolls the rounds. Scale: each round is one "
+        "equi-join frontier x edges (src-keyed) + one distinct; the "
+        "reached set is bounded by seeds x nodes; per-seed expansion "
+        "from a high-degree seed is the skew case and arrives "
+        "pre-bounded by the degree-ordered edge support",
+)
+def q_khop_reachability(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.u", "pr.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("u", "v")
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    seeds = (
+        deg.orderBy(F.col("degree").desc(), F.col("node"))
+        .limit(_KHOP_SEEDS)
+        .select(F.col("node").alias("seed"), F.col("node"))
+    )
+    reached = seeds
+    for _ in range(_KHOP_ROUNDS):
+        expanded = (
+            reached.join(edges, reached["node"] == edges["u"])
+            .select("seed", F.col("v").alias("node"))
+        )
+        reached = (
+            reached.unionByName(expanded).distinct()
+            .localCheckpoint(eager=False)
+        )
+    return reached.groupBy("seed").agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_reachable")
+    )

@@ -203,3 +203,46 @@ def test_category_lift_python_recount(spark, reg):
     for k, c in joint.items():
         want = c * n * 1000000 // (mx[k[0]] * my[k[1]])
         assert got[k] == (c, want), k
+
+
+def test_khop_reachability_python_recount(spark, reg):
+    """Replay the fixed-round BFS in pure Python over the same
+    co-purchase edges and seed selection."""
+    import duckdb
+
+    edges = duckdb.sql(f"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey
+          FROM '{SF_DIR}/lineitem.parquet'
+        )
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    """).fetchall()
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = sorted(((len(vs), n) for n, vs in adj.items()),
+                 key=lambda t: (-t[0], t[1]))
+    seeds = [n for _, n in deg[:5]]
+    want = {}
+    for s in seeds:
+        reached = {s}
+        for _ in range(3):
+            nxt = set(reached)
+            for n in reached:
+                nxt |= adj.get(n, set())
+            reached = nxt
+        want[s] = len(reached) - 1
+    got = {r.seed: r.n_reachable
+           for r in reg["khop_reachability"].fn(spark, SF_DIR).collect()}
+    assert got == want
+
+
+def test_telemetry_gap_invariants(spark, reg):
+    rows = reg["telemetry_gap_detection"].fn(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.gap_end > r.gap_start
+        assert r.gap_sec >= 3600
