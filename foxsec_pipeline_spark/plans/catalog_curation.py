@@ -388,16 +388,21 @@ def q_record_linkage_blocking(spark, sf_dir):
             & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
-        .where(
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2
+        # compute the DP once: Filter and Project are separate
+        # operators, so an expression repeated in both runs twice —
+        # levenshtein dominates this plan's cost
+        .withColumn(
+            "name_dist",
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+            .cast("long"),
         )
+        .where(F.col("name_dist") <= 2)
         .select(
             F.col("a.c_custkey").alias("cust_a"),
             F.col("b.c_custkey").alias("cust_b"),
             F.col("a.c_nationkey").alias("nationkey"),
             F.col("a.c_mktsegment").alias("mktsegment"),
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-            .cast("long").alias("name_dist"),
+            "name_dist",
         )
     )
 
