@@ -54,6 +54,7 @@ _NEW_R7: list[str] = [
     "tokenizer_fertility", "session_overlap_pairs",
     "new_vs_returning_users", "category_lift_matrix",
     "telemetry_gap_detection", "khop_reachability",
+    "record_linkage_sorted_neighborhood",
 ]
 
 # Last green driver row r1 (text_stats/text_quality have been green

@@ -1334,3 +1334,98 @@ def q_khop_reachability(spark, sf_dir):
     return reached.groupBy("seed").agg(
         (F.count(F.lit(1)) - 1).cast("long").alias("n_reachable")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood record linkage (the bounded-candidate scale path)
+
+
+_SNM_WINDOW = 10
+
+
+@register(
+    "record_linkage_sorted_neighborhood",
+    f"""
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         row_number() OVER (
+           PARTITION BY c_nationkey, c_mktsegment
+           ORDER BY c_name, c_custkey
+         ) - 1 AS rk
+  FROM customer
+), b AS (
+  SELECT *, rk // {_SNM_WINDOW} AS band FROM c
+), a_rep AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, rk, band
+  FROM b
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, rk, band + 1
+  FROM b
+)
+SELECT a.c_custkey AS cust_a, p.c_custkey AS cust_b,
+       a.c_nationkey AS nationkey, a.c_mktsegment AS mktsegment,
+       CAST(levenshtein(a.c_name, p.c_name) AS BIGINT) AS name_dist
+FROM a_rep a JOIN b p
+  ON a.c_nationkey = p.c_nationkey
+ AND a.c_mktsegment = p.c_mktsegment
+ AND a.band = p.band
+WHERE p.rk > a.rk AND p.rk - a.rk <= {_SNM_WINDOW}
+  AND a.c_custkey <> p.c_custkey
+  AND levenshtein(a.c_name, p.c_name) <= 2
+""",
+    doc="sorted-neighborhood record linkage (Hernandez-Stolfo 1995) — "
+        "the BOUNDED-candidate answer to exact blocked ER's quadratic "
+        "blow-up (record_linkage_blocking measured 110x at the 10x "
+        "step-up because its blocks grew 10x denser): within each "
+        "block, records sort by name and only pairs within a "
+        f"{_SNM_WINDOW}-position window are compared, via BAND "
+        "replication (each record joins its rank-band and the next, "
+        "so every within-window pair meets exactly once in an "
+        "EQUI-join on (block, band) — candidates <= 2*n*w per block "
+        "by construction, never n^2). The levenshtein verify runs "
+        "only on windowed candidates. Recall vs the exact query is "
+        "measured in tests (edit-close names sort near each other, "
+        "the method's premise); multi-pass SNM on a second sort key "
+        "unions in the standard way. Output schema matches "
+        "record_linkage_blocking, minus pairs outside the window",
+)
+def q_record_linkage_snm(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "c_name", "c_custkey"
+    )
+    ranked = c.withColumn("rk", F.row_number().over(w) - 1).withColumn(
+        "band", F.expr(f"rk div {_SNM_WINDOW}")
+    )
+    a_rep = ranked.unionByName(
+        ranked.withColumn("band", F.col("band") + 1)
+    ).alias("a")
+    p = ranked.alias("p")
+    return (
+        a_rep.join(
+            p,
+            (F.col("a.c_nationkey") == F.col("p.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("p.c_mktsegment"))
+            & (F.col("a.band") == F.col("p.band")),
+        )
+        .where(
+            (F.col("p.rk") > F.col("a.rk"))
+            & (F.col("p.rk") - F.col("a.rk") <= _SNM_WINDOW)
+            & (F.col("a.c_custkey") != F.col("p.c_custkey"))
+        )
+        .withColumn(
+            "name_dist",
+            F.levenshtein(F.col("a.c_name"), F.col("p.c_name"))
+            .cast("long"),
+        )
+        .where(F.col("name_dist") <= 2)
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("p.c_custkey").alias("cust_b"),
+            F.col("a.c_nationkey").alias("nationkey"),
+            F.col("a.c_mktsegment").alias("mktsegment"),
+            "name_dist",
+        )
+    )

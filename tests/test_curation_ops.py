@@ -246,3 +246,22 @@ def test_telemetry_gap_invariants(spark, reg):
     for r in rows:
         assert r.gap_end > r.gap_start
         assert r.gap_sec >= 3600
+
+
+def test_snm_linkage_recall_and_bound(spark, reg):
+    """Sorted-neighborhood linkage: every emitted pair is a true
+    match (subset of the exact blocked query), recall is high on
+    name-sorted data (edit-close names sort near each other), and
+    every pair is emitted exactly once."""
+    exact = {(r.cust_a, r.cust_b)
+             for r in reg["record_linkage_blocking"].fn(spark, SF_DIR)
+             .collect()}
+    snm_rows = (
+        reg["record_linkage_sorted_neighborhood"].fn(spark, SF_DIR)
+        .collect()
+    )
+    snm = [(r.cust_a, r.cust_b) for r in snm_rows]
+    assert len(snm) == len(set(snm)), "duplicate pairs emitted"
+    assert set(snm) <= exact, "SNM emitted a non-match"
+    recall = len(set(snm)) / max(len(exact), 1)
+    assert recall >= 0.9, f"recall {recall:.3f} below floor"
