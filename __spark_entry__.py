@@ -22,66 +22,40 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from foxsec_pipeline_spark.plans.catalog import registry  # noqa: E402
 
 # The driver records exactly the FIRST 50 rows of queries()
-# (registration-order prefix; counted against CORRECTNESS_r01..r06).
-# Round-7 ordering policy (restored after round 6 inverted it):
-#   1. NEVER-driver-checked queries first — the r6 verdict found
-#      corpus_drift / oov_rate_filter / seasonal_anomaly had no driver
-#      row in ANY round because new r6 entries were stacked ahead of
-#      them. They take slots 1-3 unconditionally.
-#   2. NEW round-7 queries next (never checked either, but younger
-#      than the three above).
-#   3. Then the stalest evidence first: the whole catalog ordered by
-#      the round of each query's last green driver row (r1 -> r2 ->
-#      r3 -> r4 -> r6), computed from CORRECTNESS_r0{1,2,3,4,6}.json,
-#      not guessed. The 50-row prefix therefore re-greens the
-#      longest-unverified rows every round, and the union across
-#      rounds converges to (and now stays at) full coverage.
-_NEVER_CHECKED = [
-    "corpus_drift", "oov_rate_filter", "seasonal_anomaly",
-]
-
-# NEW in round 7 — never driver-checked; inserted after the three
-# above per the standing rule (never-checked first, newest last).
-# Names are appended here as each query lands with its oracle + plan
-# assertion + SCALE.md entry.
-_NEW_R7: list[str] = [
-    "shared_state_at_risk",
-    "reservoir_sample_per_key", "lm_typicality_filter",
-    "consistent_hash_assignment", "autocorrelation_lags",
-    "record_linkage_blocking", "ngram_novelty_score",
-    "dsir_importance_weights", "bm25_topk_retrieval",
-    "kcore_decomposition", "cluster_canonical_docs",
-    "tokenizer_fertility", "session_overlap_pairs",
-    "new_vs_returning_users", "category_lift_matrix",
-    "telemetry_gap_detection", "khop_reachability",
-    "record_linkage_sorted_neighborhood",
-]
-
-# Last green driver row r1 (text_stats/text_quality have been green
-# only in round 1 — five rounds of shared-code churn ago).
-_STALE_R1 = [
-    "text_stats", "text_quality",
-]
-
-# Last green driver row r2 (43 entries).
-_STALE_R2 = [
-    "alert_summary_rollup", "auth_state_decision", "session_limit_analysis",
-    "per_endpoint_error_rate", "threshold_with_nat_exclusion",
-    "salted_hard_limit", "authprofile_pipeline", "status_comparator",
-    "source_login_failure", "dedup_clusters", "ann_cosine_lsh_multiprobe",
-    "token_count_bpe", "text_repetition", "regional_revenue",
-    "stratified_sample", "decontaminate", "pii_scrub",
-    "quality_filter_pipeline", "language_id", "doc_fingerprint",
-    "multimodal_metadata", "pricing_summary", "segment_revenue",
-    "priority_semijoin", "topk_per_group", "events_dim_join",
-    "xff_client_select", "etd_finding_matcher", "aws_behavior_match",
+# (registration-order prefix; counted against CORRECTNESS_r01..r07).
+# Round-8 ordering per the r7 verdict (VERDICT.md "Next round" item 1):
+#   1. The 18 stalest-evidence rows lead, BEFORE any new r8 queries:
+#      the 16 queries whose last green driver row is r2 (missed the
+#      r7 prefix by 16 slots) plus the two whose implementation
+#      changed AFTER their r6 driver row (kcenter_coreset_picks via
+#      similarity.py's pre-sample enforcement, multimodal_phash_dedup
+#      via multimodal.py's real DCT/decode) — the only
+#      evidence-predates-code rows in the catalog.
+#   2. NEW round-8 queries next (never driver-checked).
+#   3. Then the rest of the catalog, stalest last-green row first
+#      (r3 -> r4 -> r6 -> r7), computed from CORRECTNESS_r0*.json.
+_STALE_PRIORITY_R8 = [
+    # 16 last-green-in-r2 rows (r7 verdict's explicit list)
+    "etd_finding_matcher", "aws_behavior_match",
     "amo_addon_matcher", "amo_multi_submit", "amo_cloud_submission",
     "amo_fxa_ban_pattern", "amo_report_restriction",
     "source_login_failure_dist", "content_server_variance",
     "customs_activity_monitor", "login_failure_at_risk_account",
     "customs_alert_fanout", "customs_prefilter_split", "alert_pipeline",
     "violation_projection", "notify_merge",
+    # code changed after their last (r6) driver row
+    "kcenter_coreset_picks", "multimodal_phash_dedup",
 ]
+
+# NEW in round 8 — never driver-checked; appended as each query lands
+# with its oracle + plan assertion + SCALE.md entry. Keep <= 22 so the
+# 50-row prefix still re-greens >= 25 stale rows (18 above + the tail
+# of _STALE_R3 below).
+_NEW_R8: list[str] = []
+
+# Last green driver row r2 (remaining 27 of the old 43 re-greened in
+# r7; these 27 are now r7-fresh and live in _FRESH_R7 below).
+_STALE_R2: list[str] = []
 
 # Last green driver row r3 (47 entries).
 _STALE_R3 = [
@@ -123,7 +97,8 @@ _STALE_R4 = [
     "pivot_event_matrix", "parse_normalize",
 ]
 
-# Green in round 6 itself (freshest evidence; backlog region).
+# Green in round 6 (kcenter_coreset_picks / multimodal_phash_dedup
+# moved up to _STALE_PRIORITY_R8 — code changed after their r6 row).
 _FRESH_R6 = [
     "threshold_analysis", "rag_chunk_passages", "exact_substring_dedup",
     "countmin_heavy_hitters", "epoch_mixture_plan", "bpe_train_merges",
@@ -132,8 +107,8 @@ _FRESH_R6 = [
     "gini_token_diversity", "vocab_growth_curve", "source_rank_normalize",
     "ann_cosine_lsh", "embedding_cluster_summary", "semdedup",
     "sketch_distinct_users", "dataset_split_assign", "mixture_budget_sample",
-    "split_leakage_check", "multimodal_phash_dedup", "rrf_hybrid_fusion",
-    "kcenter_coreset_picks", "suspicious_ip_cooccurrence",
+    "split_leakage_check", "rrf_hybrid_fusion",
+    "suspicious_ip_cooccurrence",
     "data_quality_checks", "skew_diagnosis", "zorder_layout_stats",
     "hourly_trend_slopes", "ivm_incremental_agg", "frequent_itemsets",
     "changepoint_mean_shift", "snapshot_diff", "markov_transitions",
@@ -145,12 +120,37 @@ _FRESH_R6 = [
     "large_order_customers", "scd2_point_in_time_join",
 ]
 
-# With N new r7 queries the 50-row prefix is: 3 never-checked + N new
-# + (47 - N) stale rows, stalest first. Keep N <= 22 so the prefix
-# re-greens >=25 stale rows (the r6 verdict asked for >=25).
+# Green in round 7 (freshest evidence; deepest backlog region).
+_FRESH_R7 = [
+    "corpus_drift", "oov_rate_filter", "seasonal_anomaly",
+    "shared_state_at_risk", "reservoir_sample_per_key",
+    "lm_typicality_filter", "consistent_hash_assignment",
+    "autocorrelation_lags", "record_linkage_blocking",
+    "ngram_novelty_score", "dsir_importance_weights",
+    "bm25_topk_retrieval", "kcore_decomposition", "cluster_canonical_docs",
+    "tokenizer_fertility", "session_overlap_pairs",
+    "new_vs_returning_users", "category_lift_matrix",
+    "telemetry_gap_detection", "khop_reachability",
+    "record_linkage_sorted_neighborhood",
+    "text_stats", "text_quality",
+    "alert_summary_rollup", "auth_state_decision", "session_limit_analysis",
+    "per_endpoint_error_rate", "threshold_with_nat_exclusion",
+    "salted_hard_limit", "authprofile_pipeline", "status_comparator",
+    "source_login_failure", "dedup_clusters", "ann_cosine_lsh_multiprobe",
+    "token_count_bpe", "text_repetition", "regional_revenue",
+    "stratified_sample", "decontaminate", "pii_scrub",
+    "quality_filter_pipeline", "language_id", "doc_fingerprint",
+    "multimodal_metadata", "pricing_summary", "segment_revenue",
+    "priority_semijoin", "topk_per_group", "events_dim_join",
+    "xff_client_select",
+]
+
+# The 50-row prefix is: 18 priority stale rows + N new r8 queries +
+# (32 - N) of the stalest r3 rows. Keep N <= 22 so the prefix
+# re-greens >= 25 stale rows (18 + >= 10).
 _VERIFY_FIRST = [
-    *_NEVER_CHECKED, *_NEW_R7,
-    *_STALE_R1, *_STALE_R2, *_STALE_R3, *_STALE_R4, *_FRESH_R6,
+    *_STALE_PRIORITY_R8, *_NEW_R8,
+    *_STALE_R2, *_STALE_R3, *_STALE_R4, *_FRESH_R6, *_FRESH_R7,
 ]
 
 

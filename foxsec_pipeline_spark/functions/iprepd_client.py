@@ -164,15 +164,16 @@ def iprepd_violation_emitter(specs: list[str], gcs_fetch=None,
     ]
 
     def emit(lines: list[str]) -> None:
-        from ..sinks.output import violation_wire_from_alert_json
+        from ..sinks.output import violation_wires_from_alert_json
 
         clients = [IprepdClient(url, key) for url, key in resolved]
         for line in lines:
-            wire = violation_wire_from_alert_json(line)
-            if wire is None:
-                continue
-            obj_type, obj, vjson = wire
-            for client in clients:
-                client.put_violation(obj_type, obj, vjson)
+            # full WriteFn conversion: iprepd_exempt guard + the
+            # subcategory generator map (one PUT per violation, e.g.
+            # one per EMAIL list entry), heavy-hitter fallback for
+            # category-only alerts
+            for obj_type, obj, vjson in violation_wires_from_alert_json(line):
+                for client in clients:
+                    client.put_violation(obj_type, obj, vjson)
 
     return emit

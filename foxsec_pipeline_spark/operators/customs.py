@@ -131,6 +131,8 @@ def account_creation_dist(
     n_blocks: int = 8,
     hot_strategy: str = "minhash",
     minhash_hashes: int = 12,
+    work_budget_pairs: int | None = 50_000_000,
+    sorted_window: int = 16,
 ) -> DataFrame:
     """A10 CustomsAccountCreationDist: for each account, count other
     accounts in the same group whose name is within `max_ratio`
@@ -141,8 +143,14 @@ def account_creation_dist(
     The group key bounds the self-join (the reference groups by email
     domain + window). The 100 TB failure mode is a HOT group
     (gmail.com in one window): exact all-pairs is O(n²) COMPUTE no
-    matter how it's balanced. Groups under `hot_group_cutoff` stay
-    exact all-pairs; hot groups take `hot_strategy`:
+    matter how it's balanced. A group leaves the exact path when it
+    is individually huge (> `hot_group_cutoff` rows) OR when the
+    dataset is uniformly dense: the density-aware trigger keeps the
+    TOTAL exact work Σ n_g² within `work_budget_pairs` (the r7
+    step-up measured 147.9 s at 10x data with 25 uniform 6k-row
+    groups — 450M pairs and not one group over the old row cutoff).
+    Groups under the derived cutoff stay exact all-pairs; hot groups
+    take `hot_strategy`:
 
     - "minhash" (default): (1) compress to DISTINCT-NAME classes —
       identical names (the reason real groups are hot) collapse to one
@@ -163,6 +171,15 @@ def account_creation_dist(
       pair meets exactly once, output identical) — quadratic work
       balanced across reducers, for when exactness is mandatory and
       the group still fits the compute budget.
+    - "sorted": distinct-name compression + sorted-neighborhood
+      candidates (each distinct name against its next `sorted_window`
+      lexicographic neighbors — n*w candidates, an equi-join on
+      (group, rank+offset), never n²), exact ratio verify, then the
+      same exact arithmetic expansion as "minhash". The bounded
+      choice when the name population is HOMOGENEOUS (shared prefixes
+      collapse bigram-MinHash bands into whole-group buckets —
+      same-format usernames, serial-numbered accounts); recall is
+      measured in tests/test_detectors.py like the minhash path.
 
     Input contract: this operator references `df` in three roles
     (hot-group scan + both self-join sides). Feed it a CHEAP plan —
@@ -174,15 +191,21 @@ def account_creation_dist(
     same boundary structurally: Customs materializes parsed events
     through the CustomsFeatures GroupByKey before detector DoFns.
     """
+    from .density import density_hot_cutoff
+
     # hot-group detection: aggregate to (group, count) — map-side
-    # partial combine means only #groups rows shuffle — keep groups
-    # over the cutoff (few by definition) and broadcast them as a flag.
-    # A window-count over the events would shuffle the whole input; a
-    # broadcast flag join costs nothing when no group is hot.
+    # partial combine means only #groups rows shuffle. The cutoff is
+    # density-aware (see density.py): min(hot_group_cutoff, largest
+    # size whose log2 bucket keeps cumulative n² work under
+    # work_budget_pairs). Hot groups (few by definition) broadcast as
+    # a flag; a window-count over the events would shuffle the whole
+    # input, a broadcast flag join costs nothing when no group is hot.
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gsz"))
+    cutoff = density_hot_cutoff(
+        sizes, "__gsz", work_budget_pairs, int(hot_group_cutoff)
+    )
     hot_groups = (
-        df.groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("__gsz"))
-        .where(F.col("__gsz") > int(hot_group_cutoff))
+        sizes.where(F.col("__gsz") > cutoff)
         .select(F.col(group_col).alias("g"), F.lit(True).alias("__hot"))
     )
     base = (
@@ -193,8 +216,6 @@ def account_creation_dist(
             F.col(addr_col).alias("addr"),
         )
         .join(F.broadcast(hot_groups), "g", "left")
-        .withColumn("__gsz", F.when(F.col("__hot"), int(hot_group_cutoff) + 1)
-                    .otherwise(F.lit(0)))
     )
 
     def _sim(name_a, name_b):
@@ -231,10 +252,10 @@ def account_creation_dist(
             F.col("g").alias(group_col), F.col("id_a").alias(id_col)
         ).agg(F.count(F.lit(1)).alias("n_similar"))
 
-    small = base.where(F.col("__gsz") <= int(hot_group_cutoff))
+    small = base.where(F.col("__hot").isNull()).drop("__hot")
     small_counts = _counts(_pairs(_side(small, "a"), _side(small, "b"), []))
 
-    hot = base.where(F.col("__gsz") > int(hot_group_cutoff))
+    hot = base.where(F.col("__hot")).drop("__hot")
     if hot_strategy == "block":
         blk = F.pmod(F.hash("id"), F.lit(int(n_blocks)))
         cells = F.sequence(F.lit(0), F.lit(int(n_blocks) - 1))
@@ -261,11 +282,45 @@ def account_creation_dist(
         hot_counts = _hot_minhash_counts(
             hot, group_col, id_col, _sim, int(minhash_hashes)
         )
+    elif hot_strategy == "sorted":
+        hot_counts = _hot_sorted_counts(
+            hot, group_col, id_col, _sim, int(sorted_window)
+        )
     else:
         raise ValueError(f"unknown hot_strategy: {hot_strategy!r}")
 
     # a group is either hot or not, so the count frames are disjoint
     return small_counts.unionByName(hot_counts)
+
+
+def _hot_sorted_counts(hot, group_col, id_col, sim, window):
+    """Hot-group branch of `account_creation_dist` for HOMOGENEOUS
+    name populations: distinct-name compression + sorted-neighborhood
+    candidates + the exact arithmetic expansion. Each distinct name
+    meets only its next `window` lexicographic neighbors — n*window
+    candidate pairs via an equi-join on (g, rank+offset), one sort per
+    group, never n²."""
+    from pyspark.sql import Window as W
+
+    nc = hot.groupBy("g", "name").agg(F.count(F.lit(1)).alias("__csz"))
+    ca = hot.groupBy("g", "name", "addr").agg(F.count(F.lit(1)).alias("__acnt"))
+    ranked = nc.select(
+        "g", "name",
+        F.row_number().over(W.partitionBy("g").orderBy("name")).alias("__rn"),
+    )
+    left = (
+        ranked.withColumn("__d", F.explode(F.sequence(F.lit(1), F.lit(window))))
+        .select(
+            "g", F.col("name").alias("name_a"),
+            (F.col("__rn") + F.col("__d")).alias("__rn"),
+        )
+    )
+    cand = left.join(
+        ranked.select("g", F.col("name").alias("name_b"), "__rn"),
+        ["g", "__rn"],
+    ).drop("__rn")
+    simp = cand.where(sim(F.col("name_a"), F.col("name_b")))
+    return _hot_name_class_counts(hot, nc, ca, simp, group_col, id_col)
 
 
 def _hot_minhash_counts(hot, group_col, id_col, sim, minhash_hashes):
@@ -326,6 +381,18 @@ def _hot_minhash_counts(hot, group_col, id_col, sim, minhash_hashes):
         .distinct()
     )
     simp = cand.where(sim(F.col("name_a"), F.col("name_b")))
+    return _hot_name_class_counts(hot, nc, ca, simp, group_col, id_col)
+
+
+def _hot_name_class_counts(hot, nc, ca, simp, group_col, id_col):
+    """Exact arithmetic expansion shared by the hot-group candidate
+    strategies: given similar DISTINCT-NAME pairs `simp` (g, name_a,
+    name_b), recover per-account counts by class arithmetic —
+    n_similar(a) = Σ_{class c similar to name(a)} (|c| - |{b in c :
+    addr_b = addr_a}|) — which reproduces the id!=/addr!= pair
+    predicate verbatim (a's own class included, a itself cancelled by
+    the addr term). `nc` = (g, name, __csz) class sizes, `ca` =
+    (g, name, addr, __acnt) per-(name, addr) counts."""
     sim_all = (
         simp.select("g", F.col("name_a").alias("__d"), F.col("name_b").alias("__c"))
         .unionByName(

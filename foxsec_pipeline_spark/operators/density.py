@@ -1,0 +1,60 @@
+"""Density-aware hot-group detection shared by the quadratic-in-a-
+block operators (`account_creation_dist`, `record_linkage_blocking`).
+
+The r7 step-up measured the failure mode this module exists for: a
+single-group row-count cutoff (100k) never engages when the data is
+UNIFORMLY dense — 25 groups of 6k rows each is 450M exact pairs and
+no group is individually "hot". The right trigger is the total
+all-pairs work Σ n_g², compared against a work budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def density_hot_cutoff(
+    sizes: DataFrame,
+    size_col: str,
+    work_budget_pairs: int | None,
+    absolute_cutoff: int,
+) -> int:
+    """Derive the group-size cutoff above which groups must leave the
+    exact all-pairs path: the largest size c such that the groups of
+    size <= c together stay within `work_budget_pairs` of n² work
+    (resolution: powers of two — a whole log2 bucket is either exact
+    or hot, so the decision is deterministic and order-free).
+
+    `sizes` carries one row per group; the collect here is one row
+    per log2 size bucket (<= 64 rows for any group size that fits in
+    an int64) — bounded regardless of group cardinality, the same
+    driver-readback budget class as the k-means centroid loops.
+
+    Returns min(absolute_cutoff, derived cutoff); with
+    work_budget_pairs=None the absolute cutoff alone applies
+    (the pre-r8 behavior).
+    """
+    if work_budget_pairs is None:
+        return int(absolute_cutoff)
+    buckets = (
+        sizes.select(
+            F.ceil(
+                F.log2(F.greatest(F.col(size_col), F.lit(2)).cast("double"))
+            ).cast("int").alias("__b"),
+            (F.col(size_col).cast("double") * F.col(size_col)).alias("__w"),
+        )
+        .groupBy("__b")
+        .agg(F.sum("__w").alias("__w"))
+        .orderBy("__b")
+        .collect()
+    )
+    cum = 0.0
+    for row in buckets:
+        cum += row["__w"]
+        if cum > float(work_budget_pairs):
+            # bucket __b covers sizes in (2^(b-1), 2^b]; admitting it
+            # would blow the budget, so everything above the bucket's
+            # lower bound is hot
+            return min(int(absolute_cutoff), max(2 ** (row["__b"] - 1), 1))
+    return int(absolute_cutoff)

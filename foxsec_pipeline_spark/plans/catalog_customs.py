@@ -114,6 +114,16 @@ def q_account_creation_dist(spark, sf_dir):
         # bookkeeping costs more than it saves until strings are long
         # enough that k << len. Keep the option for long-string corpora.
         max_distance=None,
+        # density-aware budget: sf0.01 (90k pairs) and sf0.1 (9M) run
+        # exact — the oracle gate and the bench numbers are the exact
+        # semantics — while the 10x step-up (900M pairs, 147.9 s exact
+        # in STEPUP_r07) trips the budget and takes the hot path.
+        # Strategy "sorted", not "minhash": these fixed-format names
+        # share their whole prefix, which collapses char-bigram
+        # MinHash bands into whole-group buckets (worse than exact);
+        # sorted-neighborhood candidates stay n*w.
+        work_budget_pairs=50_000_000,
+        hot_strategy="sorted",
     )
 
 

@@ -509,15 +509,24 @@ WHERE s.rn = 1 AND e.event_type = 'error'
         "the key; the consumer broadcasts the snapshot",
 )
 def q_shared_state_at_risk(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from ..operators.customs import status_comparator
     from ..streaming.state_table import at_risk_state_table
 
     ev = _events(spark, sf_dir)
-    table = at_risk_state_table(
-        tempfile.mkdtemp(prefix="lfara_state_")
+    # deterministic per-dataset path, rebuilt from scratch each run —
+    # repeated bench/driver invocations reuse ONE directory instead of
+    # leaking a mkdtemp per call
+    state_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"lfara_state_{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}",
     )
+    shutil.rmtree(state_dir, ignore_errors=True)
+    table = at_risk_state_table(state_dir)
     # producer: two chronological deltas (day-windows are whole within
     # a parity class, so comp(half) pieces tile comp(all))
     comp = status_comparator(

@@ -89,6 +89,11 @@ class SinkSpec:
     options: dict[str, str] = field(default_factory=dict)
     mode: str = "append"
     path: str | None = None
+    # which projection of the alert-JSON frame this connector needs:
+    # "value" = one string column (text/BigQuery JSON ingest), "data" =
+    # one binary column (the Pub/Sub Lite publish contract). The
+    # CompositeOutput fan-out applies the projection per leg.
+    payload: str = "value"
 
     def apply(self, df: DataFrame) -> None:
         w = df.write.format(self.format).options(**self.options).mode(self.mode)
@@ -127,6 +132,7 @@ def pubsub_sink_spec(topic: str) -> SinkSpec:
         format="pubsublite",
         options={"pubsublite.topic.path": topic},
         mode="append",
+        payload="data",
     )
 
 
@@ -183,8 +189,18 @@ class CompositeOutput:
         js = alerts_to_json(alerts)
         if self.file_path:
             js.write.mode("append").text(self.file_path)
+        wire = None
         for spec in self.sink_specs:
-            spec.apply(js)
+            if spec.payload == "data":
+                # Pub/Sub Lite publish contract: one binary `data`
+                # column (alerts_to_wire), not the string `value` frame
+                if wire is None:
+                    wire = js.select(
+                        F.encode(F.col("value"), "UTF-8").alias("data")
+                    )
+                spec.apply(wire)
+            else:
+                spec.apply(js)
         if self.emitters:
             if self.driver_emit:
                 lines = [r.value for r in js.collect()]
@@ -367,35 +383,97 @@ def violations_by_generator_map(
     )
 
 
-def violation_wire_from_alert_json(line: str) -> tuple[str, str, str] | None:
-    """Pure-Python per-line twin of violations_from_alerts +
-    violation_wire_json, for EXECUTOR-side emitters that receive
-    alert JSON lines (the iprepd WriteFn path, `IprepdIO.java:
-    389-420`: non-convertible inputs are ignored, never errors).
-    Returns (type, object, violation_wire_json) or None."""
+def _violation_wire(obj: str, obj_type: str, vname: str,
+                    suppress: str | None) -> tuple[str, str, str]:
+    """One wire tuple (type, object, json) in the reference's Jackson
+    field order (`Violation.java:294-334`): ip only for ip-type,
+    suppress_recovery only when set."""
+    import json as _json
+
+    body: dict = {"object": obj, "type": obj_type, "violation": vname}
+    if obj_type == "ip":
+        body["ip"] = obj
+    if suppress is not None:
+        try:
+            body["suppress_recovery"] = int(suppress)
+        except (TypeError, ValueError):
+            pass
+    return (obj_type, obj, _json.dumps(body, separators=(",", ":")))
+
+
+def violation_wires_from_alert_json(line: str) -> list[tuple[str, str, str]]:
+    """Pure-Python per-line twin of the iprepd WriteFn conversion
+    (`IprepdIO.java:389-420` + `Violation.java:100-235,344`), for
+    EXECUTOR-side emitters that receive alert JSON lines.
+    Non-convertible inputs yield [] (ignored, never errors), and:
+
+    - alerts whose metadata carries ``iprepd_exempt == 'true'`` are
+      dropped before escalation (`IprepdIO.java:400-403`);
+    - the subcategory is routed through the reference's generator map
+      (VIOLATION_GENERATOR_MAP): ip violations from source_address,
+      email violations one per comma-separated EMAIL address
+      (`AlertMeta.META_VALUE_SPLITTER`: split on ',', trimmed), and
+      amo_abuse_matched_addon's custom rule — NO violations at all
+      when source_address is absent, even if emails are present
+      (`Violation.java:145-176`);
+    - ``iprepd_suppress_recovery`` metadata rides along as the
+      integer suppress_recovery wire field (`Violation.java:90-96`);
+    - unknown subcategories fall back to the legacy
+      ``fxa:heavy_hitter_{category}`` source-address projection
+      (violations_from_alerts), keeping the pre-generator-map
+      behavior for pipelines that key alerts by category only.
+    """
     import json as _json
 
     try:
         alert = _json.loads(line)
     except ValueError:
-        return None
+        return []
     if not isinstance(alert, dict):
-        return None
+        return []
     meta = alert.get("metadata") or {}
-    obj = meta.get("source_address")
-    category = alert.get("category")
-    if not obj or not category:
-        return None
-    wire = _json.dumps(
-        {
-            "object": obj,
-            "type": "ip",
-            "violation": f"fxa:heavy_hitter_{category}",
-            "ip": obj,
-        },
-        separators=(",", ":"),
-    )
-    return ("ip", obj, wire)
+    if not isinstance(meta, dict):
+        return []
+    if meta.get("iprepd_exempt") == "true":
+        return []
+    suppress = meta.get("iprepd_suppress_recovery")
+    source = meta.get("source_address")
+    emails = [
+        e.strip()
+        for e in str(meta.get("email") or "").split(",")
+        if e.strip()
+    ]
+    subcat = alert.get("subcategory")
+    gens = VIOLATION_GENERATOR_MAP.get(subcat) if subcat else None
+    if gens is None:
+        # legacy heavy-hitter fallback (pre-generator-map projection)
+        category = alert.get("category")
+        if not source or not category:
+            return []
+        return [_violation_wire(
+            source, "ip", f"fxa:heavy_hitter_{category}", suppress)]
+    if subcat == "amo_abuse_matched_addon" and not source:
+        return []
+    out: list[tuple[str, str, str]] = []
+    for kind, vname in gens:
+        if kind == "ip":
+            if not source:
+                return []
+            out.append(_violation_wire(source, "ip", vname, suppress))
+        else:
+            if not emails and subcat != "amo_abuse_matched_addon":
+                return []
+            out.extend(
+                _violation_wire(e, "email", vname, suppress) for e in emails
+            )
+    return out
+
+
+def violation_wire_from_alert_json(line: str) -> tuple[str, str, str] | None:
+    """Back-compat single-violation view of
+    violation_wires_from_alert_json (first wire or None)."""
+    wires = violation_wires_from_alert_json(line)
+    return wires[0] if wires else None
 
 
 def violation_wire_json(

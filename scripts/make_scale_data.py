@@ -102,44 +102,60 @@ def main() -> None:
         emb, shift("vec_id", vmax + 1), rolled.alias("embedding"), "label",
     ))
 
+    # Each dimension key's stride is computed over BOTH the dimension's
+    # own max key and every fact FK column that references it, and the
+    # SAME stride shifts the dim PK and the fact FKs. A fact-side-only
+    # stride would collide replica PK ranges whenever the dimension
+    # holds keys above the fact max (customers with no orders, parts
+    # never ordered), duplicating primary keys and inflating join
+    # fan-out in the scaled data.
     orders = rd("orders")
-    omax = orders.agg(F.max("o_orderkey"), F.max("o_custkey")).first()
+    li = rd("lineitem")
+    cust = rd("customer")
+    part = rd("part")
+    supp = rd("supplier")
+
+    omax = orders.agg(F.max("o_orderkey")).first()[0]
+    cstride = max(
+        orders.agg(F.max("o_custkey")).first()[0],
+        cust.agg(F.max("c_custkey")).first()[0],
+    ) + 1
+    limax = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    pstride = max(limax[0], part.agg(F.max("p_partkey")).first()[0]) + 1
+    sstride = max(limax[1], supp.agg(F.max("s_suppkey")).first()[0]) + 1
+
     write("orders", replicas(
-        orders, shift("o_orderkey", omax[0] + 1),
-        shift("o_custkey", omax[1] + 1),
+        orders, shift("o_orderkey", omax + 1),
+        shift("o_custkey", cstride),
         "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
     ))
 
-    li = rd("lineitem")
-    # l_orderkey follows orders; part/supp keys stay in-vocabulary so
-    # FK fan-out to the (also scaled) dims is preserved via modulo
-    pmax = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    # l_orderkey follows orders; part/supp FKs shift by the shared
+    # dim strides, so FK fan-out to the (also scaled) dims is
+    # preserved replica-by-replica
     write("lineitem", replicas(
-        li, shift("l_orderkey", omax[0] + 1),
-        shift("l_partkey", pmax[0] + 1), shift("l_suppkey", pmax[1] + 1),
+        li, shift("l_orderkey", omax + 1),
+        shift("l_partkey", pstride), shift("l_suppkey", sstride),
         "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
         "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
     ))
 
-    cust = rd("customer")
     write("customer", replicas(
-        cust, shift("c_custkey", omax[1] + 1),
+        cust, shift("c_custkey", cstride),
         F.concat(F.col("c_name"), F.lit("#"),
                  F.col("rep").cast("string")).alias("c_name"),
         "c_nationkey", "c_acctbal", "c_mktsegment",
     ))
 
-    part = rd("part")
     write("part", replicas(
-        part, shift("p_partkey", pmax[0] + 1),
+        part, shift("p_partkey", pstride),
         F.concat(F.col("p_name"), F.lit(" #"),
                  F.col("rep").cast("string")).alias("p_name"),
         "p_brand", "p_type", "p_size", "p_retailprice",
     ))
 
-    supp = rd("supplier")
     write("supplier", replicas(
-        supp, shift("s_suppkey", pmax[1] + 1),
+        supp, shift("s_suppkey", sstride),
         F.concat(F.col("s_name"), F.lit("#"),
                  F.col("rep").cast("string")).alias("s_name"),
         "s_nationkey", "s_acctbal",

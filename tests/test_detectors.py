@@ -220,3 +220,97 @@ def test_account_creation_dist_minhash_hot_path_recall(spark):
           f"t_exact={t_exact:.2f}s t_minhash={t_minhash:.2f}s")
     assert recall >= 0.95
     assert rows_matched >= 0.9
+
+
+def test_density_hot_cutoff_derivation(spark):
+    """density.py unit semantics: the derived cutoff admits log2 size
+    buckets smallest-first until the cumulative n² work would blow the
+    budget, capped by the absolute cutoff."""
+    from foxsec_pipeline_spark.operators.density import density_hot_cutoff
+
+    def sizes(*ns):
+        return spark.createDataFrame([(int(n),) for n in ns], "sz long")
+
+    # under budget everywhere -> absolute cutoff (exact path)
+    assert density_hot_cutoff(sizes(10, 10, 10), "sz", 1000, 100_000) == 100_000
+    # budget disabled -> absolute cutoff
+    assert density_hot_cutoff(sizes(10**6), "sz", None, 100_000) == 100_000
+    # 25 uniform groups of 100 (250k work) vs 100k budget: the whole
+    # bucket (64, 128] is over -> everything above 64 is hot
+    assert density_hot_cutoff(
+        sizes(*([100] * 25)), "sz", 100_000, 100_000
+    ) == 64
+    # mixed: the small groups' bucket fits, the single 1000-row group
+    # does not -> cutoff lands between them (512 = its bucket's floor)
+    assert density_hot_cutoff(sizes(4, 4, 4, 1000), "sz", 500, 100_000) == 512
+    # absolute cutoff still wins when lower than the derived one
+    assert density_hot_cutoff(sizes(4, 4, 4, 1000), "sz", 500, 100) == 100
+
+
+def test_account_creation_dist_density_budget_engages(spark):
+    """With no group over the row cutoff, a tiny work budget must
+    still reroute uniformly-dense groups to the hot path (the r7
+    step-up failure: 25x6k groups, 450M pairs, old cutoff never
+    tripped). Hot-path output only ever UNDERcounts; budget=None
+    keeps the exact path byte-identical."""
+    from foxsec_pipeline_spark.operators.customs import account_creation_dist
+
+    df = spark.createDataFrame(
+        _skewed_account_fixture(), "g string, id long, name string, addr string"
+    )
+    kw = dict(group_col="g", id_col="id", name_col="name", addr_col="addr",
+              max_ratio=0.35, hot_group_cutoff=10**9)
+    exact = {(r.g, r.id): r.n_similar
+             for r in account_creation_dist(
+                 df, work_budget_pairs=None, **kw).collect()}
+    # budget far below the fixture's ~1.7M pair work -> every domain
+    # (even the cold ones) leaves the exact path
+    dense = {(r.g, r.id): r.n_similar
+             for r in account_creation_dist(
+                 df, work_budget_pairs=10_000, **kw).collect()}
+    assert set(dense) <= set(exact)
+    assert all(dense[k] <= exact[k] for k in dense)
+    mass = sum(dense.values()) / sum(exact.values())
+    assert mass >= 0.9
+    # a budget ABOVE the total work changes nothing
+    same = {(r.g, r.id): r.n_similar
+            for r in account_creation_dist(
+                df, work_budget_pairs=10**9, **kw).collect()}
+    assert same == exact
+
+
+def test_account_creation_dist_sorted_hot_path(spark):
+    """hot_strategy='sorted' (the homogeneous-name escape hatch used
+    by the catalog query at step-up density): undercount-only, exact
+    on cold groups, same-name mass exact by class arithmetic."""
+    from foxsec_pipeline_spark.operators.customs import account_creation_dist
+
+    df = spark.createDataFrame(
+        _skewed_account_fixture(), "g string, id long, name string, addr string"
+    )
+    kw = dict(group_col="g", id_col="id", name_col="name", addr_col="addr",
+              max_ratio=0.35)
+    exact = {(r.g, r.id): r.n_similar
+             for r in account_creation_dist(
+                 df, hot_group_cutoff=10**9, work_budget_pairs=None,
+                 **kw).collect()}
+    approx = {(r.g, r.id): r.n_similar
+              for r in account_creation_dist(
+                  df, hot_group_cutoff=500, hot_strategy="sorted",
+                  sorted_window=16, **kw).collect()}
+    assert set(approx) <= set(exact)
+    assert all(approx[k] <= exact[k] for k in approx)
+    cold_exact = {k: v for k, v in exact.items() if not k[0].startswith("gmail")}
+    cold_approx = {k: v for k, v in approx.items() if not k[0].startswith("gmail")}
+    assert cold_exact == cold_approx and len(cold_exact) > 0
+    mass_exact = sum(v for (g, _), v in exact.items() if g == "gmail.com")
+    mass_got = sum(v for (g, _), v in approx.items() if g == "gmail.com")
+    recall = mass_got / mass_exact
+    print(f"acd sorted hot-path: mass recall={recall:.4f}")
+    # lower floor than the minhash path ON THIS FIXTURE: the serial
+    # "unique tail" names are mutually similar at ratio 0.35 but NOT
+    # lexicographically local (the adversarial case for a sorted
+    # window; minhash's broad bigram buckets catch them — the same
+    # breadth that melts down on shared-prefix corpora). Same-name
+    # class mass stays exact by arithmetic either way.
+    assert recall >= 0.8

@@ -461,3 +461,38 @@ def test_sink_spec_apply_executes(spark, tmp_path):
     wire = alerts_to_wire(alerts)
     assert wire.columns == ["data"]
     assert wire.schema["data"].dataType.simpleString() == "binary"
+
+
+def test_composite_output_payload_projection(spark, tmp_path):
+    """write_batch routes each SinkSpec its declared payload: `data`
+    legs (the Pub/Sub Lite publish contract) get the binary wire
+    column, `value` legs get the JSON string frame."""
+    from foxsec_pipeline_spark.sinks.output import (
+        CompositeOutput,
+        SinkSpec,
+        pubsub_sink_spec,
+    )
+
+    assert pubsub_sink_spec("projects/p/locations/l/topics/t").payload == "data"
+
+    hits = spark.createDataFrame(
+        [Row(window_start="2024-01-01 00:00:00", source_address="1.2.3.4")]
+    ).withColumn("window_start", F.col("window_start").cast("timestamp"))
+    alerts = to_alerts(
+        hits, category="httprequest", severity="warn",
+        summary=F.lit("s"), metadata_cols=["source_address"],
+    )
+    out = CompositeOutput(sink_specs=[
+        SinkSpec(format="parquet", path=str(tmp_path / "wire"),
+                 payload="data"),
+        SinkSpec(format="parquet", path=str(tmp_path / "json")),
+    ])
+    out.write_batch(alerts)
+    wire = spark.read.parquet(str(tmp_path / "wire"))
+    assert wire.columns == ["data"]
+    assert wire.schema["data"].dataType.simpleString() == "binary"
+    js = spark.read.parquet(str(tmp_path / "json"))
+    assert js.columns == ["value"]
+    [w] = wire.collect()
+    [j] = js.collect()
+    assert bytes(w.data).decode("utf-8") == j.value

@@ -159,3 +159,106 @@ def test_violation_emitter_end_to_end(server):
     ]
     for _, _, v in _FakeIprepd.puts:
         assert v["ip"] == v["object"] and v["type"] == "ip"
+
+
+def test_violation_wires_generator_map_and_exempt():
+    """Per-line WriteFn conversion semantics (IprepdIO.java:400-403
+    exempt guard + Violation.fromAlert generator routing,
+    Violation.java:100-235)."""
+    from foxsec_pipeline_spark.sinks.output import (
+        violation_wires_from_alert_json as wires,
+    )
+
+    # iprepd_exempt drops the alert before escalation
+    assert wires(json.dumps({
+        "category": "httprequest", "subcategory": "error_rate",
+        "metadata": {"source_address": "10.0.0.9",
+                     "iprepd_exempt": "true"},
+    })) == []
+
+    # generic source generator: subcategory-mapped wire name
+    [(t, o, v)] = wires(json.dumps({
+        "category": "httprequest", "subcategory": "error_rate",
+        "metadata": {"source_address": "10.0.0.9"},
+    }))
+    assert (t, o) == ("ip", "10.0.0.9")
+    assert json.loads(v) == {
+        "object": "10.0.0.9", "type": "ip",
+        "violation": "client_error_rate_violation", "ip": "10.0.0.9",
+    }
+    # ... and no source_address -> no violations at all
+    assert wires(json.dumps({
+        "category": "httprequest", "subcategory": "error_rate",
+        "metadata": {},
+    })) == []
+
+    # email-list generator: one violation per comma-split address
+    got = wires(json.dumps({
+        "category": "customs", "subcategory": "account_creation_abuse",
+        "metadata": {"email": "a@x.com, b@y.com"},
+    }))
+    assert [(t, o, json.loads(v)["violation"]) for t, o, v in got] == [
+        ("email", "a@x.com", "abusive_account_violation"),
+        ("email", "b@y.com", "abusive_account_violation"),
+    ]
+    assert all("ip" not in json.loads(v) for _, _, v in got)
+
+    # matched-addon custom rule: source REQUIRED (even with emails),
+    # then ip endpoint_abuse + per-email abusive_account
+    assert wires(json.dumps({
+        "category": "amo", "subcategory": "amo_abuse_matched_addon",
+        "metadata": {"email": "a@x.com"},
+    })) == []
+    got = wires(json.dumps({
+        "category": "amo", "subcategory": "amo_abuse_matched_addon",
+        "metadata": {"source_address": "10.2.2.2", "email": "a@x.com"},
+    }))
+    assert [(t, o, json.loads(v)["violation"]) for t, o, v in got] == [
+        ("ip", "10.2.2.2", "endpoint_abuse_violation"),
+        ("email", "a@x.com", "abusive_account_violation"),
+    ]
+    # ... and emails are optional for matched_addon
+    got = wires(json.dumps({
+        "category": "amo", "subcategory": "amo_abuse_matched_addon",
+        "metadata": {"source_address": "10.2.2.2"},
+    }))
+    assert [(t, o) for t, o, _ in got] == [("ip", "10.2.2.2")]
+
+    # suppress_recovery rides along as an int wire field
+    [(_, _, v)] = wires(json.dumps({
+        "category": "httprequest", "subcategory": "hard_limit",
+        "metadata": {"source_address": "10.3.3.3",
+                     "iprepd_suppress_recovery": "900"},
+    }))
+    assert json.loads(v) == {
+        "object": "10.3.3.3", "type": "ip",
+        "violation": "hard_limit_violation", "ip": "10.3.3.3",
+        "suppress_recovery": 900,
+    }
+
+    # unknown subcategory falls back to the heavy-hitter projection
+    [(_, _, v)] = wires(json.dumps({
+        "category": "httprequest", "subcategory": "not_a_generator",
+        "metadata": {"source_address": "10.5.5.5"},
+    }))
+    assert json.loads(v)["violation"] == "fxa:heavy_hitter_httprequest"
+
+
+def test_violation_emitter_generator_map_put_fanout(server):
+    """Emitter PUTs one violation per generator output (email lists
+    fan out), and exempt alerts never reach the wire."""
+    _FakeIprepd.puts.clear()
+    emit = iprepd_violation_emitter([f"{server}|k4"])
+    emit([
+        json.dumps({"category": "customs",
+                    "subcategory": "account_creation_abuse",
+                    "metadata": {"email": "a@x.com,b@y.com"}}),
+        json.dumps({"category": "httprequest",
+                    "subcategory": "threshold_analysis",
+                    "metadata": {"source_address": "10.6.6.6",
+                                 "iprepd_exempt": "true"}}),
+    ])
+    assert [(t, o, v["violation"]) for t, o, v in _FakeIprepd.puts] == [
+        ("email", "a@x.com", "abusive_account_violation"),
+        ("email", "b@y.com", "abusive_account_violation"),
+    ]
