@@ -958,3 +958,196 @@ def _jaccard_prefix_path(tok, id_col, t_num, t_den):
         "n_union",
         F.expr("(n_inter * 1000000) div n_union").alias("jaccard_ppm"),
     )
+
+
+def _deletion_variants(name: str | "F.Column", max_dist: int):
+    """All strings reachable from `name` by deleting up to `max_dist`
+    (<= 2) characters, as one distinct array column — the FastSS
+    neighborhood (Bocek et al. 2007, public algorithm). Pure built-in
+    expressions (sequence/transform/substr), so the whole generation
+    stays in codegen."""
+    col = F.col(name) if isinstance(name, str) else name
+    L = F.length(col)
+    one = F.transform(
+        F.sequence(F.lit(1), L),
+        lambda i: F.concat(col.substr(F.lit(1), i - 1), col.substr(i + 1, L)),
+    )
+    if max_dist == 1:
+        full = F.concat(F.array(col), one)
+    else:
+        two = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), L - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, L),
+                    lambda j: F.concat(
+                        col.substr(F.lit(1), i - 1),
+                        col.substr(i + 1, j - i - 1),
+                        col.substr(j + 1, L),
+                    ),
+                ),
+            )
+        )
+        full = F.concat(F.array(col), one, two)
+    # sequence(1, 0) would run DESCENDING, so guard short strings; runs
+    # of repeated characters make many deletions coincide — distinct
+    # keeps the per-name key count well under 1 + L + C(L,2)
+    return F.when(L >= max_dist + 1, F.array_distinct(full)).otherwise(
+        F.array(col)
+    )
+
+
+def edit_distance_pairs_blocked(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    name_col: str,
+    max_dist: int = 2,
+    hot_block_cutoff: int = 100_000,
+    work_budget_pairs: int | None = 50_000_000,
+    variant_max_len: int = 40,
+) -> DataFrame:
+    """Blocked record-linkage pair generation with an EXACT hot-block
+    guard: all pairs within a block whose names are within `max_dist`
+    Levenshtein distance, as (block_cols..., id_a, id_b, name_dist)
+    with id_a < id_b.
+
+    Blocks below the density-aware cutoff (see density.py — the r7
+    step-up measured the all-pairs equi-join at 683.6 s on 10x data,
+    125 uniformly dense blocks and no single one over a row cutoff)
+    run the plain self-equi-join. Hot blocks switch to deletion-
+    neighborhood blocking: if lev(a,b) <= k, an optimal alignment
+    gives a common string reachable from BOTH by deleting <= k
+    characters (delete a's chars aligned to substitutions/insertions,
+    likewise b's), so joining the <= k-deletion neighborhoods is a
+    COMPLETE candidate generator and the exact verify keeps the
+    output identical to all-pairs — the guard changes the plan, never
+    the result. Distinct names within a block are compressed first
+    (same-name id pairs expand arithmetically at dist 0), so variant
+    keys scale with DISTINCT names, ~L + C(L,2) keys each after
+    run-compression.
+
+    Names longer than `variant_max_len` (C(L,2) keys stop paying for
+    themselves) stay on the exact join path: cross pairs are possible
+    only within `max_dist` of the length boundary, so the long-side
+    join admits any pair with max(len) > variant_max_len and length
+    gap <= max_dist — exactness is preserved by splitting the pair
+    space on max(len_a, len_b), not on membership.
+
+    max_dist <= 2 only: the deletion neighborhood grows as C(L, k).
+    Reference seam: the same within-block quadratic shape as
+    `CustomsAccountCreationDist.java:56-126`; the blocking-key
+    structure is the Fellegi-Sunter / dedupe.io standard.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("edit_distance_pairs_blocked supports max_dist 1..2")
+    from .density import density_hot_cutoff
+
+    base = df.select(
+        *block_cols, F.col(id_col).alias("__id"), F.col(name_col).alias("__nm")
+    )
+    sizes = base.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+    cutoff = density_hot_cutoff(
+        sizes, "__bsz", work_budget_pairs, int(hot_block_cutoff)
+    )
+    hot_blocks = (
+        sizes.where(F.col("__bsz") > cutoff)
+        .select(*block_cols, F.lit(True).alias("__hot"))
+    )
+    flagged = base.join(F.broadcast(hot_blocks), block_cols, "left")
+
+    def _emit(pairs, dist):
+        return pairs.select(
+            *block_cols,
+            F.least(F.col("__id_a"), F.col("__id_b")).alias("id_a"),
+            F.greatest(F.col("__id_a"), F.col("__id_b")).alias("id_b"),
+            dist.cast("long").alias("name_dist"),
+        )
+
+    def _exact_pairs(side, extra_cond=None):
+        a = side.select(
+            *block_cols, F.col("__id").alias("__id_a"),
+            F.col("__nm").alias("__nm_a"),
+        )
+        b = side.select(
+            *block_cols, F.col("__id").alias("__id_b"),
+            F.col("__nm").alias("__nm_b"),
+        )
+        joined = a.join(b, block_cols).where(F.col("__id_a") < F.col("__id_b"))
+        if extra_cond is not None:
+            joined = joined.where(extra_cond)
+        joined = joined.withColumn(
+            "name_dist", F.levenshtein(F.col("__nm_a"), F.col("__nm_b"))
+        ).where(F.col("name_dist") <= max_dist)
+        return _emit(joined, F.col("name_dist"))
+
+    small = flagged.where(F.col("__hot").isNull()).drop("__hot")
+    small_pairs = _exact_pairs(small)
+
+    hot = flagged.where(F.col("__hot")).drop("__hot")
+    short = hot.where(F.length("__nm") <= variant_max_len)
+    # long-name residue: exact join admitting only pairs whose longer
+    # side crosses the variant cap (disjoint from the variant path by
+    # construction; the length-gap prune keeps it from ever seeing a
+    # short x short pair)
+    long_margin = hot.where(
+        F.length("__nm") > variant_max_len - max_dist
+    )
+    long_pairs = _exact_pairs(
+        long_margin,
+        (
+            F.greatest(F.length("__nm_a"), F.length("__nm_b"))
+            > variant_max_len
+        )
+        & (
+            F.abs(F.length("__nm_a") - F.length("__nm_b"))
+            <= F.lit(max_dist)
+        ),
+    )
+
+    # distinct-name compression: candidates among DISTINCT short names
+    names = short.select(*block_cols, "__nm").distinct()
+    var = names.select(
+        *block_cols, "__nm",
+        F.explode(_deletion_variants("__nm", max_dist)).alias("__v"),
+    )
+    cand = (
+        var.select(*block_cols, F.col("__nm").alias("__nm_a"), "__v")
+        .join(
+            var.select(*block_cols, F.col("__nm").alias("__nm_b"), "__v"),
+            [*block_cols, "__v"],
+        )
+        .where(F.col("__nm_a") < F.col("__nm_b"))
+        .drop("__v")
+        .distinct()
+    )
+    name_pairs = cand.withColumn(
+        "name_dist", F.levenshtein(F.col("__nm_a"), F.col("__nm_b"))
+    ).where(F.col("name_dist") <= max_dist)
+    # expand verified name pairs back to id pairs
+    ids = short.select(*block_cols, "__nm", "__id")
+    cross = _emit(
+        name_pairs.join(
+            ids.select(*block_cols, F.col("__nm").alias("__nm_a"),
+                       F.col("__id").alias("__id_a")),
+            [*block_cols, "__nm_a"],
+        ).join(
+            ids.select(*block_cols, F.col("__nm").alias("__nm_b"),
+                       F.col("__id").alias("__id_b")),
+            [*block_cols, "__nm_b"],
+        ),
+        F.col("name_dist"),
+    )
+    # same-name id pairs (dist 0) expand within each name class
+    same = _emit(
+        ids.select(*block_cols, "__nm", F.col("__id").alias("__id_a"))
+        .join(
+            ids.select(*block_cols, "__nm", F.col("__id").alias("__id_b")),
+            [*block_cols, "__nm"],
+        )
+        .where(F.col("__id_a") < F.col("__id_b")),
+        F.lit(0),
+    )
+    return small_pairs.unionByName(long_pairs).unionByName(cross).unionByName(
+        same
+    )

@@ -368,42 +368,39 @@ WHERE levenshtein(a.c_name, b.c_name) <= 2
         "start here): candidate pairs only within a blocking key "
         "(nation x market segment), then an edit-distance match rule "
         "(levenshtein <= 2 — identical DP semantics in Spark and "
-        "DuckDB). The equi-join on the block key is the entire scale "
-        "story: pair generation is quadratic ONLY within a block, "
-        "never across the corpus (plan-asserted: no cartesian), the "
-        "same shape as the account_creation_dist clustering and the "
-        "LSH band joins. At 100 TB you add a second blocking pass on "
-        "a different key and union — each pass stays an equi-join",
+        "DuckDB). The equi-join on the block key bounds the pair "
+        "space; since r8 the operator carries an EXACT hot-block "
+        "guard (operators/dedup.py edit_distance_pairs_blocked): when "
+        "the density-aware work budget trips (the r7 step-up measured "
+        "683.6 s at 10x — 125 uniformly dense blocks, no single one "
+        "'hot' by row count), blocks switch to deletion-neighborhood "
+        "candidate generation (FastSS: lev<=2 pairs MUST share a "
+        "<=2-deletion variant, so recall is 1.0 by construction) with "
+        "the same exact verify — identical output, linear candidate "
+        "keys instead of quadratic pairs. The oracle therefore holds "
+        "at EVERY density, unlike a banded/approximate guard",
 )
 def q_record_linkage_blocking(spark, sf_dir):
+    from ..operators.dedup import edit_distance_pairs_blocked
+
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
-    a = c.alias("a")
-    b = c.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        # compute the DP once: Filter and Project are separate
-        # operators, so an expression repeated in both runs twice —
-        # levenshtein dominates this plan's cost
-        .withColumn(
-            "name_dist",
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-            .cast("long"),
-        )
-        .where(F.col("name_dist") <= 2)
-        .select(
-            F.col("a.c_custkey").alias("cust_a"),
-            F.col("b.c_custkey").alias("cust_b"),
-            F.col("a.c_nationkey").alias("nationkey"),
-            F.col("a.c_mktsegment").alias("mktsegment"),
-            "name_dist",
-        )
+    return edit_distance_pairs_blocked(
+        c,
+        block_cols=["c_nationkey", "c_mktsegment"],
+        id_col="c_custkey",
+        name_col="c_name",
+        max_dist=2,
+        # sf0.01 (18k pairs) and sf0.1 (1.8M) stay on the all-pairs
+        # join; the 10x step-up (180M) reroutes to deletion variants
+        work_budget_pairs=50_000_000,
+    ).select(
+        F.col("id_a").alias("cust_a"),
+        F.col("id_b").alias("cust_b"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        "name_dist",
     )
 
 

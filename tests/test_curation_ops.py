@@ -265,3 +265,67 @@ def test_snm_linkage_recall_and_bound(spark, reg):
     assert set(snm) <= exact, "SNM emitted a non-match"
     recall = len(set(snm)) / max(len(exact), 1)
     assert recall >= 0.9, f"recall {recall:.3f} below floor"
+
+
+def test_edit_distance_pairs_blocked_hot_path_exact(spark):
+    """The deletion-neighborhood hot-block guard is EXACT: forcing
+    every block hot (tiny work budget) must reproduce the all-pairs
+    equi-join byte-for-byte — duplicate names, run-compressed
+    variants, and pairs straddling the long-name cap included."""
+    from foxsec_pipeline_spark.operators.dedup import (
+        edit_distance_pairs_blocked,
+    )
+
+    rows = []
+    i = 0
+    # serial names (digit edits), duplicates, repeated-char runs
+    for b in range(3):
+        for u in range(40):
+            rows.append((f"blk{b}", i, f"acct{u % 25:04d}")); i += 1
+        rows.append((f"blk{b}", i, "aaaabbbb")); i += 1
+        rows.append((f"blk{b}", i, "aaabbbb")); i += 1
+        rows.append((f"blk{b}", i, "aaaabbb")); i += 1
+        # pairs straddling variant_max_len (cap 12 below): lengths
+        # 11/12/13/14 — cross pairs live on the long path
+        rows.append((f"blk{b}", i, "x" * 11)); i += 1
+        rows.append((f"blk{b}", i, "x" * 12)); i += 1
+        rows.append((f"blk{b}", i, "x" * 13)); i += 1
+        rows.append((f"blk{b}", i, "x" * 14)); i += 1
+        rows.append((f"blk{b}", i, "y" * 13)); i += 1
+    df = spark.createDataFrame(rows, "blk string, id long, nm string")
+
+    kw = dict(block_cols=["blk"], id_col="id", name_col="nm", max_dist=2,
+              variant_max_len=12)
+    plain = edit_distance_pairs_blocked(
+        df, work_budget_pairs=None, hot_block_cutoff=10**9, **kw
+    )
+    hot = edit_distance_pairs_blocked(
+        df, work_budget_pairs=1, hot_block_cutoff=10**9, **kw
+    )
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, hot.collect()))
+    assert a == b
+    assert len(a) > 100
+    # sanity: the fixture exercises every regime
+    dists = {d for *_, d in a}
+    assert dists == {0, 1, 2}
+
+
+def test_edit_distance_pairs_blocked_max_dist_1(spark):
+    from foxsec_pipeline_spark.operators.dedup import (
+        edit_distance_pairs_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [("b", 1, "kitten"), ("b", 2, "sitten"), ("b", 3, "sittin"),
+         ("b", 4, "kitten")],
+        "blk string, id long, nm string",
+    )
+    kw = dict(block_cols=["blk"], id_col="id", name_col="nm", max_dist=1)
+    exact = sorted(map(tuple, edit_distance_pairs_blocked(
+        df, work_budget_pairs=None, **kw).collect()))
+    hot = sorted(map(tuple, edit_distance_pairs_blocked(
+        df, work_budget_pairs=1, **kw).collect()))
+    assert exact == hot == [
+        ("b", 1, 2, 1), ("b", 1, 4, 0), ("b", 2, 3, 1), ("b", 2, 4, 1),
+    ]
