@@ -50,8 +50,19 @@ _STALE_PRIORITY_R8 = [
 # NEW in round 8 — never driver-checked; appended as each query lands
 # with its oracle + plan assertion + SCALE.md entry. Keep <= 22 so the
 # 50-row prefix still re-greens >= 25 stale rows (18 above + the tail
-# of _STALE_R3 below).
-_NEW_R8: list[str] = []
+# of _STALE_R3 below). account_creation_dist and
+# record_linkage_blocking changed code this round (density-aware hot
+# guards) — account_creation_dist sits in the r3-stale prefix tail
+# already; record_linkage_blocking is re-listed here so its r8 row
+# postdates the change.
+_NEW_R8: list[str] = [
+    "c4_quality_rules", "contamination_overlap_fraction",
+    "priority_sample_weighted", "embedding_norm_outliers",
+    "ann_range_search", "password_spray_detection",
+    "dormant_reactivation_burst", "latency_p95_slo",
+    "error_budget_burn", "multimodal_frame_sample",
+    "record_linkage_blocking",
+]
 
 # Last green driver row r2 (remaining 27 of the old 43 re-greened in
 # r7; these 27 are now r7-fresh and live in _FRESH_R7 below).
@@ -125,7 +136,7 @@ _FRESH_R7 = [
     "corpus_drift", "oov_rate_filter", "seasonal_anomaly",
     "shared_state_at_risk", "reservoir_sample_per_key",
     "lm_typicality_filter", "consistent_hash_assignment",
-    "autocorrelation_lags", "record_linkage_blocking",
+    "autocorrelation_lags",
     "ngram_novelty_score", "dsir_importance_weights",
     "bm25_topk_retrieval", "kcore_decomposition", "cluster_canonical_docs",
     "tokenizer_fertility", "session_overlap_pairs",

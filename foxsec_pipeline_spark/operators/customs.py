@@ -191,7 +191,7 @@ def account_creation_dist(
     same boundary structurally: Customs materializes parsed events
     through the CustomsFeatures GroupByKey before detector DoFns.
     """
-    from .density import density_hot_cutoff
+    from .density import density_hot_split
 
     # hot-group detection: aggregate to (group, count) — map-side
     # partial combine means only #groups rows shuffle. The cutoff is
@@ -199,24 +199,27 @@ def account_creation_dist(
     # size whose log2 bucket keeps cumulative n² work under
     # work_budget_pairs). Hot groups (few by definition) broadcast as
     # a flag; a window-count over the events would shuffle the whole
-    # input, a broadcast flag join costs nothing when no group is hot.
+    # input. When NO group is over the cutoff the flag join and the
+    # (empty) hot-path legs are skipped outright — empty subplans
+    # still run real jobs.
     sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gsz"))
-    cutoff = density_hot_cutoff(
+    cutoff, any_hot = density_hot_split(
         sizes, "__gsz", work_budget_pairs, int(hot_group_cutoff)
     )
-    hot_groups = (
-        sizes.where(F.col("__gsz") > cutoff)
-        .select(F.col(group_col).alias("g"), F.lit(True).alias("__hot"))
+    proj = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("name"),
+        F.col(addr_col).alias("addr"),
     )
-    base = (
-        df.select(
-            F.col(group_col).alias("g"),
-            F.col(id_col).alias("id"),
-            F.col(name_col).alias("name"),
-            F.col(addr_col).alias("addr"),
+    if any_hot:
+        hot_groups = (
+            sizes.where(F.col("__gsz") > cutoff)
+            .select(F.col(group_col).alias("g"), F.lit(True).alias("__hot"))
         )
-        .join(F.broadcast(hot_groups), "g", "left")
-    )
+        base = proj.join(F.broadcast(hot_groups), "g", "left")
+    else:
+        base = proj.withColumn("__hot", F.lit(None).cast("boolean"))
 
     def _sim(name_a, name_b):
         if max_distance is not None:
@@ -254,6 +257,8 @@ def account_creation_dist(
 
     small = base.where(F.col("__hot").isNull()).drop("__hot")
     small_counts = _counts(_pairs(_side(small, "a"), _side(small, "b"), []))
+    if not any_hot:
+        return small_counts
 
     hot = base.where(F.col("__hot")).drop("__hot")
     if hot_strategy == "block":

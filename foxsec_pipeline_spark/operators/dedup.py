@@ -960,41 +960,67 @@ def _jaccard_prefix_path(tok, id_col, t_num, t_den):
     )
 
 
-def _deletion_variants(name: str | "F.Column", max_dist: int):
-    """All strings reachable from `name` by deleting up to `max_dist`
-    (<= 2) characters, as one distinct array column — the FastSS
-    neighborhood (Bocek et al. 2007, public algorithm). Pure built-in
-    expressions (sequence/transform/substr), so the whole generation
-    stays in codegen."""
-    col = F.col(name) if isinstance(name, str) else name
-    L = F.length(col)
-    one = F.transform(
-        F.sequence(F.lit(1), L),
-        lambda i: F.concat(col.substr(F.lit(1), i - 1), col.substr(i + 1, L)),
-    )
-    if max_dist == 1:
-        full = F.concat(F.array(col), one)
-    else:
-        two = F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), L - 1),
-                lambda i: F.transform(
-                    F.sequence(i + 1, L),
-                    lambda j: F.concat(
-                        col.substr(F.lit(1), i - 1),
-                        col.substr(i + 1, j - i - 1),
-                        col.substr(j + 1, L),
-                    ),
-                ),
-            )
+def _deletion_variant_rows(
+    names: DataFrame, block_cols: list[str], max_dist: int
+) -> DataFrame:
+    """(block..., __nm) -> (block..., __nm, __vh): one row per string
+    reachable from __nm by deleting up to `max_dist` (<= 2)
+    characters — the FastSS neighborhood (Bocek et al. 2007, public
+    algorithm) — hashed to a 64-bit key. Built as three exploded legs
+    of plain substr/concat expressions: higher-order `transform`
+    lambdas evaluate INTERPRETED in Spark, measured 20 s for 20M
+    variants at the 10x step-up, while explode + scalar expressions
+    stay in whole-stage codegen. Only the HASH of each variant is
+    kept: the candidate join never shuffles variant strings, and a
+    hash collision merely adds a candidate pair for the exact verify
+    to discard — completeness is unaffected."""
+    nm = F.col("__nm")
+    L = F.length(nm)
+
+    def leg(df, variant):
+        return df.select(
+            *block_cols, "__nm", F.xxhash64(variant).alias("__vh")
         )
-        full = F.concat(F.array(col), one, two)
-    # sequence(1, 0) would run DESCENDING, so guard short strings; runs
-    # of repeated characters make many deletions coincide — distinct
-    # keeps the per-name key count well under 1 + L + C(L,2)
-    return F.when(L >= max_dist + 1, F.array_distinct(full)).otherwise(
-        F.array(col)
+
+    v0 = leg(names, nm)
+    i, j = F.col("__i"), F.col("__j")
+    # deletions inside a run of identical characters coincide — keep
+    # only the run-start position (sound: any (i, j) slides to a
+    # canonical pair with i at its run start and j at max(run start,
+    # i+1), producing the same variant). Pure codegen dedup; the rare
+    # cross-gap merge duplicates that remain are absorbed by the
+    # downstream pair distinct.
+    run_start_i = (i == 1) | (
+        nm.substr(i, F.lit(1)) != nm.substr(i - 1, F.lit(1))
     )
+    run_start_j = (j == i + 1) | (
+        nm.substr(j, F.lit(1)) != nm.substr(j - 1, F.lit(1))
+    )
+    v1 = leg(
+        names.where(L >= 1)
+        .withColumn("__i", F.explode(F.sequence(F.lit(1), L)))
+        .where(run_start_i),
+        F.concat(nm.substr(F.lit(1), i - 1), nm.substr(i + 1, L)),
+    )
+    legs = [v0, v1]
+    if max_dist >= 2:
+        v2 = leg(
+            names.where(L >= 2)
+            .withColumn("__i", F.explode(F.sequence(F.lit(1), L - 1)))
+            .where(run_start_i)
+            .withColumn("__j", F.explode(F.sequence(i + 1, L)))
+            .where(run_start_j),
+            F.concat(
+                nm.substr(F.lit(1), i - 1),
+                nm.substr(i + 1, j - i - 1),
+                nm.substr(j + 1, L),
+            ),
+        )
+        legs.append(v2)
+    out = legs[0]
+    for other in legs[1:]:
+        out = out.unionByName(other)
+    return out
 
 
 def edit_distance_pairs_blocked(
@@ -1041,20 +1067,15 @@ def edit_distance_pairs_blocked(
     """
     if max_dist not in (1, 2):
         raise ValueError("edit_distance_pairs_blocked supports max_dist 1..2")
-    from .density import density_hot_cutoff
+    from .density import density_hot_split
 
     base = df.select(
         *block_cols, F.col(id_col).alias("__id"), F.col(name_col).alias("__nm")
     )
     sizes = base.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__bsz"))
-    cutoff = density_hot_cutoff(
+    cutoff, any_hot = density_hot_split(
         sizes, "__bsz", work_budget_pairs, int(hot_block_cutoff)
     )
-    hot_blocks = (
-        sizes.where(F.col("__bsz") > cutoff)
-        .select(*block_cols, F.lit(True).alias("__hot"))
-    )
-    flagged = base.join(F.broadcast(hot_blocks), block_cols, "left")
 
     def _emit(pairs, dist):
         return pairs.select(
@@ -1081,6 +1102,18 @@ def edit_distance_pairs_blocked(
         ).where(F.col("name_dist") <= max_dist)
         return _emit(joined, F.col("name_dist"))
 
+    if not any_hot:
+        # no block over the cutoff: the plan is exactly the plain
+        # all-pairs equi-join — no flag join, no empty hot-path legs
+        # (which would still run scans/distincts/checkpoint jobs)
+        return _exact_pairs(base)
+
+    hot_blocks = (
+        sizes.where(F.col("__bsz") > cutoff)
+        .select(*block_cols, F.lit(True).alias("__hot"))
+    )
+    flagged = base.join(F.broadcast(hot_blocks), block_cols, "left")
+
     small = flagged.where(F.col("__hot").isNull()).drop("__hot")
     small_pairs = _exact_pairs(small)
 
@@ -1105,25 +1138,35 @@ def edit_distance_pairs_blocked(
         ),
     )
 
-    # distinct-name compression: candidates among DISTINCT short names
-    names = short.select(*block_cols, "__nm").distinct()
-    var = names.select(
-        *block_cols, "__nm",
-        F.explode(_deletion_variants("__nm", max_dist)).alias("__v"),
-    )
-    cand = (
-        var.select(*block_cols, F.col("__nm").alias("__nm_a"), "__v")
+    # distinct-name compression: candidates among DISTINCT short
+    # names. The distinct-names frame is materialized EAGERLY
+    # (localCheckpoint — name-cardinality, small): the self-join
+    # consumes it from BOTH sides and a lazy checkpoint lets the two
+    # concurrent join-input stages race to compute the
+    # un-materialized lineage (measured 107.6 s vs 67.8 s eager at
+    # the 10x step-up). The eager job only ever runs when a block is
+    # actually hot — small scales return above, before this line.
+    names = short.select(*block_cols, "__nm").distinct().localCheckpoint()
+    var = _deletion_variant_rows(names, block_cols, max_dist)
+    # distinct BEFORE the verify: measured A/B at the 10x step-up
+    # (70-78 s vs 89-95 s interleaved in one session) — the distinct's
+    # MAP-SIDE partial dedup collapses the ~5x candidate multiplicity
+    # before the shuffle, so running the Levenshtein DP on the 14M
+    # pre-distinct rows buys nothing and costs a wider join stage
+    name_pairs = (
+        var.select(*block_cols, F.col("__nm").alias("__nm_a"), "__vh")
         .join(
-            var.select(*block_cols, F.col("__nm").alias("__nm_b"), "__v"),
-            [*block_cols, "__v"],
+            var.select(*block_cols, F.col("__nm").alias("__nm_b"), "__vh"),
+            [*block_cols, "__vh"],
         )
         .where(F.col("__nm_a") < F.col("__nm_b"))
-        .drop("__v")
+        .drop("__vh")
         .distinct()
+        .withColumn(
+            "name_dist", F.levenshtein(F.col("__nm_a"), F.col("__nm_b"))
+        )
+        .where(F.col("name_dist") <= max_dist)
     )
-    name_pairs = cand.withColumn(
-        "name_dist", F.levenshtein(F.col("__nm_a"), F.col("__nm_b"))
-    ).where(F.col("name_dist") <= max_dist)
     # expand verified name pairs back to id pairs
     ids = short.select(*block_cols, "__nm", "__id")
     cross = _emit(

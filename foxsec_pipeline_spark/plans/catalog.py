@@ -82,6 +82,7 @@ def registry() -> dict[str, QuerySpec]:
         catalog_ingest,
         catalog_mining,
         catalog_pipeline,
+        catalog_quality,
         catalog_relational,
         catalog_relational2,
         catalog_timeseries,

@@ -1,0 +1,642 @@
+"""Catalog tranche (round 8): data-quality gates, contamination
+scoring, weighted sampling, embedding QC, range similarity search,
+and SRE/abuse detectors.
+
+- C4-style rule-bundle quality gate (Raffel et al. 2020 cleaning
+  rules re-expressed as integer-exact predicates)
+- benchmark-contamination overlap scoring (the n-gram-overlap
+  methodology of GPT-3 appendix C / Dodge et al. 2021; the Bloom
+  membership variant is `bloom_decontaminate`)
+- priority sampling (Duffield-Lund-Thorup) — weighted
+  sample-without-replacement whose priority q = h/w uses one exact
+  hardware division, so ranks are bit-identical across engines
+  (Efraimidis-Spirakis keys need ln(); libm differs between engines)
+- embedding-norm outlier QC (per-label integer rank tails)
+- cosine RANGE search (radius query — the complement of the top-k
+  family; brute baseline over a broadcast query set)
+- password-spray, dormant-reactivation-burst, p95-latency SLO, and
+  error-budget-burn detectors over the events stream
+- video frame-sampling plumbing (`operators/multimodal.py
+  sample_frames` — the 1->N mapInPandas row expansion) under an
+  exact byte-window oracle
+
+Determinism discipline: ratios in integer ppm via `div`/`//`, hashes
+md5/sha256 (engine-portable), float folds sequential left-to-right on
+both engines, every ordering carries an id tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..operators.multimodal import attach_binary_payload, sample_frames
+from ..operators.similarity import dot, l2_norm
+from ..session import load_tables
+from .catalog import register
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, "documents")["documents"]
+
+
+def _events(spark, sf_dir):
+    return load_tables(spark, sf_dir, "events")["events"]
+
+
+def _emb(spark, sf_dir):
+    return load_tables(spark, sf_dir, "embeddings")["embeddings"]
+
+
+# ---------------------------------------------------------------------------
+# C4-style quality rule bundle
+
+
+@register(
+    "c4_quality_rules",
+    """
+WITH u AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+), wc AS (
+  SELECT doc_id, source, w, count(*) AS c FROM u GROUP BY 1, 2, 3
+), d AS (
+  SELECT doc_id, source,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * len(w)) AS BIGINT) AS chars,
+         CAST(sum(CASE WHEN w = 'the' THEN c ELSE 0 END) AS BIGINT) AS nthe,
+         CAST(max(c) AS BIGINT) AS mx
+  FROM wc GROUP BY 1, 2
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(count(*) FILTER (n >= 40) AS BIGINT) AS pass_min_words,
+       CAST(count(*) FILTER (chars * 100 >= 400 * n
+                             AND chars * 100 <= 500 * n) AS BIGINT)
+         AS pass_mean_word_len,
+       CAST(count(*) FILTER (nthe > 0) AS BIGINT) AS pass_stopword,
+       CAST(count(*) FILTER (mx * 10 <= n) AS BIGINT) AS pass_max_repeat,
+       CAST(count(*) FILTER (n >= 40
+                             AND chars * 100 >= 400 * n
+                             AND chars * 100 <= 500 * n
+                             AND nthe > 0
+                             AND mx * 10 <= n) AS BIGINT) AS pass_all
+FROM d GROUP BY source
+""",
+    doc="C4-style quality rule bundle (Raffel et al. 2020, public "
+        "methodology; the reference's EventFilter rule-bundle shape, "
+        "`filters/EventFilter.java`, applied to corpus curation): "
+        "min word count, mean word length band, stopword presence, "
+        "max-token-frequency cap — every rule integer-exact (chars*100 "
+        "vs 400*n, mx*10 vs n) so the pass counts hash across engines. "
+        "Scale: one explode + two hash-aggs, all keyed on doc_id then "
+        "source — no joins, map-side combinable; at 100 TB the explode "
+        "is the linear tokenize pass every text metric shares",
+)
+def q_c4_quality_rules(spark, sf_dir):
+    u = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    wc = u.groupBy("doc_id", "source", "w").agg(F.count(F.lit(1)).alias("c"))
+    d = wc.groupBy("doc_id", "source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.length("w")).cast("long").alias("chars"),
+        F.sum(F.when(F.col("w") == "the", F.col("c")).otherwise(0))
+        .cast("long").alias("nthe"),
+        F.max("c").cast("long").alias("mx"),
+    )
+    pass_words = F.col("n") >= 40
+    pass_mean = (F.col("chars") * 100 >= 400 * F.col("n")) & (
+        F.col("chars") * 100 <= 500 * F.col("n")
+    )
+    pass_stop = F.col("nthe") > 0
+    pass_rep = F.col("mx") * 10 <= F.col("n")
+
+    def cnt(cond, name):
+        return F.count(F.when(cond, 1)).cast("long").alias(name)
+
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cnt(pass_words, "pass_min_words"),
+        cnt(pass_mean, "pass_mean_word_len"),
+        cnt(pass_stop, "pass_stopword"),
+        cnt(pass_rep, "pass_max_repeat"),
+        cnt(pass_words & pass_mean & pass_stop & pass_rep, "pass_all"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination overlap scoring
+
+
+@register(
+    "contamination_overlap_fraction",
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(tok) - 2, 0) + 1),
+                i -> array_to_string(list_slice(tok, i, i + 2), ' '))) AS ng
+  FROM t
+), bench AS (
+  SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS total_ngrams,
+       CAST(count(bench.ng) AS BIGINT) AS hit_ngrams,
+       CAST(count(bench.ng) * 1000000 // count(*) AS BIGINT) AS overlap_ppm
+FROM g LEFT JOIN bench USING (ng)
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+HAVING count(bench.ng) > 0
+""",
+    doc="benchmark-contamination scoring (the n-gram overlap "
+        "methodology of GPT-3 appendix C / Dodge et al. 2021): the "
+        "eval split's distinct 3-grams form the dirty set; each "
+        "training doc scores the ppm of its distinct 3-grams that "
+        "collide. Membership-only decontamination is `decontaminate` "
+        "/ `bloom_decontaminate`; this is the graded variant that "
+        "ranks HOW contaminated. Scale: the bench set is "
+        "eval-corpus-sized (broadcast; Bloom at 100 TB) and the join "
+        "is n-gram-keyed — never doc x doc",
+)
+def q_contamination_overlap_fraction(spark, sf_dir):
+    t = _docs(spark, sf_dir).select("doc_id", tokens(F.col("text")).alias("tok"))
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("tok") - 2, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("tok", i, F.lit(3))),
+            )
+        ).alias("ng"),
+    ).distinct()
+    bench = g.where(F.col("doc_id") % 97 == 0).select("ng").distinct()
+    train = g.where(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(
+            F.broadcast(bench.withColumn("__hit", F.lit(1))), "ng", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+            F.count("__hit").cast("long").alias("hit_ngrams"),
+        )
+        .where(F.col("hit_ngrams") > 0)
+        .select(
+            "doc_id", "total_ngrams", "hit_ngrams",
+            F.expr("hit_ngrams * 1000000 div total_ngrams")
+            .cast("long").alias("overlap_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling via priority sampling
+
+
+@register(
+    "priority_sample_weighted",
+    """
+WITH p AS (
+  SELECT source, doc_id, n_chars,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           / CAST(n_chars AS DOUBLE) AS prio
+  FROM documents WHERE n_chars > 0
+), r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY prio, doc_id) AS rk
+  FROM p
+)
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+       CAST(rk AS BIGINT) AS sample_rank
+FROM r WHERE rk <= 20
+""",
+    doc="priority sampling (Duffield-Lund-Thorup, public algorithm): "
+        "weight-proportional sample without replacement — keep the k "
+        "smallest priorities q = u/w with u an md5-derived 32-bit "
+        "uniform. One exact IEEE division per row (correctly rounded "
+        "in hardware on BOTH engines), unlike Efraimidis-Spirakis "
+        "u^(1/w) keys whose ln/pow go through libm and diverge in the "
+        "last ulp. Per-source mixture sampling is the training-data "
+        "use (`mixture_budget_sample` is the quota variant). Scale: "
+        "rank inside each source partition — one shuffle on source, "
+        "top-k prunable under AQE like every windowed top-k here",
+)
+def q_priority_sample_weighted(spark, sf_dir):
+    d = _docs(spark, sf_dir).where(F.col("n_chars") > 0)
+    prio = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").cast("double") / F.col("n_chars").cast("double")
+    )
+    w = Window.partitionBy("source").orderBy("prio", "doc_id")
+    return (
+        d.select("source", "doc_id", "n_chars", prio.alias("prio"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select(
+            "source", "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            F.col("rk").cast("long").alias("sample_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-norm outlier QC
+
+
+@register(
+    "embedding_norm_outliers",
+    """
+WITH n AS (
+  SELECT vec_id, label,
+         CAST(round(1000000 * list_reduce(
+           list_transform(range(1, 65),
+                          i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE),
+           (x, y) -> x + y)) AS BIGINT) AS norm2_ppm
+  FROM embeddings
+), r AS (
+  SELECT vec_id, label, norm2_ppm,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY norm2_ppm, vec_id) AS rk,
+         count(*) OVER (PARTITION BY label) AS n
+  FROM n
+)
+SELECT vec_id, label, norm2_ppm,
+       CASE WHEN rk * 50 <= n THEN 'low' ELSE 'high' END AS tail
+FROM r WHERE rk * 50 <= n OR (n - rk) * 50 < n
+""",
+    doc="embedding QC: per-label L2-norm tail flags (bottom/top 2% by "
+        "integer rank — degenerate norms are the standard signal for "
+        "broken encodes before they poison an ANN index or a cosine "
+        "dedup pass). norm2 is the same sequential float fold as the "
+        "ANN family, quantized to ppm BEFORE ranking so the order is "
+        "integer-exact. Scale: one map-side fold + one rank per label "
+        "partition; no joins",
+)
+def q_embedding_norm_outliers(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    norm2 = F.round(
+        dot(F.col("embedding"), F.col("embedding")) * 1000000
+    ).cast("long")
+    w = Window.partitionBy("label").orderBy("norm2_ppm", "vec_id")
+    cw = Window.partitionBy("label")
+    return (
+        e.select("vec_id", "label", norm2.alias("norm2_ppm"))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(cw))
+        .where(
+            (F.col("rk") * 50 <= F.col("n"))
+            | ((F.col("n") - F.col("rk")) * 50 < F.col("n"))
+        )
+        .select(
+            "vec_id", "label", "norm2_ppm",
+            F.when(F.col("rk") * 50 <= F.col("n"), "low")
+            .otherwise("high").alias("tail"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cosine range (radius) search
+
+
+_RANGE_FOLD = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+@register(
+    "ann_range_search",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 499 = 0
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+)
+SELECT query_id, neighbor_id,
+       round({_RANGE_FOLD.format(a='qv', b='cv')}
+             / (sqrt({_RANGE_FOLD.format(a='qv', b='qv')})
+                * sqrt({_RANGE_FOLD.format(a='cv', b='cv')})), 6) AS cosine
+FROM c CROSS JOIN q
+WHERE query_id <> neighbor_id
+  AND round({_RANGE_FOLD.format(a='qv', b='cv')}
+            / (sqrt({_RANGE_FOLD.format(a='qv', b='qv')})
+               * sqrt({_RANGE_FOLD.format(a='cv', b='cv')})), 6) >= 0.2
+""",
+    doc="cosine RANGE search (radius query): all neighbors within a "
+        "similarity radius, the complement of the top-k family — "
+        "dedup thresholds and recall evaluation both consume range "
+        "results, not fixed k. Brute baseline: broadcast the bounded "
+        "query set, one corpus scan, no corpus shuffle (the same "
+        "posture as ann_cosine_topk); the LSH-bucketed variants "
+        "(`ann_cosine_lsh*`) are the sub-linear path when the radius "
+        "is tight. Scores rounded to 1e-6 with the sequential fold "
+        "both engines share",
+)
+def q_ann_range_search(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") % 499 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        l2_norm(F.col("embedding")).alias("__qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        l2_norm(F.col("embedding")).alias("__cn"),
+    )
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
+        )
+        .where(F.col("cosine") >= 0.2)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Password-spray detection
+
+
+@register(
+    "password_spray_detection",
+    """
+WITH err AS (
+  SELECT date_trunc('day', ts) AS window_start,
+         CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS source_k,
+         user_id
+  FROM events WHERE event_type = 'error'
+)
+SELECT window_start, source_k,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_accounts,
+       CAST(count(*) AS BIGINT) AS n_attempts
+FROM err GROUP BY 1, 2
+HAVING count(DISTINCT user_id) >= 3
+   AND count(*) <= 2 * count(DISTINCT user_id)
+""",
+    doc="password-spray detection: one source touching MANY accounts "
+        "with FEW attempts each (the inverse of brute force — "
+        "`hard_limit_analysis` catches depth, this catches breadth; "
+        "the distinct-count-per-key shape of "
+        "`CustomsFeatures.java`'s per-source counters). Low "
+        "attempts-per-account (<= 2x accounts) is the spray "
+        "signature that per-account throttles never see. Scale: one "
+        "hash-agg with a distinct-count — partial-aggregatable, "
+        "key = (day, source)",
+)
+def q_password_spray_detection(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            F.date_trunc("day", "ts").alias("window_start"),
+            F.regexp_extract("props", r"([0-9]+)", 1).cast("int")
+            .alias("source_k"),
+            "user_id",
+        )
+        .groupBy("window_start", "source_k")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_accounts"),
+            F.count(F.lit(1)).cast("long").alias("n_attempts"),
+        )
+        .where(
+            (F.col("n_accounts") >= 3)
+            & (F.col("n_attempts") <= 2 * F.col("n_accounts"))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dormant-account reactivation burst
+
+
+@register(
+    "dormant_reactivation_burst",
+    """
+WITH e AS (
+  SELECT user_id, ts, epoch_us(ts) AS eu FROM events
+), g AS (
+  SELECT user_id, ts, eu,
+         eu - lag(eu) OVER (PARTITION BY user_id ORDER BY eu) AS gap_us,
+         count(*) OVER (PARTITION BY user_id ORDER BY eu
+                        RANGE BETWEEN CURRENT ROW
+                        AND 86400000000 FOLLOWING) AS burst_n
+  FROM e
+)
+SELECT user_id, ts AS reactivated_at,
+       CAST(gap_us // 86400000000 AS BIGINT) AS gap_days,
+       CAST(burst_n AS BIGINT) AS burst_n
+FROM g WHERE gap_us >= 2 * 86400000000 AND burst_n >= 3
+""",
+    doc="dormant-account reactivation burst: an account silent for "
+        ">= 2 days that returns with >= 3 events inside one day — "
+        "the account-takeover shape session windows cannot express "
+        "(the signal IS the gap; `AuthProfile`'s known-address state "
+        "answers WHO, this answers WHEN). RANGE frame over epoch "
+        "micros, identical semantics both engines. Scale: two window "
+        "passes over the same (user, time) sort — one shuffle, no "
+        "joins; gap state is O(1) per key exactly like the "
+        "reference's velocity detector",
+)
+def q_dormant_reactivation_burst(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", F.unix_micros("ts").alias("eu")
+    )
+    ow = Window.partitionBy("user_id").orderBy("eu")
+    rw = ow.rangeBetween(0, 86_400_000_000)
+    day_us = 86_400_000_000
+    return (
+        ev.withColumn("gap_us", F.col("eu") - F.lag("eu").over(ow))
+        .withColumn("burst_n", F.count(F.lit(1)).over(rw))
+        .where(
+            (F.col("gap_us") >= 2 * day_us) & (F.col("burst_n") >= 3)
+        )
+        .select(
+            "user_id", F.col("ts").alias("reactivated_at"),
+            F.expr(f"gap_us div {day_us}").cast("long").alias("gap_days"),
+            F.col("burst_n").cast("long").alias("burst_n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact discrete p95 latency SLO
+
+
+@register(
+    "latency_p95_slo",
+    """
+WITH r AS (
+  SELECT event_type, date_trunc('day', ts) AS window_start, value, event_id,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY value, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type, date_trunc('day', ts)) AS n
+  FROM events
+)
+SELECT event_type, window_start, CAST(n AS BIGINT) AS n_events,
+       CAST(round(value * 100) AS BIGINT) AS p95_cents,
+       CAST(CASE WHEN round(value * 100) > 18000 THEN 1 ELSE 0 END AS BIGINT)
+         AS slo_breach
+FROM r WHERE rk = CAST(ceil(0.95 * n) AS BIGINT)
+""",
+    doc="per-(endpoint, day) p95 latency against an SLO — the exact "
+        "DISCRETE percentile (element at rank ceil(0.95n) with an id "
+        "tie-break), not an interpolated or approximate one: "
+        "interpolation formulas and t-digest impls differ across "
+        "engines, rank arithmetic does not. approx-quantile at scale "
+        "is `approx_quantile_sketch`; this is the exact twin used to "
+        "validate it. Scale: one windowed sort per (endpoint, day) "
+        "partition — the same shuffle a groupBy would take; value in "
+        "exact cents",
+)
+def q_latency_p95_slo(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    pw = Window.partitionBy(
+        "event_type", F.date_trunc("day", "ts")
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("window_start"),
+            "value", "event_id",
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type", "window_start")
+                .orderBy("value", "event_id")
+            ),
+        )
+        .withColumn(
+            "n",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("event_type", "window_start")
+            ),
+        )
+        .where(F.col("rk") == F.ceil(0.95 * F.col("n")).cast("long"))
+        .select(
+            "event_type", "window_start",
+            F.col("n").cast("long").alias("n_events"),
+            F.round(F.col("value") * 100).cast("long").alias("p95_cents"),
+            F.when(F.round(F.col("value") * 100) > 18000, 1)
+            .otherwise(0).cast("long").alias("slo_breach"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Error-budget burn
+
+
+@register(
+    "error_budget_burn",
+    """
+WITH day AS (
+  SELECT CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS source_k,
+         date_trunc('day', ts) AS window_start,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_errors
+  FROM events GROUP BY 1, 2
+), rated AS (
+  SELECT *, n_errors * 1000000 // n_events AS err_ppm FROM day
+), burned AS (
+  SELECT *, sum(err_ppm - 10000) OVER (
+           PARTITION BY source_k ORDER BY window_start
+           ROWS UNBOUNDED PRECEDING) AS cum_excess_ppm
+  FROM rated
+)
+SELECT source_k, window_start, n_events, n_errors,
+       CAST(err_ppm AS BIGINT) AS err_ppm,
+       CAST(cum_excess_ppm AS BIGINT) AS cum_excess_ppm
+FROM burned WHERE err_ppm >= 400000
+""",
+    doc="SRE error-budget burn: per-service daily error ppm against a "
+        "1% budget, with the cumulative excess (the burn-rate curve "
+        "SLO alerting pages on — Google SRE workbook ch.5, public "
+        "methodology). Pure integer arithmetic; the cumulative window "
+        "runs over day-cardinality rows per service. Scale: one "
+        "hash-agg to (service, day) — everything after is "
+        "tiny-table window math, the `vocab_growth_curve` posture",
+)
+def q_error_budget_burn(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    day = (
+        ev.select(
+            F.regexp_extract("props", r"([0-9]+)", 1).cast("int")
+            .alias("source_k"),
+            F.date_trunc("day", "ts").alias("window_start"),
+            "event_type",
+        )
+        .groupBy("source_k", "window_start")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "error", 1))
+            .cast("long").alias("n_errors"),
+        )
+    )
+    bw = Window.partitionBy("source_k").orderBy("window_start").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        day.withColumn(
+            "err_ppm", F.expr("n_errors * 1000000 div n_events").cast("long")
+        )
+        .withColumn(
+            "cum_excess_ppm",
+            F.sum(F.col("err_ppm") - 10000).over(bw).cast("long"),
+        )
+        .where(F.col("err_ppm") >= 400000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video frame-sampling plumbing
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS blen FROM documents
+), n AS (
+  SELECT doc_id, text, blen,
+         least(8, greatest(blen // 64, 1)) AS n_frames
+  FROM d
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_index,
+       CAST(i * 64 AS BIGINT) AS frame_offset_bytes,
+       sha256(substr(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_sha256
+FROM n CROSS JOIN range(0, 8) r(i)
+WHERE i < n_frames
+""",
+    doc="video frame-sampling plumbing (`operators/multimodal.py "
+        "sample_frames`): the 1->N row expansion a keyframe extractor "
+        "needs — binary payload in, (doc_id, frame_index, offset, "
+        "content hash) out — with the decoder stubbed as deterministic "
+        "fixed-stride byte windows (the container has no codecs; a "
+        "deployment swaps ffmpeg into the same mapInPandas batch "
+        "contract). The oracle reproduces the byte windows exactly "
+        "(ASCII corpus: byte slice == char slice). Scale: mapInPandas "
+        "over Arrow binary batches, output rows = docs x <= 8 — "
+        "partition sizing must budget for the expansion, which is the "
+        "lesson this query pins",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    docs = attach_binary_payload(_docs(spark, sf_dir))
+    return sample_frames(docs, every_n_bytes=64, max_frames=8)
