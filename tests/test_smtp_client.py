@@ -201,3 +201,42 @@ def test_email_alert_emitter_writefn_semantics(smtp_server):
     assert "threshold exceeded" in directs[0]
     assert "Alert metadata:" in directs[0]
     assert "notify_email_direct = oncall@example.org" in directs[0]
+
+
+def test_email_emitter_through_composite_output(spark, smtp_server):
+    """The full AlertIO email leg end-to-end: alert DataFrame ->
+    CompositeOutput foreachPartition (EXECUTOR-side, the default) ->
+    real SMTP submissions to the local server — the same wiring a
+    deployment uses, `AlertIO.Write.expand` -> WriteFn -> AlertMailer."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from foxsec_pipeline_spark.alert.model import to_alerts
+    from foxsec_pipeline_spark.functions.smtp_client import (
+        email_alert_emitter,
+    )
+    from foxsec_pipeline_spark.sinks.output import CompositeOutput
+
+    smtp_server.messages.clear()
+    hits = spark.createDataFrame([
+        Row(window_start="2024-01-01 00:00:00", source_address="1.2.3.4"),
+        Row(window_start="2024-01-01 01:00:00", source_address="5.6.7.8"),
+    ]).withColumn("window_start", F.col("window_start").cast("timestamp"))
+    alerts = to_alerts(
+        hits, category="httprequest", severity="warn",
+        summary=F.concat(F.lit("threshold for "), F.col("source_address")),
+        metadata_cols=["source_address"],
+    )
+    out = CompositeOutput(emitters={
+        "email": email_alert_emitter(
+            "127.0.0.1", "mailuser:mailpass", "foxsec@example.org",
+            catchall="catchall@example.org",
+            port=smtp_server.server_address[1], starttls=False,
+        ),
+    })
+    out.write_batch(alerts)
+    assert len(smtp_server.messages) == 2
+    for user, sender, rcpts, data in smtp_server.messages:
+        assert user == "mailuser"
+        assert rcpts == ["<catchall@example.org>"]
+        assert "threshold for " in data
