@@ -61,6 +61,8 @@ _NEW_R8: list[str] = [
     "ann_range_search", "password_spray_detection",
     "dormant_reactivation_burst", "latency_p95_slo",
     "error_budget_burn", "multimodal_frame_sample",
+    "mmr_diversified_topk", "knn_label_vote",
+    "part_supplier_variety", "latency_p95_regression",
     "record_linkage_blocking",
 ]
 

@@ -640,3 +640,407 @@ WHERE i < n_frames
 def q_multimodal_frame_sample(spark, sf_dir):
     docs = attach_binary_payload(_docs(spark, sf_dir))
     return sample_frames(docs, every_n_bytes=64, max_frames=8)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (RAG re-ranking)
+
+
+@register(
+    "mmr_diversified_topk",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 499 = 0
+), c AS (
+  SELECT vec_id AS nid, embedding AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, nid,
+         round({_RANGE_FOLD.format(a='qv', b='cv')}
+               / (sqrt({_RANGE_FOLD.format(a='qv', b='qv')})
+                  * sqrt({_RANGE_FOLD.format(a='cv', b='cv')})), 6) AS rel
+  FROM c CROSS JOIN q WHERE query_id <> nid
+), pool AS (
+  SELECT query_id, nid, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, nid) AS rk
+    FROM scored) WHERE rk <= 20
+), pe AS (
+  SELECT p.query_id, p.nid, e.embedding AS v FROM pool p
+  JOIN embeddings e ON p.nid = e.vec_id
+), psim AS (
+  SELECT a.query_id, a.nid AS na, b.nid AS nb,
+         round({_RANGE_FOLD.format(a='a.v', b='b.v')}
+               / (sqrt({_RANGE_FOLD.format(a='a.v', b='a.v')})
+                  * sqrt({_RANGE_FOLD.format(a='b.v', b='b.v')})), 6) AS s
+  FROM pe a JOIN pe b ON a.query_id = b.query_id AND a.nid <> b.nid
+), s1 AS (
+  SELECT query_id, nid, rel, 1 AS pick_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, nid) AS rk
+    FROM pool) WHERE rk = 1
+), m2 AS (
+  SELECT p.query_id, p.nid, p.rel, max(ps.s) AS ms FROM pool p
+  JOIN psim ps ON ps.query_id = p.query_id AND ps.na = p.nid
+  JOIN s1 ON s1.query_id = ps.query_id AND s1.nid = ps.nb
+  WHERE p.nid NOT IN (SELECT nid FROM s1 WHERE s1.query_id = p.query_id)
+  GROUP BY 1, 2, 3
+), s2 AS (
+  SELECT query_id, nid, rel, 2 AS pick_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY round(0.7 * rel - 0.3 * ms, 6) DESC, nid) AS rk
+    FROM m2) WHERE rk = 1
+), sel2 AS (
+  SELECT query_id, nid FROM s1 UNION ALL SELECT query_id, nid FROM s2
+), m3 AS (
+  SELECT p.query_id, p.nid, p.rel, max(ps.s) AS ms FROM pool p
+  JOIN psim ps ON ps.query_id = p.query_id AND ps.na = p.nid
+  JOIN sel2 ON sel2.query_id = ps.query_id AND sel2.nid = ps.nb
+  WHERE p.nid NOT IN (SELECT nid FROM sel2 WHERE sel2.query_id = p.query_id)
+  GROUP BY 1, 2, 3
+), s3 AS (
+  SELECT query_id, nid, rel, 3 AS pick_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY round(0.7 * rel - 0.3 * ms, 6) DESC, nid) AS rk
+    FROM m3) WHERE rk = 1
+), sel3 AS (
+  SELECT query_id, nid FROM sel2 UNION ALL SELECT query_id, nid FROM s3
+), m4 AS (
+  SELECT p.query_id, p.nid, p.rel, max(ps.s) AS ms FROM pool p
+  JOIN psim ps ON ps.query_id = p.query_id AND ps.na = p.nid
+  JOIN sel3 ON sel3.query_id = ps.query_id AND sel3.nid = ps.nb
+  WHERE p.nid NOT IN (SELECT nid FROM sel3 WHERE sel3.query_id = p.query_id)
+  GROUP BY 1, 2, 3
+), s4 AS (
+  SELECT query_id, nid, rel, 4 AS pick_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY round(0.7 * rel - 0.3 * ms, 6) DESC, nid) AS rk
+    FROM m4) WHERE rk = 1
+), sel4 AS (
+  SELECT query_id, nid FROM sel3 UNION ALL SELECT query_id, nid FROM s4
+), m5 AS (
+  SELECT p.query_id, p.nid, p.rel, max(ps.s) AS ms FROM pool p
+  JOIN psim ps ON ps.query_id = p.query_id AND ps.na = p.nid
+  JOIN sel4 ON sel4.query_id = ps.query_id AND sel4.nid = ps.nb
+  WHERE p.nid NOT IN (SELECT nid FROM sel4 WHERE sel4.query_id = p.query_id)
+  GROUP BY 1, 2, 3
+), s5 AS (
+  SELECT query_id, nid, rel, 5 AS pick_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY round(0.7 * rel - 0.3 * ms, 6) DESC, nid) AS rk
+    FROM m5) WHERE rk = 1
+)
+SELECT query_id, nid AS neighbor_id, rel,
+       CAST(pick_rank AS BIGINT) AS pick_rank
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+      UNION ALL SELECT * FROM s5)
+""",
+    doc="maximal marginal relevance (Carbonell-Goldstein 1998, public "
+        "algorithm): diversity-aware top-5 re-rank of a cosine top-20 "
+        "pool — pick argmax 0.7*rel - 0.3*max_sim_to_selected, five "
+        "unrolled selection rounds (bounded k, so the 'iterative' "
+        "algorithm is a FIXED plan — the kmeans/kcore discipline; no "
+        "driver loop, no collect). Every similarity is rounded to "
+        "1e-6 before the linear combination, picks tie-break on "
+        "neighbor_id, so both engines select identical sets. Scale: "
+        "the pool is queries x 20 (broadcast-sized by construction); "
+        "pair sims are pool-local (20x20 per query), never corpus²",
+)
+def q_mmr_diversified_topk(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") % 499 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        l2_norm(F.col("embedding")).alias("__qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("__cv"),
+        l2_norm(F.col("embedding")).alias("__cn"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("nid"))
+        .select(
+            "query_id", "nid",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")), 6,
+            ).alias("rel"),
+        )
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("nid")
+    )
+    pool = (
+        scored.withColumn("rk", F.row_number().over(pw))
+        .where(F.col("rk") <= 20).drop("rk")
+    )
+    pe = pool.join(
+        e.select(F.col("vec_id").alias("nid"), "embedding"), "nid"
+    ).select(
+        "query_id", "nid", F.col("embedding").alias("__v"),
+        l2_norm(F.col("embedding")).alias("__n"),
+    )
+    a = pe.select(
+        "query_id", F.col("nid").alias("na"),
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
+    )
+    b = pe.select(
+        "query_id", F.col("nid").alias("nb"),
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+    )
+    psim = (
+        a.join(b, "query_id")
+        .where(F.col("na") != F.col("nb"))
+        .select(
+            "query_id", "na", "nb",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")), 6,
+            ).alias("s"),
+        )
+    )
+    sel = (
+        pool.withColumn("rk", F.row_number().over(pw))
+        .where(F.col("rk") == 1).drop("rk")
+        .withColumn("pick_rank", F.lit(1))
+    )
+    for t in range(2, 6):
+        picked = sel.select("query_id", F.col("nid").alias("nb"))
+        ms = (
+            psim.join(picked, ["query_id", "nb"])
+            .groupBy("query_id", F.col("na").alias("nid"))
+            .agg(F.max("s").alias("ms"))
+        )
+        cand = (
+            pool.join(
+                sel.select("query_id", "nid"), ["query_id", "nid"],
+                "left_anti",
+            )
+            .join(ms, ["query_id", "nid"])
+            .withColumn(
+                "score", F.round(0.7 * F.col("rel") - 0.3 * F.col("ms"), 6)
+            )
+        )
+        sw = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("nid")
+        )
+        pick = (
+            cand.withColumn("rk", F.row_number().over(sw))
+            .where(F.col("rk") == 1)
+            .select("query_id", "nid", "rel", F.lit(t).alias("pick_rank"))
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "query_id", F.col("nid").alias("neighbor_id"), "rel",
+        F.col("pick_rank").cast("long").alias("pick_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN label vote
+
+
+@register(
+    "knn_label_vote",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+  FROM embeddings WHERE vec_id % 31 = 0
+), c AS (
+  SELECT vec_id AS nid, embedding AS cv, label FROM embeddings
+), scored AS (
+  SELECT query_id, true_label, nid, label,
+         round({_RANGE_FOLD.format(a='qv', b='cv')}
+               / (sqrt({_RANGE_FOLD.format(a='qv', b='qv')})
+                  * sqrt({_RANGE_FOLD.format(a='cv', b='cv')})), 6) AS cosine
+  FROM c CROSS JOIN q WHERE query_id <> nid
+), top5 AS (
+  SELECT query_id, true_label, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, nid) AS rk
+    FROM scored) WHERE rk <= 5
+), votes AS (
+  SELECT query_id, true_label, label, count(*) AS v FROM top5
+  GROUP BY 1, 2, 3
+)
+SELECT query_id,
+       CAST(true_label AS BIGINT) AS true_label,
+       CAST(label AS BIGINT) AS predicted_label,
+       CAST(v AS BIGINT) AS votes,
+       CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END AS BIGINT)
+         AS correct
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY v DESC, label) AS rk
+      FROM votes) WHERE rk = 1
+""",
+    doc="kNN classification vote: top-5 cosine neighbors per query "
+        "vector, predicted label = plurality vote (ties to the "
+        "smallest label) — the standard embedding-quality eval "
+        "(label-recoverability) run before trusting a space for "
+        "dedup or retrieval. Composes the exact top-k machinery with "
+        "a vote aggregation; id tie-breaks end to end. Scale: "
+        "broadcast query set x one corpus scan, then k*|q| rows of "
+        "vote math — the eval NEVER shuffles the corpus",
+)
+def q_knn_label_vote(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("__qv"),
+        l2_norm(F.col("embedding")).alias("__qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("__cv"),
+        l2_norm(F.col("embedding")).alias("__cn"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("nid"))
+        .select(
+            "query_id", "true_label", "nid", "label",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")), 6,
+            ).alias("cosine"),
+        )
+    )
+    kw = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nid")
+    )
+    top5 = (
+        scored.withColumn("rk", F.row_number().over(kw))
+        .where(F.col("rk") <= 5)
+    )
+    votes = top5.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.col("v").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(vw))
+        .where(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("label").cast("long").alias("predicted_label"),
+            F.col("v").cast("long").alias("votes"),
+            F.when(F.col("label") == F.col("true_label"), 1)
+            .otherwise(0).cast("long").alias("correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Part-supplier variety (TPC-H Q16 shape)
+
+
+@register(
+    "part_supplier_variety",
+    """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE l.l_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    doc="TPC-H Q16 shape (parts-supplier relationship variety with a "
+        "complaint-supplier exclusion — here suppliers in arrears, "
+        "s_acctbal < 0): distinct-count after an ANTI join against a "
+        "tiny exclusion set. Scale: the exclusion set broadcasts "
+        "(NOT IN on a 6-row dim), the join shuffles on partkey once, "
+        "and the distinct-count partial-aggregates; the classic "
+        "catalog-variety report",
+)
+def q_part_supplier_variety(spark, sf_dir):
+    part = load_tables(spark, sf_dir, "part")["part"]
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    supp = load_tables(spark, sf_dir, "supplier")["supplier"]
+    bad = supp.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(part, part["p_partkey"] == li["l_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .select(
+            "p_brand", "p_type",
+            F.col("p_size").cast("long").alias("p_size"), "supplier_cnt",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day p95 regression detection
+
+
+@register(
+    "latency_p95_regression",
+    """
+WITH r AS (
+  SELECT event_type, date_trunc('day', ts) AS window_start, value, event_id,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY value, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type, date_trunc('day', ts)) AS n
+  FROM events
+), p AS (
+  SELECT event_type, window_start,
+         CAST(round(value * 100) AS BIGINT) AS p95_cents
+  FROM r WHERE rk = CAST(ceil(0.95 * n) AS BIGINT)
+), lg AS (
+  SELECT *, lag(p95_cents) OVER (PARTITION BY event_type
+                                 ORDER BY window_start) AS prev_cents
+  FROM p
+)
+SELECT event_type, window_start, p95_cents, prev_cents
+FROM lg WHERE prev_cents IS NOT NULL AND p95_cents * 10 >= prev_cents * 13
+""",
+    doc="day-over-day tail-latency regression: flag (endpoint, day) "
+        "whose exact discrete p95 jumped >= 1.3x vs the previous day "
+        "(integer cross-multiplication, no float ratio) — the "
+        "release-regression alarm built on the same rank-percentile "
+        "machinery as latency_p95_slo. Scale: the lag window runs "
+        "over the (endpoint, day)-cardinality aggregate, not events",
+)
+def q_latency_p95_regression(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    p = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("window_start"),
+            "value", "event_id",
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type", "window_start")
+                .orderBy("value", "event_id")
+            ),
+        )
+        .withColumn(
+            "n",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("event_type", "window_start")
+            ),
+        )
+        .where(F.col("rk") == F.ceil(0.95 * F.col("n")).cast("long"))
+        .select(
+            "event_type", "window_start",
+            F.round(F.col("value") * 100).cast("long").alias("p95_cents"),
+        )
+    )
+    lw = Window.partitionBy("event_type").orderBy("window_start")
+    return (
+        p.withColumn("prev_cents", F.lag("p95_cents").over(lw))
+        .where(
+            F.col("prev_cents").isNotNull()
+            & (F.col("p95_cents") * 10 >= F.col("prev_cents") * 13)
+        )
+    )
