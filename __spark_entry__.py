@@ -63,6 +63,7 @@ _NEW_R8: list[str] = [
     "error_budget_burn", "multimodal_frame_sample",
     "mmr_diversified_topk", "knn_label_vote",
     "part_supplier_variety", "latency_p95_regression",
+    "multimodal_audio_energy", "user_feature_snapshot",
     "record_linkage_blocking",
 ]
 

@@ -227,6 +227,49 @@ def sample_frames(
     return df.mapInPandas(op, FRAME_SCHEMA)
 
 
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_offset_bytes", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def audio_frame_energy(
+    df: DataFrame, frame_bytes: int = 32, max_frames: int = 6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio feature-extraction stage shape: windowed energy over a
+    PCM-like byte payload — per non-overlapping frame, the sum and
+    max of the unsigned byte values (numpy-vectorized inside the
+    Arrow batch; a real deployment swaps an actual DSP front-end —
+    mel filterbanks, VAD — into the same batch contract). Only FULL
+    windows are emitted, so frame math is exact and scale-free.
+    Output rows = docs x <= max_frames, like `sample_frames`."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_index": [], "frame_offset_bytes": [],
+                   "energy": [], "peak": []}
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = min(max_frames, len(buf) // frame_bytes)
+                for i in range(n):
+                    frame = buf[i * frame_bytes:(i + 1) * frame_bytes]
+                    out["doc_id"].append(int(did))
+                    out["frame_index"].append(i)
+                    out["frame_offset_bytes"].append(i * frame_bytes)
+                    out["energy"].append(int(frame.sum()))
+                    out["peak"].append(int(frame.max()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(op, AUDIO_FRAME_SCHEMA)
+
+
 def media_phash(
     df: DataFrame, id_col: str = "doc_id", bits: int = 63
 ) -> DataFrame:

@@ -1044,3 +1044,111 @@ def q_latency_p95_regression(spark, sf_dir):
             & (F.col("p95_cents") * 10 >= F.col("prev_cents") * 13)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio feature-extraction plumbing (windowed energy)
+
+
+@register(
+    "multimodal_audio_energy",
+    """
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS blen FROM documents
+), n AS (
+  SELECT doc_id, text, least(6, blen // 32) AS n_frames FROM d
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_index,
+       CAST(i * 32 AS BIGINT) AS frame_offset_bytes,
+       CAST(list_reduce(list_transform(range(1, 33),
+              j -> ascii(substr(text, CAST(i * 32 + j AS BIGINT), 1))),
+            (x, y) -> x + y) AS BIGINT) AS energy,
+       CAST(list_max(list_transform(range(1, 33),
+              j -> ascii(substr(text, CAST(i * 32 + j AS BIGINT), 1))))
+         AS INT) AS peak
+FROM n CROSS JOIN range(0, 6) r(i)
+WHERE i < n_frames
+""",
+    doc="audio feature-extraction plumbing (`operators/multimodal.py "
+        "audio_frame_energy`): windowed energy/peak over a PCM-like "
+        "byte payload — the decode/feature-extract stage of an audio "
+        "pipeline with the DSP front-end stubbed as unsigned-byte "
+        "sums (numpy-vectorized inside Arrow batches; a deployment "
+        "swaps mel filterbanks/VAD into the same mapInPandas batch "
+        "contract). Full 32-byte windows only, <= 6 per doc; the "
+        "oracle recomputes the exact byte sums (ASCII corpus: byte "
+        "== char code). Scale: same 1->N Arrow expansion posture as "
+        "frame sampling",
+)
+def q_multimodal_audio_energy(spark, sf_dir):
+    from ..operators.multimodal import audio_frame_energy
+
+    docs = attach_binary_payload(_docs(spark, sf_dir))
+    return audio_frame_energy(docs, frame_bytes=32, max_frames=6)
+
+
+# ---------------------------------------------------------------------------
+# Feature-store snapshot assembly
+
+
+@register(
+    "user_feature_snapshot",
+    """
+WITH anchor AS (
+  SELECT max(ts) AS a FROM events
+)
+SELECT user_id,
+       CAST(count(*) FILTER (ts >= a - INTERVAL 7 DAYS) AS BIGINT)
+         AS n_events_7d,
+       CAST(count(*) AS BIGINT) AS n_events_30d,
+       CAST(count(*) FILTER (event_type = 'error'
+                             AND ts >= a - INTERVAL 7 DAYS) AS BIGINT)
+         AS n_errors_7d,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types_30d,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents_30d,
+       CAST((epoch_us(a) - epoch_us(max(ts))) // 86400000000 AS BIGINT)
+         AS days_since_last
+FROM events CROSS JOIN anchor
+WHERE ts >= a - INTERVAL 30 DAYS
+GROUP BY user_id, a
+""",
+    doc="feature-store snapshot assembly: per-entity trailing-window "
+        "features (7d/30d counts, error counts, type variety, spend, "
+        "recency) anchored at the corpus max-ts as-of point — the "
+        "training-feature materialization every churn/abuse model "
+        "consumes, expressed as ONE conditional-aggregation pass "
+        "(filters inside aggregates, not N scans). Scale: the as-of "
+        "anchor is a broadcast scalar (the one legitimate crossJoin "
+        "shape); one hash-agg on user_id, partial-combinable; "
+        "integer cents/day math end to end",
+)
+def q_user_feature_snapshot(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    asof = ev.agg(F.max("ts").alias("a"))
+    day_us = 86_400_000_000
+    return (
+        ev.crossJoin(F.broadcast(asof))
+        .where(F.col("ts") >= F.col("a") - F.expr("INTERVAL 30 DAYS"))
+        .groupBy("user_id", "a")
+        .agg(
+            F.count(
+                F.when(F.col("ts") >= F.col("a") - F.expr("INTERVAL 7 DAYS"), 1)
+            ).cast("long").alias("n_events_7d"),
+            F.count(F.lit(1)).cast("long").alias("n_events_30d"),
+            F.count(
+                F.when(
+                    (F.col("event_type") == "error")
+                    & (F.col("ts") >= F.col("a") - F.expr("INTERVAL 7 DAYS")),
+                    1,
+                )
+            ).cast("long").alias("n_errors_7d"),
+            F.countDistinct("event_type").cast("long").alias("n_types_30d"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long").alias("value_cents_30d"),
+            F.expr(f"(unix_micros(a) - unix_micros(max(ts))) div {day_us}")
+            .cast("long").alias("days_since_last"),
+        )
+        .drop("a")
+    )
