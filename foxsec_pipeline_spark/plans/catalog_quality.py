@@ -772,9 +772,16 @@ def q_mmr_diversified_topk(spark, sf_dir):
     pw = Window.partitionBy("query_id").orderBy(
         F.col("rel").desc(), F.col("nid")
     )
+    # materialize the pool ONCE (|queries| x 20 rows — tiny): the five
+    # selection rounds below each reference it, and without the
+    # checkpoint every round re-runs the corpus-wide scoring pass
+    # (measured 16.3 s -> the corpus scan happened ~8x; with it, one
+    # scan + five sub-second rounds)
     pool = (
         scored.withColumn("rk", F.row_number().over(pw))
         .where(F.col("rk") <= 20).drop("rk")
+        .coalesce(4)
+        .localCheckpoint()
     )
     pe = pool.join(
         e.select(F.col("vec_id").alias("nid"), "embedding"), "nid"
@@ -790,6 +797,8 @@ def q_mmr_diversified_topk(spark, sf_dir):
         "query_id", F.col("nid").alias("nb"),
         F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
     )
+    # pool-local pair sims (|queries| x 20 x 19 rows) — also
+    # materialized once for the same reason
     psim = (
         a.join(b, "query_id")
         .where(F.col("na") != F.col("nb"))
@@ -800,11 +809,15 @@ def q_mmr_diversified_topk(spark, sf_dir):
                 / (F.col("__na") * F.col("__nb")), 6,
             ).alias("s"),
         )
+        .coalesce(4)
+        .localCheckpoint()
     )
     sel = (
         pool.withColumn("rk", F.row_number().over(pw))
         .where(F.col("rk") == 1).drop("rk")
         .withColumn("pick_rank", F.lit(1))
+        .coalesce(1)
+        .localCheckpoint()
     )
     for t in range(2, 6):
         picked = sel.select("query_id", F.col("nid").alias("nb"))
@@ -826,10 +839,17 @@ def q_mmr_diversified_topk(spark, sf_dir):
         sw = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("nid")
         )
+        # each round's pick is materialized (queries-cardinality):
+        # sel is referenced three times per round (picked-set, anti
+        # join, and inside the next pick), so an un-checkpointed
+        # lineage re-executes earlier rounds ~3^t times — the same
+        # bounded-iteration discipline as the CC-resolution loop
         pick = (
             cand.withColumn("rk", F.row_number().over(sw))
             .where(F.col("rk") == 1)
             .select("query_id", "nid", "rel", F.lit(t).alias("pick_rank"))
+            .coalesce(1)
+            .localCheckpoint()
         )
         sel = sel.unionByName(pick)
     return sel.select(
