@@ -178,9 +178,11 @@ def email_alert_emitter(
                 continue
             if not isinstance(alert, dict):
                 continue
-            # hasCorrectFields: summary, category, id, timestamp
-            if not all(
-                alert.get(k) for k in
+            # hasCorrectFields: summary, category, id, timestamp —
+            # null-only rejection like the reference (an empty-string
+            # summary still passes Alert.hasCorrectFields)
+            if any(
+                alert.get(k) is None for k in
                 ("summary", "category", "alert_id", "timestamp")
             ):
                 continue

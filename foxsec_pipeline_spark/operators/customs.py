@@ -131,7 +131,7 @@ def account_creation_dist(
     n_blocks: int = 8,
     hot_strategy: str = "minhash",
     minhash_hashes: int = 12,
-    work_budget_pairs: int | None = 50_000_000,
+    work_budget_pairs: int | None = None,
     sorted_window: int = 16,
 ) -> DataFrame:
     """A10 CustomsAccountCreationDist: for each account, count other
@@ -140,12 +140,19 @@ def account_creation_dist(
     source address (`CustomsAccountCreationDist.java:56-126` — the
     differing-IP requirement keeps same-machine re-registrations out).
 
+    By default the operator is EXACT for every group under
+    `hot_group_cutoff` rows: `work_budget_pairs=None` disables the
+    density-aware rerouting, so existing callers keep pre-r8 exact
+    output. Callers running at scale opt in by passing a budget (the
+    catalog query passes 50M explicitly).
+
     The group key bounds the self-join (the reference groups by email
     domain + window). The 100 TB failure mode is a HOT group
     (gmail.com in one window): exact all-pairs is O(n²) COMPUTE no
     matter how it's balanced. A group leaves the exact path when it
-    is individually huge (> `hot_group_cutoff` rows) OR when the
-    dataset is uniformly dense: the density-aware trigger keeps the
+    is individually huge (> `hot_group_cutoff` rows) OR when — a
+    budget having been passed — the dataset is uniformly dense: the
+    density-aware trigger keeps the
     TOTAL exact work Σ n_g² within `work_budget_pairs` (the r7
     step-up measured 147.9 s at 10x data with 25 uniform 6k-row
     groups — 450M pairs and not one group over the old row cutoff).

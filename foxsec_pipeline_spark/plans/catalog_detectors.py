@@ -518,12 +518,15 @@ def q_shared_state_at_risk(spark, sf_dir):
     from ..streaming.state_table import at_risk_state_table
 
     ev = _events(spark, sf_dir)
-    # deterministic per-dataset path, rebuilt from scratch each run —
-    # repeated bench/driver invocations reuse ONE directory instead of
-    # leaking a mkdtemp per call
+    # deterministic per-dataset-PER-PROCESS path, rebuilt from scratch
+    # each run — repeated bench/driver invocations in one process reuse
+    # ONE directory instead of leaking a mkdtemp per call, while the
+    # pid suffix keeps concurrent runs (bench + driver check on the
+    # same sf_dir) from rmtree'ing each other's live state table
     state_dir = os.path.join(
         tempfile.gettempdir(),
-        f"lfara_state_{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}",
+        "lfara_state_"
+        f"{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
     )
     shutil.rmtree(state_dir, ignore_errors=True)
     table = at_risk_state_table(state_dir)

@@ -312,13 +312,41 @@ _RANGE_FOLD = (
     "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
 )
 
+# Deterministic query-set sampler shared by the brute-force ANN eval
+# queries (range search / kNN vote / MMR): the query set is the top-K
+# corpus rows by a pure-arithmetic int64 hash BOTH engines compute
+# identically (pre-mod keeps the product < 2^63 for any vec_id).
+# Fixed COUNT — not a corpus-proportional `% k` filter, the r8 weak
+# flag: at Nx data the brute pair work grows K*N (linear) and the
+# broadcast query side stays K rows at any corpus size. Spark plans
+# the pick as TakeOrderedAndProject (per-partition top-K + driver
+# merge of K-row heads), never a global sort.
+_QHASH_SQL = "((vec_id % 1048573) * 2654435761 + 12345) % 4294967296"
+
+
+def _qhash(vec_id):
+    return ((vec_id % 1048573) * F.lit(2654435761) + 12345) % F.lit(
+        4294967296
+    )
+
+
+def _query_sample(e, k: int, *cols):
+    """Top-`k` embeddings rows by the shared deterministic hash
+    (vec_id tie-break), projected to `cols`."""
+    return (
+        e.orderBy(_qhash(F.col("vec_id")).asc(), F.col("vec_id").asc())
+        .limit(k)
+        .select(*cols)
+    )
+
 
 @register(
     "ann_range_search",
     f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-  WHERE vec_id % 499 = 0
+  ORDER BY {_QHASH_SQL}, vec_id
+  LIMIT 16
 ), c AS (
   SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
 )
@@ -335,16 +363,22 @@ WHERE query_id <> neighbor_id
     doc="cosine RANGE search (radius query): all neighbors within a "
         "similarity radius, the complement of the top-k family — "
         "dedup thresholds and recall evaluation both consume range "
-        "results, not fixed k. Brute baseline: broadcast the bounded "
-        "query set, one corpus scan, no corpus shuffle (the same "
-        "posture as ann_cosine_topk); the LSH-bucketed variants "
-        "(`ann_cosine_lsh*`) are the sub-linear path when the radius "
-        "is tight. Scores rounded to 1e-6 with the sequential fold "
-        "both engines share",
+        "results, not fixed k. Brute baseline: broadcast a FIXED-COUNT "
+        "query set (top-16 by a deterministic arithmetic hash both "
+        "engines compute identically — Spark plans the pick as "
+        "TakeOrderedAndProject, no global sort), one corpus scan, no "
+        "corpus shuffle (the same posture as ann_cosine_topk). "
+        "Fixed-count, not corpus-proportional (% k was the r8 weak "
+        "flag): at Nx data the pair work is K*N, linear, and the "
+        "broadcast side stays K rows at any corpus size. The "
+        "LSH-bucketed variants (`ann_cosine_lsh*`) are the sub-linear "
+        "path when the radius is tight. Scores rounded to 1e-6 with "
+        "the sequential fold both engines share",
 )
 def q_ann_range_search(spark, sf_dir):
     e = _emb(spark, sf_dir)
-    q = e.where(F.col("vec_id") % 499 == 0).select(
+    q = _query_sample(
+        e, 16,
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qv"),
         l2_norm(F.col("embedding")).alias("__qn"),
@@ -651,7 +685,8 @@ def q_multimodal_frame_sample(spark, sf_dir):
     f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-  WHERE vec_id % 499 = 0
+  ORDER BY {_QHASH_SQL}, vec_id
+  LIMIT 16
 ), c AS (
   SELECT vec_id AS nid, embedding AS cv FROM embeddings
 ), scored AS (
@@ -744,12 +779,16 @@ FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
         "driver loop, no collect). Every similarity is rounded to "
         "1e-6 before the linear combination, picks tie-break on "
         "neighbor_id, so both engines select identical sets. Scale: "
+        "the query set is FIXED-COUNT (top-16 by the shared "
+        "deterministic hash, TakeOrderedAndProject — scoring work is "
+        "K*N at any corpus size, not N²/499), and "
         "the pool is queries x 20 (broadcast-sized by construction); "
         "pair sims are pool-local (20x20 per query), never corpus²",
 )
 def q_mmr_diversified_topk(spark, sf_dir):
     e = _emb(spark, sf_dir)
-    q = e.where(F.col("vec_id") % 499 == 0).select(
+    q = _query_sample(
+        e, 16,
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qv"),
         l2_norm(F.col("embedding")).alias("__qn"),
@@ -867,7 +906,9 @@ def q_mmr_diversified_topk(spark, sf_dir):
     f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv, label AS true_label
-  FROM embeddings WHERE vec_id % 31 = 0
+  FROM embeddings
+  ORDER BY {_QHASH_SQL}, vec_id
+  LIMIT 64
 ), c AS (
   SELECT vec_id AS nid, embedding AS cv, label FROM embeddings
 ), scored AS (
@@ -901,12 +942,15 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         "(label-recoverability) run before trusting a space for "
         "dedup or retrieval. Composes the exact top-k machinery with "
         "a vote aggregation; id tie-breaks end to end. Scale: "
-        "broadcast query set x one corpus scan, then k*|q| rows of "
-        "vote math — the eval NEVER shuffles the corpus",
+        "FIXED-COUNT query set (top-64 by the shared deterministic "
+        "hash, TakeOrderedAndProject — scale-invariant cardinality, "
+        "pair work K*N not N²/31) broadcast x one corpus scan, then "
+        "k*|q| rows of vote math — the eval NEVER shuffles the corpus",
 )
 def q_knn_label_vote(spark, sf_dir):
     e = _emb(spark, sf_dir)
-    q = e.where(F.col("vec_id") % 31 == 0).select(
+    q = _query_sample(
+        e, 64,
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("__qv"),

@@ -141,9 +141,17 @@ def test_reputation_provider_enriches_dataframe(spark, server):
 def test_violation_emitter_end_to_end(server):
     """Alert JSON lines -> violation PUTs, including skip of
     non-convertible lines (IprepdIO WriteFn ignores non-Alert
-    input)."""
+    input). These category-only alerts use the legacy heavy-hitter
+    projection, which is opt-in as of r9 (default matches
+    Violation.fromAlert returning null for no-generator alerts)."""
     _FakeIprepd.puts.clear()
-    emit = iprepd_violation_emitter([f"{server}|k3"])
+    emit = iprepd_violation_emitter(
+        [f"{server}|k3"], legacy_heavy_hitter_fallback=True)
+    # default emitter: no generator-map subcategory -> no PUTs at all
+    no_fallback = iprepd_violation_emitter([f"{server}|k3"])
+    no_fallback([json.dumps({"category": "httprequest",
+                             "metadata": {"source_address": "10.1.2.3"}})])
+    assert _FakeIprepd.puts == []
     lines = [
         json.dumps({"category": "httprequest",
                     "metadata": {"source_address": "10.1.2.3"}}),
@@ -236,11 +244,15 @@ def test_violation_wires_generator_map_and_exempt():
         "suppress_recovery": 900,
     }
 
-    # unknown subcategory falls back to the heavy-hitter projection
-    [(_, _, v)] = wires(json.dumps({
+    # unknown subcategory: NO escalation by default (Violation.fromAlert
+    # null, IprepdIO.java:405-410); legacy heavy-hitter projection only
+    # behind the explicit opt-in flag
+    unknown = json.dumps({
         "category": "httprequest", "subcategory": "not_a_generator",
         "metadata": {"source_address": "10.5.5.5"},
-    }))
+    })
+    assert wires(unknown) == []
+    [(_, _, v)] = wires(unknown, legacy_heavy_hitter_fallback=True)
     assert json.loads(v)["violation"] == "fxa:heavy_hitter_httprequest"
 
 
