@@ -42,6 +42,25 @@ _MIN_ITEM_SUPP = 3
 _MIN_PAIR_SUPP = 2
 
 
+def _basket_pairs(baskets, a: str, b: str):
+    """Ordered C(|basket|,2) pair expansion from a sorted-array
+    `ps` column, as two chained Generate (explode) stages.
+
+    Deliberately NOT the nested higher-order `transform` lambda form:
+    HOFs evaluate INTERPRETED (the r8 FastSS measurement; flagged
+    again by the r8 verdict on this very site), while posexplode +
+    slice-explode stay inside whole-stage codegen — measured 1.18 s
+    -> 0.71 s steady on the sf0.1 expansion + pair count (identical
+    1.196M-pair output). The first Generate carries `ps` per row
+    (basket-sized duplication, same order as the pair count itself);
+    both stages pipeline without a shuffle until the pair groupBy."""
+    return (
+        baskets.select(F.posexplode("ps").alias("_i", a), "ps")
+        .select(a, F.explode(
+            F.expr("slice(ps, _i + 2, size(ps))")).alias(b))
+    )
+
+
 @register(
     "frequent_itemsets",
     f"""
@@ -111,16 +130,7 @@ def q_frequent_itemsets(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("supp"))
     )
     pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS part_a, y AS part_b))))"
-                )
-            ).alias("pr")
-        )
-        .select("pr.part_a", "pr.part_b")
+        _basket_pairs(baskets, "part_a", "part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("pair_support"))
         .where(F.col("pair_support") >= _MIN_PAIR_SUPP)
@@ -471,16 +481,7 @@ def q_copurchase_triangles(spark, sf_dir):
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
     edges = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("pr")
-        )
-        .select("pr.u", "pr.v")
+        _basket_pairs(baskets, "u", "v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") >= _MIN_PAIR_SUPP)
@@ -959,16 +960,7 @@ def q_copurchase_pagerank(spark, sf_dir):
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
     pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("pr")
-        )
-        .select("pr.u", "pr.v")
+        _basket_pairs(baskets, "u", "v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") >= _MIN_PAIR_SUPP)
@@ -1477,16 +1469,7 @@ def q_copurchase_link_jaccard(spark, sf_dir):
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
     pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("pr")
-        )
-        .select("pr.u", "pr.v")
+        _basket_pairs(baskets, "u", "v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") >= _MIN_PAIR_SUPP)
