@@ -623,72 +623,20 @@ def strip_envelopes(df: DataFrame, value_col: str = "value") -> DataFrame:
         '"Fields"'
     )
     m = F.when(moz_shaped, F.from_json(F.col(value_col), MOZLOG_SCHEMA))
-    out = (
-        df.withColumn("j", j)
-        .withColumn("m", m)
-        # a Stackdriver textPayload may itself BE a mozlog JSON string
-        # (Parser.java strips the Stackdriver envelope, then probes the
-        # inner text — ParserTest.testParseStackdriverTextDuopullBypass);
-        # gated on the mozlog markers so only such lines pay the parse
-        .withColumn(
-            "mt",
-            F.when(
-                F.col("j.textPayload").contains('"Fields"')
-                | F.col("j.textPayload").contains('"Timestamp"'),
-                F.from_json(F.col("j.textPayload"), MOZLOG_SCHEMA),
-            ),
-        )
-        .withColumn(
-            "moz_fields",
-            F.coalesce(
-                F.col("j.jsonPayload.Fields"), F.col("m.Fields"),
-                F.col("mt.Fields"),
-            ),
-        )
-        .withColumn(
-            "moz_logger",
-            F.coalesce(F.col("m.Logger"), F.col("j.jsonPayload.Logger"),
-                       F.col("mt.Logger")),
-        )
-        .withColumn(
-            "moz_type",
-            F.coalesce(F.col("m.Type"), F.col("j.jsonPayload.Type"),
-                       F.col("mt.Type")),
-        )
-        .withColumn(
-            "moz_ts_ns",
-            # integer ns normally, but bmoaudit emits the ns count in
-            # scientific notation ('1.548956727E18') which Jackson
-            # reads as a double — try the exact integer parse first,
-            # fall through to the double form, never throw (ANSI-safe)
-            F.coalesce(
-                F.try_to_number(
-                    F.coalesce(
-                        F.col("m.Timestamp"), F.col("j.jsonPayload.Timestamp"),
-                        F.col("mt.Timestamp"),
-                    ),
-                    F.lit("S" + "9" * 19),
-                ).cast("long"),
-                F.coalesce(
-                    F.col("m.Timestamp"), F.col("j.jsonPayload.Timestamp"),
-                    F.col("mt.Timestamp"),
-                )
-                .try_cast("double")
-                .cast("long"),
-            ),
-        )
-        .withColumn(
-            "sd_project",
-            F.coalesce(F.col("j.resource.labels.project_id"), F.col("j.logName")),
-        )
-        .withColumn(
-            "payload_text", F.coalesce(F.col("j.textPayload"), F.col(value_col))
-        )
-        .withColumn(
-            "a0",
+    # BATCHED withColumns, not a withColumn chain: every withColumn is
+    # a full analyzer pass over a plan that carries the WIDE_SCHEMA
+    # from_json tree, and eleven chained passes cost ~1.4 s of pure
+    # DRIVER time per parse_events call (measured at r9; 4 batched
+    # passes bring envelope attachment to ~0.3 s). Batches follow the
+    # dependency layers: (j, m, a0) <- mt <- moz_*/sd/payload_text
+    # <- envelope_ts.
+    out = df.withColumns(
+        {
+            "j": j,
+            "m": m,
             # gated on the _id marker so the two extra JSON parses run
             # only on auth0-shaped lines (same trick as moz_shaped)
-            F.when(
+            "a0": F.when(
                 F.col(value_col).contains('"_id"'),
                 F.coalesce(
                     F.from_json(F.col(value_col), _AUTH0_WRAPPED)[
@@ -697,7 +645,56 @@ def strip_envelopes(df: DataFrame, value_col: str = "value") -> DataFrame:
                     F.from_json(F.col(value_col), AUTH0_BODY),
                 ),
             ),
-        )
+        }
+    )
+    # a Stackdriver textPayload may itself BE a mozlog JSON string
+    # (Parser.java strips the Stackdriver envelope, then probes the
+    # inner text — ParserTest.testParseStackdriverTextDuopullBypass);
+    # gated on the mozlog markers so only such lines pay the parse
+    out = out.withColumns(
+        {
+            "mt": F.when(
+                F.col("j.textPayload").contains('"Fields"')
+                | F.col("j.textPayload").contains('"Timestamp"'),
+                F.from_json(F.col("j.textPayload"), MOZLOG_SCHEMA),
+            ),
+        }
+    )
+    moz_ts_raw = F.coalesce(
+        F.col("m.Timestamp"), F.col("j.jsonPayload.Timestamp"),
+        F.col("mt.Timestamp"),
+    )
+    out = out.withColumns(
+        {
+            "moz_fields": F.coalesce(
+                F.col("j.jsonPayload.Fields"), F.col("m.Fields"),
+                F.col("mt.Fields"),
+            ),
+            "moz_logger": F.coalesce(
+                F.col("m.Logger"), F.col("j.jsonPayload.Logger"),
+                F.col("mt.Logger"),
+            ),
+            "moz_type": F.coalesce(
+                F.col("m.Type"), F.col("j.jsonPayload.Type"),
+                F.col("mt.Type"),
+            ),
+            # integer ns normally, but bmoaudit emits the ns count in
+            # scientific notation ('1.548956727E18') which Jackson
+            # reads as a double — try the exact integer parse first,
+            # fall through to the double form, never throw (ANSI-safe)
+            "moz_ts_ns": F.coalesce(
+                F.try_to_number(
+                    moz_ts_raw, F.lit("S" + "9" * 19)
+                ).cast("long"),
+                moz_ts_raw.try_cast("double").cast("long"),
+            ),
+            "sd_project": F.coalesce(
+                F.col("j.resource.labels.project_id"), F.col("j.logName")
+            ),
+            "payload_text": F.coalesce(
+                F.col("j.textPayload"), F.col(value_col)
+            ),
+        }
     )
     # mozlog ns Timestamp WINS over the Stackdriver envelope ts when
     # both are present: Parser.java:424-446 strips the Stackdriver

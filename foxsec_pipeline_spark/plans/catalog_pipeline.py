@@ -71,7 +71,13 @@ FROM events
         "(Parser.java:507-564, ParserDoFn.java:83-122)",
 )
 def q_parse_normalize(spark, sf_dir):
-    raw = _synth_glb_lines(spark, sf_dir)
+    # localCheckpoint: materialization barrier between the synth
+    # projection and the parse — see q_customs_prefilter_split
+    # (CollapseProject otherwise inlines the to_json CASE into every
+    # `value` reference; measured 1.8-2.3 s fused vs 1.2-1.4 s with
+    # the barrier at sf0.1). Test scaffolding only: production lines
+    # arrive from a source, which is already a barrier.
+    raw = _synth_glb_lines(spark, sf_dir).localCheckpoint()
     parsed = parse_events(raw, ParserCfg(fast_matcher="LoadBalancerLogEntry"))
     return parsed.select(
         "timestamp", "payload_type", "normalized_type", "source_address",
@@ -91,8 +97,18 @@ def _synth_customs_lines(spark, sf_dir):
     PushProjectionThroughUnion clone the downstream 22-spec parse
     cascade into every branch — quadrupling Catalyst analysis +
     codegen driver time (measured: the wall time of the prefilter
-    query was ~60% driver-side plan work)."""
+    query was ~60% driver-side plan work).
+
+    The events scan is fanned out BEFORE the to_json projection:
+    events.parquet is a single row group at test SF, and a projection
+    placed before the exchange evaluates on ONE core — the r9 stage
+    profile measured the synth to_json (not the parse) as the hot
+    stage because count()-style probes column-prune it away. After
+    the repartition the line construction runs on every core; at
+    production scale the source has real partitioning and the
+    repartition collapses to a no-op-sized shuffle of narrow rows."""
     ev = load_tables(spark, sf_dir, "events")["events"]
+    ev = ev.repartition(ev.sparkSession.sparkContext.defaultParallelism)
     bucket = (F.col("user_id") % 10).cast("string")
     addr = F.concat(F.lit("10.0."), bucket, F.lit(".1"))
     fxaauth = F.to_json(
@@ -192,6 +208,17 @@ def q_customs_prefilter_split(spark, sf_dir):
         | F.col("value").contains("fxa-content-server")
         | F.col("value").contains("fx-private-relay")
     )
+    # materialization barrier between the SYNTH projection and the
+    # parse: without it CollapseProject inlines the synthetic
+    # to_json CASE into every `value` reference of the parse
+    # projection (the wide from_json tree references value many
+    # times), re-evaluating the struct serialization per reference —
+    # measured 2.9-3.2 s fused vs 1.6-1.9 s with the barrier at
+    # sf0.1 (stage-level: parse alone on materialized lines is
+    # 0.14 s; synth+filter materialized is 0.49 s). Test-scaffolding
+    # cost only: production raw lines arrive from a SOURCE (file/
+    # Pub/Sub), which is already a recompute barrier.
+    raw = raw.localCheckpoint()
     parsed = parse_events(raw, ParserCfg(chain=_customs_chain()))
     leg = (
         F.when(F.col("payload_type") == "fxaauth", "fxa_auth")
