@@ -22,20 +22,49 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from foxsec_pipeline_spark.plans.catalog import registry  # noqa: E402
 
 # The driver records exactly the FIRST 50 rows of queries()
-# (registration-order prefix; counted against CORRECTNESS_r01..r07).
-# Round-8 ordering per the r7 verdict (VERDICT.md "Next round" item 1):
-#   1. The 18 stalest-evidence rows lead, BEFORE any new r8 queries:
-#      the 16 queries whose last green driver row is r2 (missed the
-#      r7 prefix by 16 slots) plus the two whose implementation
-#      changed AFTER their r6 driver row (kcenter_coreset_picks via
-#      similarity.py's pre-sample enforcement, multimodal_phash_dedup
-#      via multimodal.py's real DCT/decode) — the only
-#      evidence-predates-code rows in the catalog.
-#   2. NEW round-8 queries next (never driver-checked).
-#   3. Then the rest of the catalog, stalest last-green row first
-#      (r3 -> r4 -> r6 -> r7), computed from CORRECTNESS_r0*.json.
+# (registration-order prefix; counted against CORRECTNESS_r01..r08).
+# Round-9 ordering per the r8 verdict ("Next round" item 1) plus the
+# evidence-predates-code standard applied to every r9 code change:
+#   1. Queries whose IMPLEMENTATION changed this round lead —
+#      shared_state_at_risk first (its plan changed in r8 AFTER its
+#      r7 driver row, and again in r9: pid-scoped state dir), then
+#      the queries touched by the r9 work: the fixed-count ANN eval
+#      query sets (ann_range_search / knn_label_vote /
+#      mmr_diversified_topk), ann_cosine_ivf (candidate-stage
+#      refactor shared with the new range variant),
+#      account_creation_dist (work_budget_pairs default reverted to
+#      None per ADVICE), customs_prefilter_split + parse_normalize
+#      (strip_envelopes batching + synth/parse barrier), and the four
+#      copurchase-family queries (basket-pair explode rewrite).
+#   2. NEW round-9 queries (never driver-checked).
+#   3. The 32 queries whose last green row is r3 (the r8 verdict's
+#      explicit list). 12 + 7 + 32 = 51, so the LAST r3-stale row
+#      (waiting_orders_suppliers) misses the 50-row prefix and heads
+#      the r10 backlog — changed-code and never-checked rows outrank
+#      stale-but-valid evidence.
+#   4. Then the rest, stalest last-green row first (r4 -> r6 -> r7 ->
+#      r8), computed from CORRECTNESS_r0*.json.
+_CHANGED_R9 = [
+    "shared_state_at_risk",
+    "ann_range_search", "knn_label_vote", "mmr_diversified_topk",
+    "ann_cosine_ivf", "account_creation_dist",
+    "customs_prefilter_split", "parse_normalize",
+    "copurchase_pagerank", "copurchase_link_jaccard",
+    "copurchase_triangles", "frequent_itemsets",
+]
+
+# NEW in round 9 — never driver-checked; each landed with a
+# non-vacuous sf0.01 oracle, a plan assertion, and a SCALE.md entry.
+_NEW_R9: list[str] = [
+    "ann_range_search_ivf", "bigram_pmi_collocations",
+    "token_simpson_index", "duplicate_ngram_fraction",
+    "slo_multiwindow_burn", "burstiness_fano_factor",
+    "minhash_jaccard_estimate_error",
+]
+
+# r8 prefix legacy lists (now r8-fresh; kept for the stale ordering
+# of the catalog tail below).
 _STALE_PRIORITY_R8 = [
-    # 16 last-green-in-r2 rows (r7 verdict's explicit list)
     "etd_finding_matcher", "aws_behavior_match",
     "amo_addon_matcher", "amo_multi_submit", "amo_cloud_submission",
     "amo_fxa_ban_pattern", "amo_report_restriction",
@@ -43,18 +72,9 @@ _STALE_PRIORITY_R8 = [
     "customs_activity_monitor", "login_failure_at_risk_account",
     "customs_alert_fanout", "customs_prefilter_split", "alert_pipeline",
     "violation_projection", "notify_merge",
-    # code changed after their last (r6) driver row
     "kcenter_coreset_picks", "multimodal_phash_dedup",
 ]
 
-# NEW in round 8 — never driver-checked; appended as each query lands
-# with its oracle + plan assertion + SCALE.md entry. Keep <= 22 so the
-# 50-row prefix still re-greens >= 25 stale rows (18 above + the tail
-# of _STALE_R3 below). account_creation_dist and
-# record_linkage_blocking changed code this round (density-aware hot
-# guards) — account_creation_dist sits in the r3-stale prefix tail
-# already; record_linkage_blocking is re-listed here so its r8 row
-# postdates the change.
 _NEW_R8: list[str] = [
     "c4_quality_rules", "contamination_overlap_fraction",
     "priority_sample_weighted", "embedding_norm_outliers",
@@ -159,10 +179,32 @@ _FRESH_R7 = [
     "xff_client_select",
 ]
 
-# The 50-row prefix is: 18 priority stale rows + N new r8 queries +
-# (32 - N) of the stalest r3 rows. Keep N <= 22 so the prefix
-# re-greens >= 25 stale rows (18 + >= 10).
+# The 32 r3-stale rows the r8 verdict ordered into the r9 prefix, in
+# the verdict's (alphabetical) order so the one row that misses the
+# 50-row cut is the verdict-last one (waiting_orders_suppliers).
+_STALE_R3_PRIORITY_R9 = [
+    "asof_join_purchase", "customer_order_distribution",
+    "dedup_embedding_cosine", "dedup_simhash_pairs",
+    "disjunctive_quantity_revenue", "dormant_customer_balance",
+    "funnel_conversion", "important_parts_value",
+    "interval_error_click_count", "kmeans_codebook",
+    "last_touch_attribution", "min_cost_supplier",
+    "nation_market_share", "nation_volume_shipping",
+    "ngram_corpus_stats", "part_supplier_stats", "passage_dedup",
+    "postprocessing_pipeline", "product_type_profit",
+    "promo_revenue_ratio", "retention_cohorts",
+    "returned_item_customers", "robust_outlier_mad",
+    "rolling_user_value", "scd2_user_segment", "shipping_priority",
+    "small_lot_revenue", "supplier_return_candidates",
+    "tfidf_top_terms", "timeseries_resample", "top_revenue_supplier",
+    "waiting_orders_suppliers",
+]
+
+# The 50-row prefix: 12 changed-code rows + 7 new r9 queries + the
+# first 31 of the 32 verdict-ordered r3-stale rows. The tail keeps
+# the r8 stale ordering (r4 -> r6 -> r7 -> r8), deduped first-wins.
 _VERIFY_FIRST = [
+    *_CHANGED_R9, *_NEW_R9, *_STALE_R3_PRIORITY_R9,
     *_STALE_PRIORITY_R8, *_NEW_R8,
     *_STALE_R2, *_STALE_R3, *_STALE_R4, *_FRESH_R6, *_FRESH_R7,
 ]
@@ -170,10 +212,15 @@ _VERIFY_FIRST = [
 
 def _ordered():
     reg = registry()
-    missing = [n for n in _VERIFY_FIRST if n not in reg]
+    seen: set[str] = set()
+    first = [
+        n for n in _VERIFY_FIRST
+        if not (n in seen or seen.add(n))
+    ]
+    missing = [n for n in first if n not in reg]
     assert not missing, f"_VERIFY_FIRST references unknown queries: {missing}"
-    rest = [n for n in reg if n not in set(_VERIFY_FIRST)]
-    return {n: reg[n] for n in [*_VERIFY_FIRST, *rest]}
+    rest = [n for n in reg if n not in set(first)]
+    return {n: reg[n] for n in [*first, *rest]}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -717,30 +717,18 @@ def ivf_codebook_df(
     )
 
 
-def cosine_topk_ivf(
+def _ivf_candidates(
     queries: DataFrame,
     corpus: DataFrame,
-    centroid_ids: list[int] | None = None,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    nprobe: int = 2,
-    queries_in_corpus: bool = False,
-    centroids: DataFrame | None = None,
+    centroid_ids: list[int] | None,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+    queries_in_corpus: bool,
+    centroids: DataFrame | None,
 ) -> DataFrame:
-    """Approximate top-k via IVF (inverted-file) bucketing: each corpus
-    vector lands in exactly ONE cell (nearest centroid); each query
-    probes its `nprobe` nearest cells; exact cosine ranks the probed
-    candidates. The other classic ANN scale path next to LSH: corpus
-    work is one assignment pass + an equi-join on the cell id, and
-    recall is tuned by nprobe (measured against the exact baseline in
-    tests/test_similarity_recall.py).
-
-    Centroids come either from a trained codebook (`centroids`, see
-    `ivf_train_codebook`) or from the corpus by id (`centroid_ids`) —
-    the deterministic untrained fallback; the operator only assumes
-    the centroid set is small enough to broadcast, which both are.
-    """
+    """(query_id, neighbor_id) candidate pairs from IVF cell probing —
+    the shared head of `cosine_topk_ivf` and `cosine_range_ivf`."""
     if centroids is not None:
         cents = centroids
     elif centroid_ids is not None:
@@ -783,12 +771,93 @@ def cosine_topk_ivf(
     # each corpus vector is in exactly one cell and probe cells are
     # distinct per query, so a (query, neighbor) pair meets at most
     # once — no dedup needed before scoring
-    cand = (
+    return (
         corpus_cells.join(F.broadcast(query_cells), "__cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroid_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    queries_in_corpus: bool = False,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) bucketing: each corpus
+    vector lands in exactly ONE cell (nearest centroid); each query
+    probes its `nprobe` nearest cells; exact cosine ranks the probed
+    candidates. The other classic ANN scale path next to LSH: corpus
+    work is one assignment pass + an equi-join on the cell id, and
+    recall is tuned by nprobe (measured against the exact baseline in
+    tests/test_similarity_recall.py).
+
+    Centroids come either from a trained codebook (`centroids`, see
+    `ivf_train_codebook`) or from the corpus by id (`centroid_ids`) —
+    the deterministic untrained fallback; the operator only assumes
+    the centroid set is small enough to broadcast, which both are.
+    """
+    cand = _ivf_candidates(
+        queries, corpus, centroid_ids, id_col, vec_col, nprobe,
+        queries_in_corpus, centroids,
+    )
     return _score_candidates(cand, queries, corpus, id_col, vec_col, k)
+
+
+def cosine_range_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    radius: float,
+    centroid_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    queries_in_corpus: bool = False,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate cosine RANGE (radius) search via IVF cell probing:
+    all probed candidates with cosine >= `radius`, the sub-linear
+    scale path next to the brute range scan (`ann_range_search`) —
+    corpus work is one assignment pass + an equi-join on the cell id,
+    and recall against the exact radius result is tuned by nprobe.
+    Output (query_id, neighbor_id, cosine), unranked: a radius query
+    has no k, so no per-query window is needed — the filter is
+    map-side over the scored candidates."""
+    cand = _ivf_candidates(
+        queries, corpus, centroid_ids, id_col, vec_col, nprobe,
+        queries_in_corpus, centroids,
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    cv = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    return (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .repartition(par)
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
+        )
+        .where(F.col("cosine") >= F.lit(float(radius)))
+        .select("query_id", "neighbor_id", "cosine")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -404,6 +404,84 @@ def q_ann_range_search(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# IVF-routed cosine range search (the sub-linear scale path for the
+# radius query above)
+
+
+def _range_ivf_oracle() -> str:
+    """Trained-IVF range-search oracle: the SAME unrolled Lloyd CTEs
+    as `ann_cosine_ivf` (`catalog_data._kmeans_cte`), corpus assigned
+    to its argmax cell, the fixed-count hash-sampled query set probes
+    nprobe=2 cells, exact cosine filters candidates at radius 0.2."""
+    from .catalog_data import _FOLD, _IVF_TRAIN_ITERS, _kmeans_cte
+
+    n = _IVF_TRAIN_ITERS
+    return _kmeans_cte() + f""", cd AS (
+  SELECT ex.vid, c.cid, sum(ex.xs * c.cs) AS d
+  FROM ex JOIN c{n} c ON ex.j = c.j GROUP BY ex.vid, c.cid
+), cells AS (
+  SELECT vid, cid,
+         row_number() OVER (PARTITION BY vid ORDER BY d DESC, cid) AS rn
+  FROM cd
+), cc AS (
+  SELECT vid AS neighbor_id, cid AS cell FROM cells WHERE rn = 1
+), qs AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY {_QHASH_SQL}, vec_id
+  LIMIT 16
+), qp AS (
+  SELECT vid AS query_id, cid AS cell FROM cells
+  JOIN qs ON cells.vid = qs.vec_id
+  WHERE rn <= 2
+), cand AS (
+  SELECT query_id, neighbor_id FROM cc JOIN qp USING (cell)
+  WHERE query_id <> neighbor_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round({_FOLD.format(a='q.embedding', b='c.embedding')}
+               / (sqrt({_FOLD.format(a='q.embedding', b='q.embedding')})
+                  * sqrt({_FOLD.format(a='c.embedding', b='c.embedding')})),
+               6) AS cosine
+  FROM cand JOIN embeddings q ON q.vec_id = query_id
+  JOIN embeddings c ON c.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine FROM scored WHERE cosine >= 0.2
+"""
+
+
+@register(
+    "ann_range_search_ivf",
+    _range_ivf_oracle(),
+    doc="cosine range (radius) search routed through the TRAINED IVF "
+        "cells — the sub-linear production path next to the brute "
+        "`ann_range_search` baseline (the r8 verdict's prescribed "
+        "scale fix): corpus work is ONE cell-assignment pass + an "
+        "equi-join on the cell id, so at Nx data the candidate count "
+        "grows with the probed cells' occupancy, not the corpus "
+        "cross-product. Query set is the same fixed-count hash "
+        "sample as the brute leg (top-16, TakeOrderedAndProject), so "
+        "the two results are directly comparable for recall. The "
+        "oracle unrolls the identical integer fixed-point Lloyd "
+        "training, so codebook, assignment, probing, and radius "
+        "filter are all hash-verified cross-engine",
+)
+def q_ann_range_search_ivf(spark, sf_dir):
+    from ..operators.similarity import cosine_range_ivf, ivf_codebook_df
+    from .catalog_data import _trained_ivf_codebook
+
+    e = _emb(spark, sf_dir)
+    q = (
+        e.orderBy(_qhash(F.col("vec_id")).asc(), F.col("vec_id").asc())
+        .limit(16)
+    )
+    cb = _trained_ivf_codebook(spark, sf_dir)
+    return cosine_range_ivf(
+        q, e, radius=0.2, nprobe=2, queries_in_corpus=True,
+        centroids=ivf_codebook_df(spark, cb),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Password-spray detection
 
 
@@ -1215,4 +1293,499 @@ def q_user_feature_snapshot(spark, sf_dir):
             .cast("long").alias("days_since_last"),
         )
         .drop("a")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI collocations (r9)
+
+
+@register(
+    "bigram_pmi_collocations",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), tok AS (
+  SELECT unnest(t) AS w FROM toks
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i + 1]])) AS pr
+  FROM toks WHERE len(t) >= 2
+), pc AS (
+  SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS c_ab FROM bg GROUP BY 1, 2
+), uc AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY 1
+), tot AS (
+  SELECT (SELECT count(*) FROM tok) AS n_tok,
+         (SELECT count(*) FROM bg) AS n_big
+)
+SELECT w1, w2, CAST(c_ab AS BIGINT) AS pair_count,
+       round((CAST(c_ab AS DOUBLE) * n_tok * n_tok)
+             / (CAST(a.c AS DOUBLE) * b.c * n_big), 6) AS lift
+FROM pc JOIN uc a ON w1 = a.w JOIN uc b ON w2 = b.w CROSS JOIN tot
+WHERE c_ab >= 5
+ORDER BY lift DESC, w1, w2 LIMIT 50
+""",
+    doc="collocation mining: top-50 adjacent-token bigrams by PMI "
+        "LIFT p(a,b)/(p(a)p(b)) with min support 5 — the corpus "
+        "statistic behind phrase vocabularies (wordpiece joins, "
+        "multi-word tokens) and boilerplate phrase discovery. The "
+        "lift RATIO replaces log-PMI deliberately: it is the same "
+        "ranking (log is monotone) computed as one division of exact "
+        "int64 counts in DOUBLE space (left-assoc products, "
+        "round 1e-6) — no libm log whose last-ulp can differ across "
+        "engines. Scale: two hash-aggs (bigram + unigram counts, "
+        "both partial-aggregatable), unigram attach via plain joins "
+        "(AQE broadcasts the vocab side when it fits; at web-corpus "
+        "vocab sizes they become shuffle joins on the word key, "
+        "which is the correct plan), totals as a broadcast scalar, "
+        "top-50 via TakeOrderedAndProject — never a global sort",
+)
+def q_bigram_pmi_collocations(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        F.col("doc_id"), F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    )
+    lead_w = W.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.select(
+            F.col("w").alias("w1"), F.lead("w", 1).over(lead_w).alias("w2")
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    pc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    uc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(
+        F.count(F.lit(1)).alias("n_tok"),
+    ).crossJoin(bg.agg(F.count(F.lit(1)).alias("n_big")))
+    return (
+        pc.where(F.col("c_ab") >= 5)
+        .join(uc.select(F.col("w").alias("w1"), F.col("c").alias("__ca")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("c").alias("__cb")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", F.col("c_ab").cast("long").alias("pair_count"),
+            F.round(
+                (F.col("c_ab").cast("double") * F.col("n_tok") * F.col("n_tok"))
+                / (F.col("__ca").cast("double") * F.col("__cb") * F.col("n_big")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token Simpson concentration index (r9)
+
+
+@register(
+    "token_simpson_index",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+), tc AS (
+  SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS coincide
+  FROM tc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(CAST(coincide AS DOUBLE) / (n_tokens * (n_tokens - 1)), 6)
+         AS simpson
+FROM agg
+WHERE n_tokens >= 2
+  AND CAST(coincide AS DOUBLE) / (n_tokens * (n_tokens - 1)) >= 0.05
+""",
+    doc="per-doc token Simpson concentration sum c(c-1)/(T(T-1)) — the "
+        "probability two random token draws coincide; a repetition/"
+        "low-diversity quality flag (the rational twin of entropy: "
+        "pure int64 sums, ONE double division, no libm log — exact "
+        "cross-engine by construction). Docs over 0.05 are "
+        "repetitive-vocabulary outliers a pretraining filter drops. "
+        "Scale: two partial-aggregatable hash-aggs keyed by "
+        "(doc, token) then doc; the token explode never crosses a "
+        "second shuffle",
+)
+def q_token_simpson_index(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    tc = (
+        docs.select(
+            F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("coincide"),
+    )
+    simpson = F.col("coincide").cast("double") / (
+        F.col("n_tokens") * (F.col("n_tokens") - 1)
+    )
+    return (
+        agg.where((F.col("n_tokens") >= 2) & (simpson >= 0.05))
+        .select(
+            "doc_id", "n_tokens", F.round(simpson, 6).alias("simpson")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate n-gram fraction (r9)
+
+
+@register(
+    "duplicate_ngram_fraction",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM toks WHERE len(t) >= 3
+), freq AS (
+  SELECT shingle, count(*) AS nd FROM sh GROUP BY shingle
+), j AS (
+  SELECT s.doc_id,
+         count(*) AS n_shingles,
+         count(*) FILTER (WHERE f.nd > 1) AS dup_shingles
+  FROM sh s JOIN freq f USING (shingle) GROUP BY s.doc_id
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(dup_shingles AS BIGINT) AS dup_shingles,
+       round(CAST(dup_shingles AS DOUBLE) / n_shingles, 6) AS dup_frac
+FROM j WHERE dup_shingles > 0
+""",
+    doc="duplicate-n-gram fraction (Lee et al. 2022 'Deduplicating "
+        "Training Data' §4 doc-level QC): per doc, the share of its "
+        "DISTINCT word-3-gram shingles that also occur in another "
+        "document — the metric that separates boilerplate-heavy docs "
+        "from unique prose before near-dedup thresholds are chosen. "
+        "Scale: shingle -> corpus-frequency hash-agg -> one equi-join "
+        "back on the shingle key (both sides shingle-partitioned; no "
+        "doc-x-doc pairs anywhere), then a per-doc fold. Distinct "
+        "shingles per doc keep hot boilerplate from double-counting "
+        "inside one doc",
+)
+def q_duplicate_ngram_fraction(spark, sf_dir):
+    from ..functions.text import word_shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        F.col("doc_id"),
+        F.explode(word_shingles(F.col("text"), 3)).alias("shingle"),
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    j = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("nd") > 1, 1)).alias("dup_shingles"),
+        )
+    )
+    return (
+        j.where(F.col("dup_shingles") > 0)
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("dup_shingles").cast("long").alias("dup_shingles"),
+            F.round(
+                F.col("dup_shingles").cast("double") / F.col("n_shingles"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-window multi-burn-rate SLO alert (r9)
+
+
+@register(
+    "slo_multiwindow_burn",
+    """
+WITH base AS (
+  SELECT CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS source_k,
+         date_trunc('hour', ts) AS hour_start,
+         date_trunc('day', ts) AS day_start,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events
+), hourly AS (
+  SELECT source_k, hour_start, min(day_start) AS day_start,
+         CAST(count(*) AS BIGINT) AS h_events,
+         CAST(sum(is_err) AS BIGINT) AS h_errors
+  FROM base GROUP BY source_k, hour_start
+), daily AS (
+  SELECT source_k, day_start,
+         CAST(count(*) AS BIGINT) AS d_events,
+         CAST(sum(is_err) AS BIGINT) AS d_errors
+  FROM base GROUP BY source_k, day_start
+)
+SELECT h.source_k, h.hour_start,
+       h.h_events, h.h_errors,
+       CAST(h.h_errors * 1000000 // h.h_events AS BIGINT) AS hour_err_ppm,
+       CAST(d.d_errors * 1000000 // d.d_events AS BIGINT) AS day_err_ppm
+FROM hourly h JOIN daily d
+  ON d.source_k = h.source_k AND d.day_start = h.day_start
+WHERE h.h_errors * 1000000 // h.h_events >= 60000
+  AND d.d_errors * 1000000 // d.d_events >= 30000
+""",
+    doc="multi-window multi-burn-rate SLO alert (Google SRE workbook "
+        "ch.5, public methodology): page only when BOTH the short "
+        "(1h, burn >= 6x of a 1% budget) and the long (1d, burn >= "
+        "3x) windows are burning — the short window gates paging "
+        "latency, the long window suppresses one-spike flap. "
+        "Complements `error_budget_burn` (cumulative curve) and "
+        "`latency_p95_slo` (latency leg). Pure integer ppm "
+        "arithmetic. Scale: two partial-aggregatable hash-aggs over "
+        "one scan joined on (service, day) — hour rows are "
+        "day-cardinality x 24, both sides tiny after the agg",
+)
+def q_slo_multiwindow_burn(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        F.regexp_extract("props", r"([0-9]+)", 1).cast("int")
+        .alias("source_k"),
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        F.date_trunc("day", "ts").alias("day_start"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0)
+        .alias("is_err"),
+    )
+    hourly = base.groupBy("source_k", "hour_start").agg(
+        F.min("day_start").alias("day_start"),
+        F.count(F.lit(1)).cast("long").alias("h_events"),
+        F.sum("is_err").cast("long").alias("h_errors"),
+    )
+    daily = base.groupBy("source_k", "day_start").agg(
+        F.count(F.lit(1)).cast("long").alias("d_events"),
+        F.sum("is_err").cast("long").alias("d_errors"),
+    )
+    h_ppm = F.expr("h_errors * 1000000 div h_events")
+    d_ppm = F.expr("d_errors * 1000000 div d_events")
+    return (
+        hourly.join(daily, ["source_k", "day_start"])
+        .where((h_ppm >= 60000) & (d_ppm >= 30000))
+        .select(
+            "source_k", "hour_start", "h_events", "h_errors",
+            h_ppm.cast("long").alias("hour_err_ppm"),
+            d_ppm.cast("long").alias("day_err_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness (Fano factor) per user (r9)
+
+
+@register(
+    "burstiness_fano_factor",
+    """
+WITH hrs AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT user_id,
+         CAST(max(h) - min(h) + 1 AS BIGINT) AS n_hours,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(sum(c * c) AS BIGINT) AS sq
+  FROM hrs GROUP BY user_id
+)
+SELECT user_id, n_hours, n_events,
+       round(CAST(n_hours * sq - n_events * n_events AS DOUBLE)
+             / (n_hours * n_events), 6) AS fano
+FROM agg
+WHERE n_hours >= 24
+  AND CAST(n_hours * sq - n_events * n_events AS DOUBLE)
+      / (n_hours * n_events) > 1.0
+""",
+    doc="per-user burstiness via the Fano factor (variance-to-mean of "
+        "hourly event counts over the user's active span, empty hours "
+        "included): Fano > 1 = overdispersed/bursty (bot bursts, "
+        "scraping sessions), ~1 = Poisson-like organic traffic. The "
+        "zero-fill is ARITHMETIC, not a generated time series: empty "
+        "hours contribute nothing to sum(c) or sum(c^2), so "
+        "Var/mean = (n_h*Q - S^2)/(n_h*S) over the span length alone "
+        "— no sequence() explode, no join. One hash-agg to "
+        "(user, hour), one to user; single double division at the "
+        "end (int64 sums exact cross-engine)",
+)
+def q_burstiness_fano_factor(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    hrs = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        )
+        .groupBy("user_id", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = hrs.groupBy("user_id").agg(
+        (F.max("h") - F.min("h") + 1).cast("long").alias("n_hours"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+    )
+    fano = (
+        (F.col("n_hours") * F.col("sq")
+         - F.col("n_events") * F.col("n_events")).cast("double")
+        / (F.col("n_hours") * F.col("n_events"))
+    )
+    return (
+        agg.where((F.col("n_hours") >= 24) & (fano > 1.0))
+        .select(
+            "user_id", "n_hours", "n_events", F.round(fano, 6).alias("fano")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash Jaccard estimator error (r9)
+
+
+def _mh_est_error_oracle() -> str:
+    """Wraps `catalog_data._minhash_oracle`'s candidate SELECT as a
+    CTE (the `_clusters_oracle` partition trick), then scores each
+    candidate pair with the 8-slot signature-agreement estimate vs
+    the true distinct-shingle Jaccard — same md5-60bit shingle hash
+    space on both legs, so the comparison is exact cross-engine."""
+    from ..functions.text import MINHASH_P
+    from .catalog_data import _minhash_oracle
+
+    mh = _minhash_oracle()
+    head, _, final = mh.partition("SELECT DISTINCT a.doc_id AS doc_a")
+    pairs_select = "SELECT DISTINCT a.doc_id AS doc_a" + final
+    return (
+        head
+        + f""", pairs AS (
+{pairs_select}
+), hsh AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+           % {MINHASH_P} AS h
+  FROM ex
+), nsh AS (
+  SELECT doc_id, count(*) AS n FROM hsh GROUP BY doc_id
+), inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS ni
+  FROM pairs p
+  JOIN hsh a ON a.doc_id = p.doc_a
+  JOIN hsh b ON b.doc_id = p.doc_b AND b.h = a.h
+  GROUP BY 1, 2
+), sigm AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS m
+  FROM pairs p
+  JOIN mh a ON a.doc_id = p.doc_a
+  JOIN mh b ON b.doc_id = p.doc_b AND b.i = a.i AND b.h = a.h
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       round(s.m / 8.0, 6) AS est_jaccard,
+       round(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+             / (na.n + nb.n - COALESCE(i.ni, 0)), 6) AS true_jaccard,
+       round(abs(s.m / 8.0
+                 - CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                   / (na.n + nb.n - COALESCE(i.ni, 0))), 6) AS abs_err
+FROM pairs p
+JOIN sigm s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN nsh na ON na.doc_id = p.doc_a
+JOIN nsh nb ON nb.doc_id = p.doc_b
+"""
+    )
+
+
+@register(
+    "minhash_jaccard_estimate_error",
+    _mh_est_error_oracle(),
+    doc="estimator-quality eval for the MinHash dedup path: for every "
+        "LSH candidate pair, the 8-slot signature-agreement Jaccard "
+        "ESTIMATE (m/8 — exact binary fraction) next to the TRUE "
+        "distinct-shingle Jaccard and their absolute error — the "
+        "measurement that justifies (or indicts) a chosen band/"
+        "hash-count operating point before a corpus-wide dedup run. "
+        "Scale: candidates come from banding (bounded bucket "
+        "fan-out); the true-Jaccard leg joins pair x shingle-hash on "
+        "the SHARED hash key — work is sum of candidate-pair shingle "
+        "sizes, never corpus^2; signature agreement is an 8-rows-per-"
+        "doc equi-join. All joins key on ids/hashes both engines "
+        "compute identically (md5-60bit mod p)",
+)
+def q_minhash_jaccard_estimate_error(spark, sf_dir):
+    from ..functions.text import MINHASH_A, MINHASH_B, MINHASH_P, md5_bucket
+    from ..operators import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    cand = minhash_lsh_pairs(docs, n=3, num_hashes=8, band_size=2)
+    from pyspark.sql import Window as W
+
+    tok = docs.where(F.size(tokens(F.col("text"))) >= 3).select(
+        F.col("doc_id"), F.posexplode(tokens(F.col("text"))).alias("pos", "__t")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("__t"), F.lead("__t", 1).over(w), F.lead("__t", 2).over(w)]
+    hsh = (
+        tok.select(
+            F.col("doc_id"),
+            F.concat_ws(" ", *parts).alias("__s"),
+            parts[-1].alias("__last"),
+        )
+        .where(F.col("__last").isNotNull())
+        .select(
+            "doc_id",
+            (md5_bucket(F.col("__s")) % F.lit(MINHASH_P)).alias("h"),
+        )
+        .distinct()
+    )
+    nsh = hsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # long-form 8-slot signature (doc_id, i, h_min)
+    mh = hsh.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    ((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+                     % F.lit(MINHASH_P)).alias("hp"),
+                )
+                for i in range(8)
+            ])
+        ).alias("s"),
+    ).groupBy("doc_id", "s.i").agg(F.min("s.hp").alias("h"))
+    ha = hsh.select(F.col("doc_id").alias("doc_a"), F.col("h"))
+    hb = hsh.select(F.col("doc_id").alias("doc_b"), F.col("h"))
+    inter = (
+        cand.join(ha, "doc_a").join(hb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    ma = mh.select(F.col("doc_id").alias("doc_a"), "i", "h")
+    mb = mh.select(F.col("doc_id").alias("doc_b"), "i", "h")
+    sigm = (
+        cand.join(ma, "doc_a").join(mb, ["doc_b", "i", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    est = F.col("m") / F.lit(8.0)
+    true_j = F.coalesce(F.col("ni"), F.lit(0)).cast("double") / (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("ni"), F.lit(0))
+    )
+    return (
+        cand.join(sigm, ["doc_a", "doc_b"])
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(nsh.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n").alias("na")), "doc_a")
+        .join(nsh.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(true_j, 6).alias("true_jaccard"),
+            F.round(F.abs(est - true_j), 6).alias("abs_err"),
+        )
     )

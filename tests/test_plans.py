@@ -558,3 +558,82 @@ def test_theil_sen_pairs_over_hourly_table(spark, reg):
     plan = plan_of(reg["theil_sen_trend"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan and "Window" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# r9 additions
+
+
+def test_ann_eval_query_sets_fixed_count(spark, reg):
+    """The brute ANN eval queries (r8 weak flag) pick their query set
+    as a FIXED-COUNT deterministic sample: the plan must show
+    TakeOrderedAndProject (per-partition top-K + merge, never a global
+    sort) and broadcast the K-row query side into the corpus scan."""
+    # mmr_diversified_topk shares the same _query_sample pick but its
+    # final plan is a union of localCheckpointed per-round picks, so
+    # the TakeOrderedAndProject sits behind an RDD scan boundary and
+    # can't be string-asserted here.
+    for name in ("ann_range_search", "knn_label_vote"):
+        plan = plan_of(reg[name].fn(spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, f"{name}\n{plan}"
+        assert (
+            "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        ), f"{name}\n{plan}"
+
+
+def test_range_ivf_no_cartesian(spark, reg):
+    """ann_range_search_ivf: cell-probed candidates — equi-joins only
+    (broadcast centroids + cell id), never a corpus cartesian; the
+    query pick is the same TakeOrderedAndProject sample."""
+    plan = plan_of(reg["ann_range_search_ivf"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "__cell" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pmi_topk_and_no_cartesian(spark, reg):
+    """bigram_pmi_collocations: final top-50 is TakeOrderedAndProject;
+    the only nested-loop is the broadcast SCALAR totals attach."""
+    plan = plan_of(reg["bigram_pmi_collocations"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_simpson_is_joinless_two_aggs(spark, reg):
+    """token_simpson_index: two stacked hash-aggs, no join anywhere."""
+    plan = plan_of(reg["token_simpson_index"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_dup_ngram_fraction_single_shingle_join(spark, reg):
+    """duplicate_ngram_fraction: ONE equi-join on the shingle key
+    (doc shingles x corpus frequency) — no cartesian, no window."""
+    plan = plan_of(reg["duplicate_ngram_fraction"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "shingle" in plan, plan
+
+
+def test_slo_multiwindow_equijoin_only(spark, reg):
+    """slo_multiwindow_burn: hourly x daily aggregates meet in an
+    equi-join on (service, day) — no cartesian/nested-loop."""
+    plan = plan_of(reg["slo_multiwindow_burn"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_fano_is_joinless(spark, reg):
+    """burstiness_fano_factor: arithmetic zero-fill means NO generated
+    time series and no join — two stacked hash-aggs only."""
+    plan = plan_of(reg["burstiness_fano_factor"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_mh_estimate_error_equijoins_only(spark, reg):
+    """minhash_jaccard_estimate_error: every join keys on ids/hashes —
+    no cartesian, no nested-loop anywhere in the eval plan."""
+    plan = plan_of(reg["minhash_jaccard_estimate_error"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
