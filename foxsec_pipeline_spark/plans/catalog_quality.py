@@ -1468,23 +1468,28 @@ FROM j WHERE dup_shingles > 0
         "DISTINCT word-3-gram shingles that also occur in another "
         "document — the metric that separates boilerplate-heavy docs "
         "from unique prose before near-dedup thresholds are chosen. "
-        "Scale: shingle -> corpus-frequency hash-agg -> one equi-join "
-        "back on the shingle key (both sides shingle-partitioned; no "
-        "doc-x-doc pairs anywhere), then a per-doc fold. Distinct "
-        "shingles per doc keep hot boilerplate from double-counting "
-        "inside one doc",
+        "Scale: ONE shuffle — corpus frequency as a count window over "
+        "the shingle key, so the (expensive, per-row) shingle "
+        "generation is evaluated ONCE (a freq-agg + join-back form "
+        "re-evaluates the generation on both join sides: measured "
+        "7.2 s vs 1.3 s at sf0.1, identical output), then a per-doc "
+        "fold. No doc-x-doc pairs anywhere. Distinct shingles per doc "
+        "keep hot boilerplate from double-counting inside one doc",
 )
 def q_duplicate_ngram_fraction(spark, sf_dir):
-    from ..functions.text import word_shingles
+    from pyspark.sql import Window as W
 
-    docs = _docs(spark, sf_dir)
+    from ..functions.text import word_shingles
+    from ..operators.skew import spread
+
+    docs = spread(_docs(spark, sf_dir))
     sh = docs.select(
         F.col("doc_id"),
         F.explode(word_shingles(F.col("text"), 3)).alias("shingle"),
     )
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    nd = F.count(F.lit(1)).over(W.partitionBy("shingle"))
     j = (
-        sh.join(freq, "shingle")
+        sh.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

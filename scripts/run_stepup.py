@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Scale step-up measurement: run named catalog queries at sf0.1 and
+at a K-times replica (scripts/make_scale_data.py output), min-of-N
+reps each, and print one JSON document shaped like STEPUP_r{N}.json's
+per-query entries.
+
+Usage: python scripts/run_stepup.py [--scale-dir /tmp/sfscale1]
+       [--base /root/testdata/sf0.1] [--reps 2] q1 q2 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--scale-dir", default="/tmp/sfscale1")
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("queries", nargs="+")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    from foxsec_pipeline_spark.plans.catalog import registry
+
+    reg = registry()
+    unknown = [q for q in args.queries if q not in reg]
+    assert not unknown, f"unknown queries: {unknown}"
+
+    # warm the JVM + Python worker pool once (bench.py's rationale)
+    from pyspark.sql import functions as F
+
+    spark.range(320).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+    spark.range(1000).select(F.md5(F.col("id").cast("string"))).count()
+
+    out: dict = {}
+    for name in args.queries:
+        spec = reg[name]
+        entry: dict = {}
+        for tag, d in (("sf0.1", args.base), ("10x", args.scale_dir)):
+            reps = []
+            rows = None
+            for _ in range(max(1, args.reps)):
+                spark.catalog.clearCache()
+                t0 = time.monotonic()
+                rows = spec.fn(spark, d).count()
+                reps.append(round(time.monotonic() - t0, 3))
+            entry[tag] = {"sec": min(reps), "rows": rows, "reps": reps}
+            print(f"# {name} {tag}: {min(reps)}s rows={rows} reps={reps}",
+                  file=sys.stderr)
+        base_s = entry["sf0.1"]["sec"]
+        entry["ratio_wall"] = round(entry["10x"]["sec"] / base_s, 1) if base_s else None
+        br = entry["sf0.1"]["rows"]
+        entry["ratio_output"] = (
+            round(entry["10x"]["rows"] / br, 1) if br else None
+        )
+        out[name] = entry
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
