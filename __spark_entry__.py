@@ -203,24 +203,24 @@ _STALE_R3_PRIORITY_R9 = [
 # The 50-row prefix: 12 changed-code rows + 7 new r9 queries + the
 # first 31 of the 32 verdict-ordered r3-stale rows. The tail keeps
 # the r8 stale ordering (r4 -> r6 -> r7 -> r8), deduped first-wins.
+_seen: set[str] = set()
 _VERIFY_FIRST = [
-    *_CHANGED_R9, *_NEW_R9, *_STALE_R3_PRIORITY_R9,
-    *_STALE_PRIORITY_R8, *_NEW_R8,
-    *_STALE_R2, *_STALE_R3, *_STALE_R4, *_FRESH_R6, *_FRESH_R7,
+    n
+    for n in [
+        *_CHANGED_R9, *_NEW_R9, *_STALE_R3_PRIORITY_R9,
+        *_STALE_PRIORITY_R8, *_NEW_R8,
+        *_STALE_R2, *_STALE_R3, *_STALE_R4, *_FRESH_R6, *_FRESH_R7,
+    ]
+    if not (n in _seen or _seen.add(n))
 ]
 
 
 def _ordered():
     reg = registry()
-    seen: set[str] = set()
-    first = [
-        n for n in _VERIFY_FIRST
-        if not (n in seen or seen.add(n))
-    ]
-    missing = [n for n in first if n not in reg]
+    missing = [n for n in _VERIFY_FIRST if n not in reg]
     assert not missing, f"_VERIFY_FIRST references unknown queries: {missing}"
-    rest = [n for n in reg if n not in set(first)]
-    return {n: reg[n] for n in [*first, *rest]}
+    rest = [n for n in reg if n not in set(_VERIFY_FIRST)]
+    return {n: reg[n] for n in [*_VERIFY_FIRST, *rest]}
 
 
 def entry(spark: SparkSession) -> DataFrame:
