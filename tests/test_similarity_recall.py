@@ -246,3 +246,67 @@ def test_ann_ivf_recall_clustered_corpus(spark):
     # the r2 target the uniform corpus structurally cannot meet
     assert recall[4] >= 0.8, recall
     assert recall[8] >= 0.9, recall
+
+
+def test_range_ivf_recall_vs_exact_radius(emb, spark):
+    """cosine_range_ivf (r9): recall of the IVF-routed RADIUS search
+    against the exact brute radius result — same monotone-in-nprobe
+    property as the top-k path, plus exactness of what it does emit
+    (every returned pair must genuinely clear the radius: candidates
+    are filtered by the EXACT cosine, so the approximation can only
+    MISS pairs, never fabricate them)."""
+    from foxsec_pipeline_spark.operators.similarity import (
+        cosine_range_ivf,
+        dot,
+        ivf_codebook_df,
+        ivf_train_codebook,
+        l2_norm,
+    )
+
+    radius = 0.25
+    queries = emb.where(F.col("vec_id") < 50)
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        l2_norm(F.col("embedding")).alias("__qn"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        l2_norm(F.col("embedding")).alias("__cn"),
+    )
+    exact = _pair_set(
+        cv.join(F.broadcast(qv), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")), 6,
+            ),
+        )
+        .where(F.col("cosine") >= radius),
+        "query_id", "neighbor_id",
+    )
+    assert exact, "radius too tight for the fixture corpus"
+    cb = ivf_train_codebook(emb, list(_CENTROID_IDS), iters=3)
+    cents = ivf_codebook_df(spark, cb)
+    recall = {}
+    for nprobe in (1, 2, 4, 8):
+        got = _pair_set(
+            cosine_range_ivf(
+                queries, emb, radius=radius, nprobe=nprobe,
+                queries_in_corpus=True, centroids=cents,
+            ),
+            "query_id", "neighbor_id",
+        )
+        # no fabricated pairs: the exact-cosine filter guarantees
+        # got is a subset of the exact radius result
+        assert got <= exact, sorted(got - exact)[:5]
+        recall[nprobe] = len(got) / len(exact)
+    print("range-ivf recall by nprobe: "
+          + " ".join(f"{n}:{recall[n]:.3f}" for n in recall)
+          + f" (|exact|={len(exact)})")
+    assert recall[1] <= recall[2] <= recall[4] <= recall[8]
+    # same near-uniform-corpus caveat as the top-k floors
+    assert recall[2] >= 0.3
+    assert recall[8] >= 0.75
