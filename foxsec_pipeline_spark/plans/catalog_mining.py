@@ -969,10 +969,21 @@ def q_copurchase_pagerank(spark, sf_dir):
     edges = pairs.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    deg = edges.groupBy("src").agg(
+    deg0 = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
-    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    # EAGER checkpoint, and deg re-derived FROM the materialized edge
+    # table: the basket-pair expansion (the plan's dominant stage)
+    # then runs exactly once — with deg kept as its own lineage, the
+    # ranks init and final join re-execute the whole expansion
+    # (ReuseExchange dedups subtrees within one plan only). Eager, not
+    # lazy: a lazily-checkpointed RDD with several concurrent
+    # downstream stages races on cache population and can compute the
+    # expansion 3x (measured 182 s vs 58 s at 10x for the lazy form).
+    # Interleaved A/B at 10x: 15.3-19.1 s (deg-recompute) ->
+    # 9.3-15.8 s (this form); identical output.
+    ed = edges.join(deg0, "src").localCheckpoint()
+    deg = ed.select("src", "degree").distinct()
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1000000).cast("long").alias("r")
     )
