@@ -18,6 +18,38 @@ from foxsec_pipeline_spark.plans.catalog import registry  # noqa: E402
 from foxsec_pipeline_spark.session import get_spark  # noqa: E402
 
 
+def compact_stdout_line(payload: dict, budget: int = 1900) -> str:
+    """The ONE stdout line the driver parses. The driver records only
+    the last ~2000 chars of stdout, so the line must fit `budget`
+    (BENCH_r02 recorded parsed:null when the 92-query map overflowed
+    the window, and round 5's bench artifact was lost the same way):
+    query_reps is dropped (full detail lives in BENCH_FULL.json) and
+    the queries map is trimmed to the costliest entries, with the
+    omitted tail accounted for in queries_omitted_n/_sec so the total
+    remains auditable from the line alone."""
+    results = payload["queries"]
+    compact = dict(payload)
+    compact.pop("query_reps", None)
+    compact["queries"] = {k: round(v, 2) for k, v in results.items()}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > budget:
+        by_cost = sorted(results, key=results.get, reverse=True)
+        keep = len(by_cost)
+        while keep > 1:
+            q = {k: round(results[k], 2) for k in by_cost[:keep]}
+            compact["queries"] = q
+            compact["queries_total_n"] = len(results)
+            compact["queries_omitted_n"] = len(results) - keep
+            compact["queries_omitted_sec"] = round(
+                sum(results[k] for k in by_cost[keep:]), 2
+            )
+            line = json.dumps(compact, separators=(",", ":"))
+            if len(line) <= budget:
+                break
+            keep -= 4
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -218,27 +250,7 @@ def main() -> None:
         json.dump(payload, f, indent=1)
     print(f"# full per-query detail: BENCH_FULL.json", file=sys.stderr)
 
-    budget = 1900
-    compact = dict(payload)
-    compact.pop("query_reps", None)  # full detail only; stdout stays small
-    compact["queries"] = {k: round(v, 2) for k, v in results.items()}
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > budget:
-        by_cost = sorted(results, key=results.get, reverse=True)
-        keep = len(by_cost)
-        while keep > 1:
-            q = {k: round(results[k], 2) for k in by_cost[:keep]}
-            compact["queries"] = q
-            compact["queries_total_n"] = len(results)
-            compact["queries_omitted_n"] = len(results) - keep
-            compact["queries_omitted_sec"] = round(
-                sum(results[k] for k in by_cost[keep:]), 2
-            )
-            line = json.dumps(compact, separators=(",", ":"))
-            if len(line) <= budget:
-                break
-            keep -= 4
-    print(line)
+    print(compact_stdout_line(payload))
     spark.stop()
 
 
