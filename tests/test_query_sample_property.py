@@ -5,7 +5,6 @@ r9 `_query_sample` / `_QHASH_SQL` pair relies on (hash is pure int64
 arithmetic with a pre-mod keeping every product below 2^63)."""
 
 import duckdb
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
