@@ -55,6 +55,13 @@ _CHANGED_R9 = [
 
 # NEW in round 9 — never driver-checked; each landed with a
 # non-vacuous sf0.01 oracle, a plan assertion, and a SCALE.md entry.
+#
+# r10 PREFIX OBLIGATION (changed after this prefix was frozen): the
+# decontamination family's eval split became fixed-count late in r9
+# (STEPUP_r09 light_band note) — `decontaminate` and
+# `contamination_overlap_fraction` must LEAD the r10 prefix;
+# `bloom_decontaminate` and `training_data_pipeline` sit in the
+# r4-stale set that is due next anyway.
 _NEW_R9: list[str] = [
     "ann_range_search_ivf", "bigram_pmi_collocations",
     "token_simpson_index", "duplicate_ngram_fraction",

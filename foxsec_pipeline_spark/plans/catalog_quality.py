@@ -133,7 +133,7 @@ def q_c4_quality_rules(spark, sf_dir):
 
 @register(
     "contamination_overlap_fraction",
-    """
+    f"""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
   FROM documents
@@ -142,15 +142,19 @@ WITH t AS (
          unnest(list_transform(range(1, greatest(len(tok) - 2, 0) + 1),
                 i -> array_to_string(list_slice(tok, i, i + 2), ' '))) AS ng
   FROM t
+), probe_ids AS (
+  SELECT doc_id FROM documents
+  ORDER BY ((doc_id % 1048573) * 2654435761 + 12345) % 4294967296, doc_id
+  LIMIT 50
 ), bench AS (
-  SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0
+  SELECT DISTINCT ng FROM g JOIN probe_ids USING (doc_id)
 )
 SELECT g.doc_id,
        CAST(count(*) AS BIGINT) AS total_ngrams,
        CAST(count(bench.ng) AS BIGINT) AS hit_ngrams,
        CAST(count(bench.ng) * 1000000 // count(*) AS BIGINT) AS overlap_ppm
 FROM g LEFT JOIN bench USING (ng)
-WHERE g.doc_id % 97 <> 0
+WHERE g.doc_id NOT IN (SELECT doc_id FROM probe_ids)
 GROUP BY g.doc_id
 HAVING count(bench.ng) > 0
 """,
@@ -161,7 +165,8 @@ HAVING count(bench.ng) > 0
         "collide. Membership-only decontamination is `decontaminate` "
         "/ `bloom_decontaminate`; this is the graded variant that "
         "ranks HOW contaminated. Scale: the bench set is "
-        "eval-corpus-sized (broadcast; Bloom at 100 TB) and the join "
+        "FIXED-COUNT (top-50 by the shared deterministic hash — "
+        "constant at any corpus size, broadcast; Bloom at 100 TB) and the join "
         "is n-gram-keyed — never doc x doc",
 )
 def q_contamination_overlap_fraction(spark, sf_dir):
@@ -175,8 +180,14 @@ def q_contamination_overlap_fraction(spark, sf_dir):
             )
         ).alias("ng"),
     ).distinct()
-    bench = g.where(F.col("doc_id") % 97 == 0).select("ng").distinct()
-    train = g.where(F.col("doc_id") % 97 != 0)
+    # fixed-count eval split (r9): constant probe size at any corpus
+    # scale, IN-list pushed into the scan — not a corpus-proportional
+    # % k slice (the r8-flagged anti-pattern)
+    from .catalog_data import _probe_doc_ids
+
+    probe = _probe_doc_ids(spark, sf_dir, k=50)
+    bench = g.where(F.col("doc_id").isin(probe)).select("ng").distinct()
+    train = g.where(~F.col("doc_id").isin(probe))
     return (
         train.join(
             F.broadcast(bench.withColumn("__hit", F.lit(1))), "ng", "left"
