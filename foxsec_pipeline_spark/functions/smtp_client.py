@@ -178,12 +178,15 @@ def email_alert_emitter(
                 continue
             if not isinstance(alert, dict):
                 continue
-            # hasCorrectFields: summary, category, id, timestamp —
-            # null-only rejection like the reference (an empty-string
-            # summary still passes Alert.hasCorrectFields)
+            # hasCorrectFields (Alert.java:73-78): summary must be
+            # non-null AND non-empty (the reference rejects
+            # summary.isEmpty()); category/alert_id/timestamp are
+            # null-only checks
+            if alert.get("summary") is None or alert.get("summary") == "":
+                continue
             if any(
                 alert.get(k) is None for k in
-                ("summary", "category", "alert_id", "timestamp")
+                ("category", "alert_id", "timestamp")
             ):
                 continue
             meta = alert.get("metadata") or {}

@@ -37,6 +37,11 @@ def _events(spark, sf_dir):
     return load_tables(spark, sf_dir, "events")["events"]
 
 
+# pid-scoped shared-state dirs whose atexit cleanup is already
+# registered (one registration per path per process)
+_LFARA_CLEANUP_REGISTERED: set[str] = set()
+
+
 # --- Gatekeeper ETD -------------------------------------------------------
 
 _ETD_RULES = {
@@ -509,6 +514,7 @@ WHERE s.rn = 1 AND e.event_type = 'error'
         "the key; the consumer broadcasts the snapshot",
 )
 def q_shared_state_at_risk(spark, sf_dir):
+    import atexit
     import hashlib
     import os
     import shutil
@@ -522,12 +528,18 @@ def q_shared_state_at_risk(spark, sf_dir):
     # each run — repeated bench/driver invocations in one process reuse
     # ONE directory instead of leaking a mkdtemp per call, while the
     # pid suffix keeps concurrent runs (bench + driver check on the
-    # same sf_dir) from rmtree'ing each other's live state table
+    # same sf_dir) from rmtree'ing each other's live state table; the
+    # atexit hook removes this process's dir at shutdown so distinct
+    # processes (bench, driver, pytest workers) don't each leave one
+    # behind in tmpdir
     state_dir = os.path.join(
         tempfile.gettempdir(),
         "lfara_state_"
         f"{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
     )
+    if state_dir not in _LFARA_CLEANUP_REGISTERED:
+        _LFARA_CLEANUP_REGISTERED.add(state_dir)
+        atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
     shutil.rmtree(state_dir, ignore_errors=True)
     table = at_risk_state_table(state_dir)
     # producer: two chronological deltas (day-windows are whole within

@@ -34,7 +34,13 @@ def main() -> None:
     ordered = list(entry.queries())
     latest: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(args.repo, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"_r(\d+)", path).group(1))
+        # match on the basename only — a checkout path containing
+        # _r<digits> (e.g. /home/u/repo_r2) must not shadow the
+        # artifact's own round number
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(path))
+        if m is None:
+            continue
+        rnd = int(m.group(1))
         rows = json.load(open(path))
         for name, row in rows.items():
             ok = bool(row.get("rows_match")) and bool(

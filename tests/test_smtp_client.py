@@ -187,6 +187,8 @@ def test_email_alert_emitter_writefn_semantics(smtp_server):
                     {"alertio_ignore_event": "true"}}),
         "not json",
         json.dumps({"summary": "incomplete"}),  # hasCorrectFields fail
+        # Alert.java:73-78 rejects summary.isEmpty(), not just null
+        json.dumps({**base, "alert_id": "id-5", "summary": ""}),
     ]
     emit(lines)
     rcpt_lists = [tuple(r) for (_, _, r, _) in smtp_server.messages]
