@@ -839,22 +839,25 @@ def _jaccard_bitmask_path(tok, id_col, t_num, t_den):
             "n_inter",
         )
     )
-    # identical-set groups: every within-group pair has J = 1
+    # identical-set groups: every within-group pair has J = 1.
+    # Ordered pair expansion as two chained codegen Generate stages
+    # (posexplode + slice-explode), not the interpreted
+    # flatten/transform HOF — same rewrite as
+    # catalog_mining._basket_pairs (r9: 1.18 s -> 0.71 s on the
+    # identical expansion).
     same = (
         dm.where(F.col("cnt") >= 2)
+        .select("n", F.posexplode("ids").alias("_i", "doc_a"), "ids")
         .select(
             "n",
+            "doc_a",
             F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "y -> struct(x AS doc_a, y AS doc_b))))"
-                )
-            ).alias("pr"),
+                F.expr("slice(ids, _i + 2, size(ids))")
+            ).alias("doc_b"),
         )
         .select(
-            F.col("pr.doc_a"),
-            F.col("pr.doc_b"),
+            "doc_a",
+            "doc_b",
             F.col("n").alias("n_a"),
             F.col("n").alias("n_b"),
             F.col("n").alias("n_inter"),
