@@ -364,8 +364,10 @@ def simhash(
     """Per-document SimHash fingerprint (bit-majority over token
     hashes), as (id, simhash int).
 
-    Token hash = first 4 md5 hex chars -> 16-bit int (portable).
-    Bit b of the fingerprint is 1 iff sum over tokens of
+    Token hash = first ceil(bits/4) md5 hex chars -> `bits`-bit int
+    (portable across engines; bits <= 60 so the value and every bit
+    weight 2^b stay inside a signed 64-bit long in BOTH Spark and
+    DuckDB). Bit b of the fingerprint is 1 iff sum over tokens of
     (+1 if bit set else -1) > 0, i.e. iff 2*#set > #tokens. Computed
     over the token array per row — no explode, no shuffle: a pure
     map-side fingerprint, which is what lets it run over 100 TB as a
@@ -379,20 +381,26 @@ def simhash(
     CollapseProject keeps the split because the array is referenced
     16 times and is not cheap to inline.
     """
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60] (signed-long safety)")
+    nhex = (bits + 3) // 4
     df = spread(df)
-    # per-token 16-bit portable hash, computed ONCE per row
+    # per-token `bits`-bit portable hash, computed ONCE per row
     th = F.transform(
         tokens(F.col(text_col)),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, nhex), 16, 10).cast("long"),
     )
     base = df.select(F.col(id_col), th.alias("__th"))
 
     def _bit_set_count(b: int):
         # closure factory: a default-arg lambda would change the
         # visible arity and break PySpark's higher-order-function
-        # signature inspection
+        # signature inspection. Integer bitwiseAND, NOT floor(h/2^b):
+        # double division silently drops low bits of hashes >= 2^53,
+        # which corrupted every low-order fingerprint bit at 60-bit
+        # width (exact at the old 16-bit width by luck of magnitude).
         def is_set(h):
-            return F.floor(h / F.lit(2**b)) % 2 == 1
+            return h.bitwiseAND(F.lit(1 << b)) != 0
 
         return F.size(F.filter(F.col("__th"), is_set))
 

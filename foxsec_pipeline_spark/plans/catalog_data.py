@@ -2053,17 +2053,33 @@ def q_customer_order_distribution(spark, sf_dir):
     )
 
 
-_SIMHASH_FP_CTE = """
+# scale-safe banding for the simhash pairs query: a 60-bit
+# fingerprint sliced into 3 bands gives 2^20 bucket keys per band
+# (the phash family's 63-bit/3-band shape), so banded pair volume
+# stays ~linear in corpus size — the r9 16-bit/2-band parametrization
+# had only 256 keys per band, making bucket size ~ N/256 and pair
+# volume ~ N^2/128 at scale. bits <= 60 keeps every token hash and
+# bit weight inside a signed 64-bit long in BOTH engines.
+_SIMHASH_PAIR_BITS = 60
+_SIMHASH_PAIR_BANDS = 3
+_SIMHASH_PAIR_MAXHAM = 2
+
+
+def _simhash_fp_cte(bits: int) -> str:
+    nhex = (bits + 3) // 4
+    return f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
   FROM documents
 ), h AS (
-  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 4) AS BIGINT) AS th FROM tok
+  SELECT doc_id,
+         CAST('0x' || substr(md5(t), 1, {nhex}) AS BIGINT) AS th FROM tok
 ), bits AS (
   SELECT doc_id, i,
-         CASE WHEN sum(CASE WHEN (th // (1 << i)) % 2 = 1 THEN 1 ELSE -1 END) > 0
-              THEN (1 << i) ELSE 0 END AS bitval
-  FROM h CROSS JOIN range(0, 16) r(i)
+         CASE WHEN sum(CASE WHEN (th // (CAST(1 AS BIGINT) << i)) % 2 = 1
+                            THEN 1 ELSE -1 END) > 0
+              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END AS bitval
+  FROM h CROSS JOIN range(0, {bits}) r(i)
   GROUP BY doc_id, i
 ), fp AS (
   SELECT doc_id, sum(bitval)::BIGINT AS sh FROM bits GROUP BY doc_id
@@ -2073,24 +2089,31 @@ WITH tok AS (
 
 @register(
     "dedup_simhash_pairs",
-    _SIMHASH_FP_CTE + """
+    _simhash_fp_cte(_SIMHASH_PAIR_BITS) + f"""
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sh, b.sh)) <= 1
+WHERE bit_count(xor(a.sh, b.sh)) <= {_SIMHASH_PAIR_MAXHAM}
 """,
-    doc="SimHash near-dup pairs, EXACT by construction: 2-band "
-        "blocking is pigeonhole-complete for hamming <= 1, and the "
+    doc=f"SimHash near-dup pairs, EXACT by construction: "
+        f"{_SIMHASH_PAIR_BANDS}-band blocking over a "
+        f"{_SIMHASH_PAIR_BITS}-bit fingerprint is pigeonhole-complete "
+        f"for hamming <= {_SIMHASH_PAIR_MAXHAM}, and the "
         "bit_count(xor) post-filter makes the banded output identical "
         "to the all-pairs scan the oracle runs. One shuffle on the "
-        "band-slice key; pair volume is sum-of-bucket-squares, never "
-        "corpus^2",
+        "band-slice key; 20-bit slices give 2^20 bucket keys per "
+        "band, so pair volume is sum-of-bucket-squares over ~1M-key "
+        "buckets — ~linear in corpus size, never corpus^2 (the r9 "
+        "16-bit/2-band form's 256-key bands were quadratic at 100x)",
 )
 def q_dedup_simhash_pairs(spark, sf_dir):
     from ..operators.dedup import simhash_hamming_pairs
 
     return simhash_hamming_pairs(
-        _docs(spark, sf_dir), bits=16, bands=2, max_hamming=1
+        _docs(spark, sf_dir),
+        bits=_SIMHASH_PAIR_BITS,
+        bands=_SIMHASH_PAIR_BANDS,
+        max_hamming=_SIMHASH_PAIR_MAXHAM,
     )
 
 
