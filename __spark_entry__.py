@@ -22,9 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from foxsec_pipeline_spark.plans.catalog import registry  # noqa: E402
 
 # The driver records exactly the FIRST 50 rows of queries()
-# (registration-order prefix; counted against CORRECTNESS_r01..r08).
-# Round-9 ordering per the r8 verdict ("Next round" item 1) plus the
-# evidence-predates-code standard applied to every r9 code change:
+# (registration-order prefix; counted against CORRECTNESS_r01..r09).
+# Round-10 ordering lives in _CHANGED_R10/_STALE_PRIORITY_R10 below
+# (the r9 verdict's item-1 list). The r9 rationale is kept for the
+# tail ordering:
 #   1. Queries whose IMPLEMENTATION changed this round lead —
 #      shared_state_at_risk first (its plan changed in r8 AFTER its
 #      r7 driver row, and again in r9: pid-scoped state dir), then
@@ -207,13 +208,55 @@ _STALE_R3_PRIORITY_R9 = [
     "waiting_orders_suppliers",
 ]
 
-# The 50-row prefix: 12 changed-code rows + 7 new r9 queries + the
-# first 31 of the 32 verdict-ordered r3-stale rows. The tail keeps
-# the r8 stale ordering (r4 -> r6 -> r7 -> r8), deduped first-wins.
+# Round-10 prefix (the r9 verdict's item-1 ordering): changed-code
+# rows first, then the last r3-stale row, then the r4-stale set.
+_CHANGED_R10 = [
+    # the decontamination family's eval split became fixed-count AFTER
+    # the r9 prefix froze (self-recorded obligation above; r9 verdict
+    # What's-wrong item 1) — these four LEAD the prefix
+    "decontaminate", "contamination_overlap_fraction",
+    "bloom_decontaminate", "training_data_pipeline",
+    # code changed in round 10: the codegen pair-expansion rewrite +
+    # eager edge checkpoint (kcore/khop), the _jaccard_bitmask_path
+    # identical-set leg (reached via prefix_jaccard_join), the
+    # 60-bit/3-band simhash pairs query, the bits-parametrized
+    # simhash() fingerprint (dedup_simhash re-greens the 16-bit
+    # behavior), and shared_state_at_risk's atexit state-dir cleanup
+    # (result-neutral, re-greened on the r9 precedent)
+    "kcore_decomposition", "khop_reachability", "prefix_jaccard_join",
+    "dedup_simhash_pairs", "dedup_simhash", "shared_state_at_risk",
+]
+
+# The one remaining r3-stale row (missed the r9 cut), then the
+# r4-stale rows in their check_union (registration) order (44 minus
+# bloom_decontaminate / training_data_pipeline, already in
+# _CHANGED_R10). 10 + 1 + 42 = 53 > 50, so the LAST 3 r4 rows
+# (url_normalize_stats, sessionize_clickstream, pivot_event_matrix)
+# miss this prefix and head the r11 backlog — changed-code and
+# oldest-evidence rows outrank stale-but-valid evidence.
+_STALE_PRIORITY_R10 = [
+    "waiting_orders_suppliers",
+    "hard_limit_analysis", "error_rate_analysis", "detect_nat",
+    "endpoint_sequence_abuse", "session_analysis", "alert_summary_sliding",
+    "source_correlation", "event_filter_dsl", "cidr_exclusion",
+    "geo_velocity", "levenshtein_similarity", "ua_blocklist",
+    "alert_suppression", "authprofile_parse_filters", "global_stats",
+    "crit_object_analyze", "identity_resolution", "customs_features",
+    "multi_ip_login", "watchlist_match", "guardduty_finding_matcher",
+    "addon_multi_match", "fxa_alias_abuse", "pioneer_exfil_sessions",
+    "customs_summary", "email_normalize", "dedup_exact",
+    "dedup_minhash_lsh", "ann_cosine_topk", "sequence_packing",
+    "user_event_pivot", "value_deciles", "containment_dedup",
+    "doc_language_mix", "cdc_merge_upserts", "window_dedup_latest",
+    "approx_quantile_sketch", "value_histogram", "order_rollup_revenue",
+    "url_normalize_stats", "sessionize_clickstream", "pivot_event_matrix",
+]
+
 _seen: set[str] = set()
 _VERIFY_FIRST = [
     n
     for n in [
+        *_CHANGED_R10, *_STALE_PRIORITY_R10,
         *_CHANGED_R9, *_NEW_R9, *_STALE_R3_PRIORITY_R9,
         *_STALE_PRIORITY_R8, *_NEW_R8,
         *_STALE_R2, *_STALE_R3, *_STALE_R4, *_FRESH_R6, *_FRESH_R7,

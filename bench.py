@@ -131,7 +131,15 @@ def main() -> None:
     # removes the threshold asymmetry the r8 advice flagged: slow
     # queries no longer get a warm second rep that fast queries are
     # denied. Both reps land in BENCH_FULL.json for transparency.
+    # Rep ESCALATION (r9 verdict item 5): min-of-2 under SUSTAINED
+    # co-tenant contention still inflates (the r9 driver artifact's
+    # dedup_simhash_pairs recorded [12.5, 18.6] against a 2.84 s
+    # isolated steady state). When the two reps disagree by more than
+    # ESCALATE_RATIO, the burst plainly spanned at least one rep, so a
+    # third rep runs and the min over all three is recorded. All reps
+    # land in BENCH_FULL.json's query_reps.
     N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    ESCALATE_RATIO = 2.5
     reps: dict[str, list[float]] = {}
     total = 0.0
     for qi, name in enumerate(sorted(reg)):
@@ -146,6 +154,16 @@ def main() -> None:
             r = time.monotonic() - t0
             reps[name].append(round(r, 3))
             dt = r if dt is None else min(dt, r)
+        if (
+            len(reps[name]) >= 2
+            and max(reps[name]) > ESCALATE_RATIO * min(reps[name])
+        ):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            n = spec.fn(spark, sf_dir).count()
+            r = time.monotonic() - t0
+            reps[name].append(round(r, 3))
+            dt = min(dt, r)
         results[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n} reps={reps[name]}",

@@ -16,8 +16,23 @@ exact neighbors. Dimension tables with fixed vocabularies
 (region/nation) are copied unchanged; customer/supplier/part scale
 with remapped keys so FK joins keep their fan-out.
 
+Near-dup replica mode (--neardup-pct, default 1): that percentage of
+base documents (those with >= 20 tokens) become TRUE cross-replica
+near-duplicate groups — their text is rewritten to doc-salted unique
+tokens ("nd<doc_id>w<j>") and each replica differs only in the final
+token. Why the salting: replication multiplies every shingle's
+document frequency by K, so at K=10 the base corpus's typical-DF-7-25
+shingles all blow past the dedup operators' df_cap=64 boilerplate
+guard and threshold-grazing pairs vanish (the r9 STEPUP 0-row rows
+for dedup_ngram_jaccard / containment_dedup). Salted groups have
+base-DF-1 shingles (scaled DF = K <= 64 for K <= 60), replicas share
+all but <= 3 shingles (jaccard ~(s-3)/(s+3), containment ~(s-3)/s —
+both clear the 0.5 / 0.8 thresholds at >= 20 tokens), so the scaled
+corpus carries measurable near-dup structure the way a real 10x
+corpus would.
+
 Usage: python scripts/make_scale_data.py [--base /root/testdata/sf0.1]
-       [--out /tmp/sfscale1] [--k 10]
+       [--out /tmp/sfscale1] [--k 10] [--neardup-pct 1]
 Writes nothing outside --out.
 """
 
@@ -35,7 +50,9 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sfscale1")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--neardup-pct", type=int, default=1)
     args = ap.parse_args()
+    assert args.k <= 60, "near-dup groups need scaled shingle DF <= 64"
 
     from pyspark.sql import functions as F
 
@@ -74,17 +91,43 @@ def main() -> None:
 
     docs = rd("documents")
     dmax = docs.agg(F.max("doc_id")).first()[0]
-    write("documents", replicas(
-        docs, shift("doc_id", dmax + 1),
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    is_nd = (F.col("doc_id") % 100 < F.lit(args.neardup_pct)) & (
+        ntok >= 20
+    )
+    # doc-salted unique token body (base doc_id, SAME across replicas)
+    # + a replica-varying final token: replicas of one base doc share
+    # all but <= 3 shingles and nothing with any other doc
+    nd_body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), ntok - F.lit(2)),
+            lambda j: F.concat(
+                F.lit("nd"), F.col("doc_id").cast("string"),
+                F.lit("w"), j.cast("string"),
+            ),
+        ),
+        " ",
+    )
+    nd_last = F.when(F.col("rep") == 0, F.lit("z")).otherwise(
+        F.concat(F.lit("rep"), F.col("rep").cast("string"))
+    )
+    nd_text = F.concat(nd_body, F.lit(" "), nd_last)
+    text_expr = F.when(is_nd, nd_text).otherwise(
         F.when(F.col("rep") == 0, F.col("text")).otherwise(
             F.concat(F.col("text"), F.lit(" rep"),
                      F.col("rep").cast("string"))
-        ).alias("text"),
+        )
+    )
+    write("documents", replicas(
+        docs, shift("doc_id", dmax + 1),
+        text_expr.alias("text"),
         "lang", "source",
         # n_chars tracks the perturbed text (generator invariant)
-        F.when(F.col("rep") == 0, F.col("n_chars")).otherwise(
-            F.col("n_chars") + 4
-            + F.length(F.col("rep").cast("string"))
+        F.when(is_nd, F.length(nd_text)).otherwise(
+            F.when(F.col("rep") == 0, F.col("n_chars")).otherwise(
+                F.col("n_chars") + 4
+                + F.length(F.col("rep").cast("string"))
+            )
         ).alias("n_chars"),
     ))
 
