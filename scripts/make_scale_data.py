@@ -118,17 +118,22 @@ def main() -> None:
                      F.col("rep").cast("string"))
         )
     )
-    write("documents", replicas(
-        docs, shift("doc_id", dmax + 1),
-        text_expr.alias("text"),
+    # TWO stages, not one select: Spark's lateral column alias
+    # resolution would bind the salt's doc_id reference to the
+    # already-shifted alias in the same projection, giving every
+    # replica a DIFFERENT salt (measured: group size 1, 0 near-dup
+    # pairs). Stage 1 perturbs text against the base doc_id; stage 2
+    # shifts the key. n_chars = length(text) is the generator
+    # invariant (verified: 0 violations in the base data).
+    dreps = spark.range(K).select(F.col("id").alias("rep"))
+    staged = docs.crossJoin(F.broadcast(dreps)).select(
+        "doc_id", "rep", text_expr.alias("__text"), "lang", "source",
+    )
+    write("documents", staged.select(
+        (F.col("doc_id") + F.col("rep") * F.lit(dmax + 1)).alias("doc_id"),
+        F.col("__text").alias("text"),
         "lang", "source",
-        # n_chars tracks the perturbed text (generator invariant)
-        F.when(is_nd, F.length(nd_text)).otherwise(
-            F.when(F.col("rep") == 0, F.col("n_chars")).otherwise(
-                F.col("n_chars") + 4
-                + F.length(F.col("rep").cast("string"))
-            )
-        ).alias("n_chars"),
+        F.length("__text").cast("long").alias("n_chars"),
     ))
 
     emb = rd("embeddings")
