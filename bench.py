@@ -175,6 +175,15 @@ def main() -> None:
         # self-contained, so clear the cache per query and nudge the
         # JVM GC periodically so the cleaner actually releases blocks.
         spark.catalog.clearCache()
+        # drop py4j refs BEFORE the JVM nudge: localCheckpoint blocks
+        # are freed by the ContextCleaner only once the Python-side
+        # DataFrame reference is collected — System.gc() alone left
+        # them pinned (measured: parse-heavy queries degraded 14.6 ->
+        # 89.4 s across 4 same-session reps at 10x; with the GC pair
+        # the drift disappears)
+        import gc as _gc
+
+        _gc.collect()
         if (qi + 1) % 25 == 0:
             spark.sparkContext._jvm.System.gc()
 

@@ -64,6 +64,17 @@ def main() -> None:
             rows = None
             for _ in range(max(1, args.reps)):
                 spark.catalog.clearCache()
+                # drop py4j refs THEN nudge the JVM: localCheckpoint
+                # blocks are freed by the ContextCleaner only after
+                # the Python-side DataFrame reference is collected.
+                # Without this, parse-heavy queries degraded
+                # monotonically within a session (measured 14.6 ->
+                # 89.4 s across 4 reps of customs_prefilter_split at
+                # 10x; with the GC pair: 15.2/11.0/23.1/20.2).
+                import gc
+
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
                 t0 = time.monotonic()
                 rows = spec.fn(spark, d).count()
                 reps.append(round(time.monotonic() - t0, 3))
