@@ -225,15 +225,21 @@ _CHANGED_R10 = [
     # (result-neutral, re-greened on the r9 precedent)
     "kcore_decomposition", "khop_reachability", "prefix_jaccard_join",
     "dedup_simhash_pairs", "dedup_simhash", "shared_state_at_risk",
+    # late-r10 eager-checkpoint switch (result-neutral, A/B
+    # hash-verified identical + sf0.01 parity green; re-greened on
+    # the r9 precedent for result-neutral changes)
+    "copurchase_triangles", "frequent_itemsets", "copurchase_link_jaccard",
 ]
 
 # The one remaining r3-stale row (missed the r9 cut), then the
 # r4-stale rows in their check_union (registration) order (44 minus
 # bloom_decontaminate / training_data_pipeline, already in
-# _CHANGED_R10). 10 + 1 + 42 = 53 > 50, so the LAST 3 r4 rows
-# (url_normalize_stats, sessionize_clickstream, pivot_event_matrix)
-# miss this prefix and head the r11 backlog — changed-code and
-# oldest-evidence rows outrank stale-but-valid evidence.
+# _CHANGED_R10). 13 + 1 + 42 = 56 > 50, so the LAST 6 r4 rows
+# (value_histogram, order_rollup_revenue, url_normalize_stats,
+# sessionize_clickstream, pivot_event_matrix — plus
+# approx_quantile_sketch at slot 51) miss this prefix and head the
+# r11 backlog — changed-code and oldest-evidence rows outrank
+# stale-but-valid evidence.
 _STALE_PRIORITY_R10 = [
     "waiting_orders_suppliers",
     "hard_limit_analysis", "error_rate_analysis", "detect_nat",

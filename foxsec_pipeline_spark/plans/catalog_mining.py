@@ -119,10 +119,14 @@ JOIN supp sb ON p.part_b = sb.l_partkey
 )
 def q_frequent_itemsets(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    # EAGER: three concurrent consumers (supp, pair explode, order
+    # count) race a lazy checkpoint's cache population into
+    # re-running the basket agg (the pagerank 182-s lesson; r10
+    # interleaved A/B at sf0.1: 2.98 -> 2.38 s min, spikes gone)
     baskets = (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     supp = (
         baskets.select(F.explode("ps").alias("l_partkey"))
@@ -480,13 +484,18 @@ def q_copurchase_triangles(spark, sf_dir):
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
+    # EAGER: the edge table has three concurrent consumers (degree
+    # union-agg x2 sides, orientation join, closing-edge semi-join) —
+    # a lazy checkpoint raced them into re-running the pair expansion
+    # (10x batch reps measured [23.6 s, 279.6 s]; eager + freed
+    # blocks: [12.1, 11.8])
     edges = (
         _basket_pairs(baskets, "u", "v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") >= _MIN_PAIR_SUPP)
         .select("u", "v")
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -1485,7 +1494,9 @@ def q_copurchase_link_jaccard(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") >= _MIN_PAIR_SUPP)
         .select("u", "v")
-        .localCheckpoint(eager=False)
+        # EAGER: degree agg + both pair-join probes read this table
+        # concurrently (r10 A/B: 3.86 -> 3.18 s min, 7.7 s spike gone)
+        .localCheckpoint()
     )
     deg = (
         pairs.select(F.col("u").alias("node"))
