@@ -178,10 +178,12 @@ def email_alert_emitter(
                 continue
             if not isinstance(alert, dict):
                 continue
-            # hasCorrectFields (Alert.java:73-78): summary must be
+            # hasCorrectFields (Alert.java:73-78) checks ONLY summary:
             # non-null AND non-empty (the reference rejects
-            # summary.isEmpty()); category/alert_id/timestamp are
-            # null-only checks
+            # summary.isEmpty()). The category/alert_id/timestamp null
+            # checks below are THIS port's guard for raw-JSON dicts —
+            # the reference never sees nulls there because the Alert
+            # constructor defaults them during deserialization.
             if alert.get("summary") is None or alert.get("summary") == "":
                 continue
             if any(

@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 from ..session import load_tables
 from .catalog import register
+# the copurchase edge support threshold is SHARED with the oracle SQL
+# below (kcore's pairs CTE, khop's pairs CTE) and with the
+# catalog_mining copurchase family: one constant, no silent divergence
+# if a caller passes a different min_supp (r10 ADVICE)
+from .catalog_mining import _MIN_PAIR_SUPP
 
 
 def _docs(spark, sf_dir):
@@ -706,7 +711,7 @@ _KCORE_N_SMALL = 100_000
 _KCORE_K_LARGE = 2
 
 
-def _copurchase_edges(li, min_supp: int = 2):
+def _copurchase_edges(li, min_supp: int = _MIN_PAIR_SUPP):
     """Undirected co-purchase edge list (both directions), the edge
     definition shared with the catalog_mining copurchase family:
     per-order distinct part baskets -> ordered pair explode via the
@@ -749,7 +754,7 @@ WITH kprm AS (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM items a JOIN items b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING count(*) >= 2
+  GROUP BY 1, 2 HAVING count(*) >= {_MIN_PAIR_SUPP}
 ), e0 AS (
   SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
 ), d0 AS (
@@ -1267,7 +1272,7 @@ WITH items AS (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM items a JOIN items b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING count(*) >= 2
+  GROUP BY 1, 2 HAVING count(*) >= {_MIN_PAIR_SUPP}
 ), e AS (
   SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
 ), deg AS (
@@ -1336,10 +1341,14 @@ def q_khop_reachability(spark, sf_dir):
             reached.join(edges, reached["node"] == edges["u"])
             .select("seed", F.col("v").alias("node"))
         )
-        reached = (
-            reached.unionByName(expanded).distinct()
-            .localCheckpoint(eager=False)
-        )
+        # eager: each round's `reached` has TWO consumers in the next
+        # round's plan (the frontier join's left side AND the
+        # unionByName) — the same multi-consumer race that made the
+        # lazy form of triangles spike to [23.6, 279.6] s at 10x. The
+        # frontier is small here so lazy happened to measure fine, but
+        # the race is latent; eager matches the five sibling sites
+        # (pagerank, kcore, triangles, frequent_itemsets, link_jaccard).
+        reached = reached.unionByName(expanded).distinct().localCheckpoint()
     return reached.groupBy("seed").agg(
         (F.count(F.lit(1)) - 1).cast("long").alias("n_reachable")
     )

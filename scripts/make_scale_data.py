@@ -18,9 +18,12 @@ with remapped keys so FK joins keep their fan-out.
 
 Near-dup replica mode (--neardup-pct, default 1): that percentage of
 base documents (those with >= 20 tokens) become TRUE cross-replica
-near-duplicate groups — their text is rewritten to doc-salted unique
-tokens ("nd<doc_id>w<j>") and each replica differs only in the final
-token. Why the salting: replication multiplies every shingle's
+near-duplicate groups — replicas 1..K-1 of a selected doc have their
+text rewritten to doc-salted unique tokens ("nd<doc_id>w<j>"),
+differing from each other only in the final token. Rep 0 is ALWAYS
+the unmodified base row, so the scaled corpus is a strict superset of
+the base corpus and content-derived queries keep base comparability;
+each near-dup group has K-1 members (C(K-1,2) true pairs). Why the salting: replication multiplies every shingle's
 document frequency by K, so at K=10 the base corpus's typical-DF-7-25
 shingles all blow past the dedup operators' df_cap=64 boilerplate
 guard and threshold-grazing pairs vanish (the r9 STEPUP 0-row rows
@@ -108,12 +111,17 @@ def main() -> None:
         ),
         " ",
     )
-    nd_last = F.when(F.col("rep") == 0, F.lit("z")).otherwise(
-        F.concat(F.lit("rep"), F.col("rep").cast("string"))
-    )
+    nd_last = F.concat(F.lit("rep"), F.col("rep").cast("string"))
     nd_text = F.concat(nd_body, F.lit(" "), nd_last)
-    text_expr = F.when(is_nd, nd_text).otherwise(
-        F.when(F.col("rep") == 0, F.col("text")).otherwise(
+    # rep 0 is ALWAYS the original row (r10 ADVICE): the scaled corpus
+    # stays a strict superset of the base corpus, so content-derived
+    # queries (tfidf, shingle stats) keep rep-0 comparability with the
+    # base run. Near-dup groups are formed by replicas 1..K-1 only
+    # (group size K-1, sharing the salted body and differing in the
+    # final "rep<i>" token — still >= 2 members and C(K-1,2) true
+    # pairs per group for K >= 3).
+    text_expr = F.when(F.col("rep") == 0, F.col("text")).otherwise(
+        F.when(is_nd, nd_text).otherwise(
             F.concat(F.col("text"), F.lit(" rep"),
                      F.col("rep").cast("string"))
         )
