@@ -258,10 +258,46 @@ _STALE_PRIORITY_R10 = [
     "url_normalize_stats", "sessionize_clickstream", "pivot_event_matrix",
 ]
 
+# Round-11 prefix (the r10 verdict's item-1 ordering): the one NEW
+# query leads (never driver-checked), then the one changed-code row
+# (khop's BFS accumulator switched lazy -> eager localCheckpoint;
+# result-neutral, re-greened on the r9 precedent), then the entire
+# pre-r7 evidence backlog: the 6 r4-stale rows and 42 of the 43
+# r6-stale rows in check_union order. 1 + 1 + 6 + 42 = 50; the LAST
+# r6 row (scd2_point_in_time_join) misses the cut and heads the r12
+# backlog. kcore_decomposition's oracle-construction changed this
+# round too (support threshold now derives from the shared
+# _MIN_PAIR_SUPP constant) but the emitted SQL string is verified
+# byte-identical, so its r10 row stands.
+_NEW_R11 = ["neardup_pair_recall"]
+_CHANGED_R11 = ["khop_reachability"]
+_STALE_PRIORITY_R11 = [
+    # r4-stale (6)
+    "approx_quantile_sketch", "value_histogram", "order_rollup_revenue",
+    "url_normalize_stats", "sessionize_clickstream", "pivot_event_matrix",
+    # r6-stale (first 42 of 43, check_union order)
+    "threshold_analysis", "rag_chunk_passages", "exact_substring_dedup",
+    "countmin_heavy_hitters", "epoch_mixture_plan", "bpe_train_merges",
+    "bpe_token_counts", "winnowing_fingerprints", "inverted_index_stats",
+    "winnowing_plagiarism_pairs", "gini_token_diversity",
+    "vocab_growth_curve", "source_rank_normalize", "ann_cosine_lsh",
+    "embedding_cluster_summary", "semdedup", "sketch_distinct_users",
+    "dataset_split_assign", "mixture_budget_sample", "split_leakage_check",
+    "rrf_hybrid_fusion", "suspicious_ip_cooccurrence",
+    "data_quality_checks", "skew_diagnosis", "zorder_layout_stats",
+    "hourly_trend_slopes", "ivm_incremental_agg", "changepoint_mean_shift",
+    "snapshot_diff", "markov_transitions", "sliding_distinct_hll_merge",
+    "pareto_frontier_parts", "weighted_median_price", "theil_sen_trend",
+    "benford_first_digit", "ks_drift_orders", "hll_intersection_overlap",
+    "beacon_detection", "reputation_decay", "top_session_paths",
+    "transition_dwell_times", "large_order_customers",
+]
+
 _seen: set[str] = set()
 _VERIFY_FIRST = [
     n
     for n in [
+        *_NEW_R11, *_CHANGED_R11, *_STALE_PRIORITY_R11,
         *_CHANGED_R10, *_STALE_PRIORITY_R10,
         *_CHANGED_R9, *_NEW_R9, *_STALE_R3_PRIORITY_R9,
         *_STALE_PRIORITY_R8, *_NEW_R8,

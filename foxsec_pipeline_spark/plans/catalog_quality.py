@@ -1805,3 +1805,194 @@ def q_minhash_jaccard_estimate_error(spark, sf_dir):
             F.round(F.abs(est - true_j), 6).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Banded near-dup pair RECALL eval (r11)
+
+
+def _neardup_recall_oracle() -> str:
+    """Mirrors the Spark leg exactly: the same augmented corpus
+    (prefix-truncation variants), the same exact-Jaccard truth set
+    (shingle equi-join, df_cap 64), the same minhash banding
+    (catalog_data._minhash_oracle's math) and the same 60-bit/3-band
+    simhash path (catalog_data._simhash_fp_cte's math)."""
+    from ..functions.text import MINHASH_A, MINHASH_B, MINHASH_P
+    from .catalog_data import _SIMHASH_PAIR_BITS, _SIMHASH_PAIR_MAXHAM
+
+    a = ", ".join(str(v) for v in MINHASH_A[:8])
+    b = ", ".join(str(v) for v in MINHASH_B[:8])
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), aug AS (
+  SELECT doc_id * 10 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT b.doc_id * 10 + v.i AS doc_id,
+         array_to_string(
+           list_slice(b.t, 1, len(b.t) - v.i * (len(b.t) // 8)), ' ') AS text
+  FROM base b CROSS JOIN range(1, 5) v(i)
+  WHERE b.doc_id % 10 = 0 AND len(b.t) >= 24
+), toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM aug
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toks WHERE len(t) >= 3
+), ex AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+), kept AS (
+  SELECT shingle FROM ex GROUP BY shingle HAVING count(*) BETWEEN 2 AND 64
+), truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN kept k ON a.shingle = k.shingle
+  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+  HAVING count(*) / (a.n_sh + b.n_sh - count(*)) >= 0.5
+), mh AS (
+  SELECT doc_id, i,
+         min(( ([{a}])[i + 1]
+               * (CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                  % {MINHASH_P})
+               + ([{b}])[i + 1]) % {MINHASH_P}) AS h
+  FROM ex CROSS JOIN range(0, 8) r(i)
+  GROUP BY doc_id, i
+), bands AS (
+  SELECT doc_id, i // 2 AS band,
+         string_agg(h::VARCHAR, '_' ORDER BY i) AS band_sig
+  FROM mh GROUP BY doc_id, i // 2
+), cand_mh AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+), tok2 AS (
+  SELECT doc_id, unnest(t) AS tk FROM toks
+), th AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tk), 1, {(_SIMHASH_PAIR_BITS + 3) // 4})
+              AS BIGINT) AS th
+  FROM tok2
+), bits AS (
+  SELECT doc_id, i,
+         CASE WHEN sum(CASE WHEN (th // (CAST(1 AS BIGINT) << i)) % 2 = 1
+                            THEN 1 ELSE -1 END) > 0
+              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END AS bitval
+  FROM th CROSS JOIN range(0, {_SIMHASH_PAIR_BITS}) r(i)
+  GROUP BY doc_id, i
+), fp AS (
+  SELECT doc_id, sum(bitval)::BIGINT AS shh FROM bits GROUP BY doc_id
+), cand_sh AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.shh, b.shh)) <= {_SIMHASH_PAIR_MAXHAM}
+), nt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth
+), caught_mh AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_caught FROM truth t
+  SEMI JOIN cand_mh c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+), caught_sh AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_caught FROM truth t
+  SEMI JOIN cand_sh c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT 'minhash_lsh' AS method, nt.n_true, c.n_caught,
+       CAST(CASE WHEN nt.n_true = 0 THEN 0
+                 ELSE c.n_caught * 1000000 // nt.n_true END AS BIGINT)
+         AS recall_ppm
+FROM caught_mh c CROSS JOIN nt
+UNION ALL
+SELECT 'simhash_banded' AS method, nt.n_true, c.n_caught,
+       CAST(CASE WHEN nt.n_true = 0 THEN 0
+                 ELSE c.n_caught * 1000000 // nt.n_true END AS BIGINT)
+         AS recall_ppm
+FROM caught_sh c CROSS JOIN nt
+"""
+
+
+@register(
+    "neardup_pair_recall",
+    _neardup_recall_oracle(),
+    doc="pair-RECALL eval of the two banded near-dup paths against "
+        "the exact all-pairs answer — the operating-point check a "
+        "100-TB dedup run does on a bounded eval slice before "
+        "committing the full corpus. The eval corpus is the documents "
+        "table plus 4 prefix-truncation variants (drop i/8 of the "
+        "tokens, i=1..4) of every 10th doc with >= 24 tokens — a "
+        "deterministic near-dup ladder whose true Jaccard spans "
+        "~0.5..0.95, so banded recall is strictly between 0 and 1 "
+        "(not a vacuous all-caught corpus). TRUTH = exact word-3-gram "
+        "Jaccard >= 0.5 via the shingle equi-join (exhaustive: a "
+        "pair at 0.5 necessarily shares shingles; df_cap 64 applied "
+        "identically in the oracle). Candidates: (a) MinHash 8-perm / "
+        "4x2 banding — probabilistic, recall < 1 by design at grazing "
+        "Jaccard; (b) SimHash 60-bit/3-band hamming <= 2 — exact for "
+        "its OWN hamming criterion but a much stricter notion of "
+        "near-dup, so its Jaccard-truth recall is low (the number "
+        "that tells an operator which family fits their threshold). "
+        "recall_ppm is integer ppm (engine-exact). Scale: truth leg "
+        "is the bounded-eval exception (eval slices are sampled at "
+        "100 TB); both candidate legs are the production banded "
+        "plans; truth is eagerly checkpointed once (3 consumers)",
+)
+def q_neardup_pair_recall(spark, sf_dir):
+    from ..operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_hamming_pairs,
+    )
+    from .catalog_data import _SIMHASH_PAIR_BANDS as _SB
+    from .catalog_data import _SIMHASH_PAIR_BITS as _SBITS
+    from .catalog_data import _SIMHASH_PAIR_MAXHAM as _SHAM
+
+    docs = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    base = docs.select((F.col("doc_id") * 10).alias("doc_id"), "text")
+    sel = docs.where((F.col("doc_id") % 10 == 0) & (F.size(t) >= 24)).select(
+        "doc_id", t.alias("__t")
+    )
+    variants = (
+        sel.select(
+            "doc_id", "__t",
+            F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias("__i"),
+        )
+        .select(
+            (F.col("doc_id") * 10 + F.col("__i")).alias("doc_id"),
+            F.array_join(
+                F.expr("slice(__t, 1, size(__t) - __i * (size(__t) div 8))"),
+                " ",
+            ).alias("text"),
+        )
+    )
+    aug = base.unionByName(variants)
+    # truth has THREE consumers (n_true agg + two semijoins): eager
+    # checkpoint so the shingle-join pipeline runs exactly once (the
+    # kcore/khop multi-consumer discipline)
+    truth = (
+        ngram_jaccard_pairs(aug, n=3, threshold=0.5, df_cap=64)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    cand_mh = minhash_lsh_pairs(aug, n=3, num_hashes=8, band_size=2)
+    cand_sh = simhash_hamming_pairs(
+        aug, bits=_SBITS, bands=_SB, max_hamming=_SHAM
+    ).select("doc_a", "doc_b")
+
+    def leg(method: str, cand):
+        caught = (
+            truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_caught"))
+        )
+        return caught.crossJoin(F.broadcast(n_true)).select(
+            F.lit(method).alias("method"),
+            "n_true",
+            "n_caught",
+            F.when(F.col("n_true") == 0, F.lit(0))
+            .otherwise(F.expr("n_caught * 1000000 div n_true"))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+
+    return leg("minhash_lsh", cand_mh).unionByName(
+        leg("simhash_banded", cand_sh)
+    )

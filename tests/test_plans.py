@@ -673,3 +673,27 @@ def test_simhash_pairs_banding_scales():
     assert _SIMHASH_PAIR_MAXHAM <= _SIMHASH_PAIR_BANDS - 1
     band_width = _SIMHASH_PAIR_BITS // _SIMHASH_PAIR_BANDS
     assert 2 ** band_width >= 2 ** 20
+
+
+def test_neardup_pair_recall_plan_and_values(spark, reg):
+    """neardup_pair_recall (r11): candidate generation stays banded
+    equi-joins — no CartesianProduct and no nested-loop join EXCEPT
+    the deliberate 1-row broadcast of the n_true scalar; and at
+    sf0.01 the eval is non-vacuous: >= 20 true pairs, both methods
+    catch > 0, minhash recall strictly between 0 and 1e6 ppm (the
+    truncation ladder spans grazing Jaccard by construction)."""
+    df = reg["neardup_pair_recall"].fn(spark, "/root/testdata/sf0.01")
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop joins allowed are the two scalar n_true
+    # broadcasts (crossJoin of a 1-row aggregate); the formatted plan
+    # prints each node twice (tree line + detail header), so 2 joins
+    # -> 4 occurrences
+    assert plan.count("BroadcastNestedLoopJoin") <= 4, plan
+    rows = {r["method"]: r for r in df.collect()}
+    assert set(rows) == {"minhash_lsh", "simhash_banded"}
+    mh, sh = rows["minhash_lsh"], rows["simhash_banded"]
+    assert mh["n_true"] >= 20
+    assert 0 < mh["n_caught"] <= mh["n_true"]
+    assert 0 < mh["recall_ppm"] < 1_000_000
+    assert sh["n_caught"] > 0
