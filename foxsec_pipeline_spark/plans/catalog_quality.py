@@ -1824,15 +1824,17 @@ def _neardup_recall_oracle() -> str:
     b = ", ".join(str(v) for v in MINHASH_B[:8])
     return f"""
 WITH base AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+), sel AS (
+  SELECT * FROM base WHERE doc_id % 10 = 0 AND len(t) >= 24
 ), aug AS (
-  SELECT doc_id * 10 AS doc_id, text FROM documents
+  SELECT doc_id * 10 AS doc_id, text FROM sel
   UNION ALL
   SELECT b.doc_id * 10 + v.i AS doc_id,
          array_to_string(
            list_slice(b.t, 1, len(b.t) - v.i * (len(b.t) // 8)), ' ') AS text
-  FROM base b CROSS JOIN range(1, 5) v(i)
-  WHERE b.doc_id % 10 = 0 AND len(b.t) >= 24
+  FROM sel b CROSS JOIN range(1, 5) v(i)
 ), toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM aug
 ), sh AS (
@@ -1946,10 +1948,14 @@ def q_neardup_pair_recall(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     t = tokens(F.col("text"))
-    base = docs.select((F.col("doc_id") * 10).alias("doc_id"), "text")
+    # the eval SLICE: every 10th doc with >= 24 tokens, plus its
+    # 4-variant truncation ladder — the bounded sampled-eval posture
+    # (at 100 TB truth is exact over a sampled slice, never the
+    # corpus; the candidate plans under test are unchanged)
     sel = docs.where((F.col("doc_id") % 10 == 0) & (F.size(t) >= 24)).select(
-        "doc_id", t.alias("__t")
+        "doc_id", "text", t.alias("__t")
     )
+    base = sel.select((F.col("doc_id") * 10).alias("doc_id"), "text")
     variants = (
         sel.select(
             "doc_id", "__t",
