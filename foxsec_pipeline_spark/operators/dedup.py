@@ -930,7 +930,21 @@ def _jaccard_prefix_path(tok, id_col, t_num, t_den):
     sets = tok.groupBy(id_col).agg(
         F.sort_array(F.collect_list("w")).alias("ws"),
         F.count(F.lit(1)).cast("long").alias("n"),
-    )
+    ).cache()
+    # Verify-stage shape (r11): the candidate stream can be ORDERS of
+    # magnitude larger than the corpus (638M pairs at the 10x replica
+    # corpus), and each scored row carries two full token arrays.
+    # Letting AQE size the post-distinct exchange coalesced the
+    # verify to 10 tasks of 64M wide rows each — a GC/futex storm
+    # that froze the executor past the 120 s heartbeat timeout and
+    # killed the session. Two changes: (1) explicit-width repartition
+    # of the (16-byte) pair stream BEFORE the arrays attach, the
+    # ngram_jaccard explode-spread pattern; (2) the doc->token-set
+    # dim BROADCASTS when bounded (the lm_typicality gate), so the
+    # wide arrays never shuffle — the verify is map-side per pair.
+    # An unbounded corpus falls back to the shuffle join with AQE.
+    par = tok.sparkSession.sparkContext.defaultParallelism
+    bounded = sets.count() <= 2_000_000
     sa = sets.select(
         F.col(id_col).alias("doc_a"),
         F.col("ws").alias("ws_a"),
@@ -941,8 +955,11 @@ def _jaccard_prefix_path(tok, id_col, t_num, t_den):
         F.col("ws").alias("ws_b"),
         F.col("n").alias("n_b"),
     )
+    if bounded:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     scored = (
-        cand.join(sa, "doc_a")
+        cand.repartition(par * 4)
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",

@@ -27,18 +27,17 @@ def main() -> None:
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    # measure under the ENGINE's session config (AQE + skew-join +
+    # coalesce enabled, the bench.py posture) — the r11 30x runs
+    # exposed that a bare builder without AQE measures a different
+    # engine than the one bench.py and production would run, and at
+    # 30x the fixed 32-partition no-AQE shapes futex-stormed the JVM
+    # (96% system CPU, all threads in lock contention) on the
+    # explode-heavy dedup family
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    from foxsec_pipeline_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        )
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "48g")
-        .getOrCreate()
-    )
+    spark = get_spark(app_name="run-stepup")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     from foxsec_pipeline_spark.plans.catalog import registry
