@@ -715,6 +715,9 @@ def prefix_filter_jaccard_pairs(
     t_num: int = 3,
     t_den: int = 5,
     bitmask_vocab_cap: int = 62,
+    multiword_vocab_cap: int = 8192,
+    dense_emission_factor: float = 2.0,
+    dense_docs_cap: int = 500_000,
 ) -> DataFrame:
     """LOSSLESS token-set Jaccard self-join at threshold t_num/t_den,
     with a STATISTICS-DRIVEN choice of physical algorithm (the same
@@ -741,9 +744,22 @@ def prefix_filter_jaccard_pairs(
       with J >= t provably shares a prefix token, so recall is 1.0 by
       construction. The PPJoin LENGTH filter (t_den*min(|A|,|B|) >=
       t_num*max(|A|,|B|)) prunes inside the join condition before
-      the pair materializes. Verification re-attaches full sorted
-      token arrays and computes the exact intersection map-side
+      the pair materializes. Verification is itself TIERED on the
+      measured vocabulary: MID-VOCAB corpora (<= `multiword_vocab_cap`)
+      pack every token set into ceil(vocab/62) int64 mask columns and
+      score each pair as a static sum of bit_count(a&b) terms
+      (register bit math, whole-stage codegen — ~10x cheaper per pair
+      than array intersection); real-text vocabularies re-attach full
+      sorted token arrays and compute the exact intersection map-side
       (`array_intersect`).
+    - **Dense mask path** (mid vocab AND the measured candidate
+      emission Sum_w C(prefix_df_w, 2) exceeds `dense_emission_factor`
+      x C(n_docs, 2), n_docs <= `dense_docs_cap`): prefix filtering is
+      output-sensitive, and on a pair-dense corpus its candidate
+      stream plus the pair distinct cost MORE than sweeping every
+      pair. Docs chunk into contiguous-id mask blocks; the chunk-pair
+      grid explodes into a block-nested all-pairs sweep of static
+      popcount math — one codegen stage, no pair shuffle, no distinct.
 
     Both paths are EXACT and return identical rows (cross-verified in
     tests against brute force AND against each other); the threshold
@@ -771,7 +787,16 @@ def prefix_filter_jaccard_pairs(
     n_vocab = tok.select("w").distinct().count()
     if n_vocab <= bitmask_vocab_cap:
         return _jaccard_bitmask_path(tok, id_col, t_num, t_den)
-    return _jaccard_prefix_path(tok, id_col, t_num, t_den)
+    return _jaccard_prefix_path(
+        tok,
+        id_col,
+        t_num,
+        t_den,
+        n_vocab,
+        multiword_vocab_cap,
+        dense_emission_factor,
+        dense_docs_cap,
+    )
 
 
 def _jaccard_bitmask_path(tok, id_col, t_num, t_den):
@@ -886,7 +911,16 @@ def _jaccard_bitmask_path(tok, id_col, t_num, t_den):
     )
 
 
-def _jaccard_prefix_path(tok, id_col, t_num, t_den):
+def _jaccard_prefix_path(
+    tok,
+    id_col,
+    t_num,
+    t_den,
+    n_vocab=None,
+    multiword_vocab_cap=8192,
+    dense_emission_factor=2.0,
+    dense_docs_cap=500_000,
+):
     dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("wdf"))
     ranked = tok.join(dfreq, "w").select(
         id_col,
@@ -909,41 +943,267 @@ def _jaccard_prefix_path(tok, id_col, t_num, t_den):
         - F.expr(f"(n * {t_num} + {t_den - 1}) div {t_den}")
         + 1
     ).select(id_col, "w", "n")
+    # Candidate generation (r11 rewrite — the dense-corpus skew bomb):
+    # the original pref-pref self-join placed every token's quadratic
+    # pair emission in the ONE task that hashes the token. On a dense
+    # corpus (the 10x near-dup replica testdata is 57%-pair-dense by
+    # construction) hot prefix tokens stalled 22 straggler tasks for
+    # minutes, and an explicit repartition that pins the stage width
+    # also opts the join out of AQE skew splitting. Grouped-explode
+    # form instead (the ngram_jaccard pattern — one shuffle on the
+    # token, no aliased-subplan recompute), extended with a CHUNK
+    # GRID: each token's sorted doc array splits into 1024-doc
+    # chunks, and every (chunk_i, chunk_j | i <= j) grid row becomes
+    # an independent unit of quadratic emission. A token shared by p
+    # docs spreads over C(ceil(p/1024)+1, 2) tasks instead of one
+    # p^2/2 task, so emission runs at machine width. Pair order stays
+    # doc_a < doc_b because sort_array chunks are consecutive id
+    # ranges. The PPJoin length filter prunes before the pair
+    # materializes, exactly as in the join form.
+    par = tok.sparkSession.sparkContext.defaultParallelism
+    # DENSITY decision (r11): prefix filtering is output-sensitive —
+    # its cost is the candidate emission Sum_w C(p_w, 2) over prefix
+    # tokens, which beats brute force only when candidates << all
+    # pairs. On a dense corpus (the 10x near-dup replica testdata:
+    # vocab 2637, hottest token in 78% of docs, candidate emission
+    # ~17x the C(n,2) bound) the candidate stream plus its distinct
+    # costs far MORE than comparing every pair as register bit math.
+    # Both sides of the tradeoff are measured from the data (two
+    # cheap driver actions, the same posture as the vocab count) and
+    # the dense path is only available when token sets pack into
+    # multi-word masks and the mask table stays modest.
+    if n_vocab is not None and n_vocab <= multiword_vocab_cap:
+        n_docs = tok.select(id_col).distinct().count()
+        emission = (
+            pref.groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("p"))
+            .agg(F.sum(F.expr("p * (p - 1) div 2")).alias("em"))
+            .collect()[0]["em"]
+            or 0
+        )
+        all_pairs = n_docs * (n_docs - 1) // 2
+        if (
+            n_docs <= dense_docs_cap
+            and emission > dense_emission_factor * all_pairs
+        ):
+            return _jaccard_dense_mask_path(
+                tok, id_col, t_num, t_den, n_vocab
+            )
+    chunk = 1024
+    grouped = (
+        pref.groupBy("w")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col("n").alias("n"))
+                )
+            ).alias("ds")
+        )
+        .where(F.size("ds") >= 2)
+    )
+    grid = (
+        grouped.select(
+            F.expr(
+                f"transform(sequence(0, (size(ds)-1) div {chunk}), "
+                f"c -> slice(ds, c*{chunk}+1, {chunk}))"
+            ).alias("chunks")
+        )
+        .select(F.posexplode("chunks").alias("ci", "ca"), F.col("chunks"))
+        .select("ci", "ca", F.posexplode("chunks").alias("cj", "cb"))
+        .where(F.col("ci") <= F.col("cj"))
+        .select("ca", "cb")
+    )
+    # The distinct's hash distribution is satisfied by an
+    # explicit-width exchange on the pair keys: without it AQE sizes
+    # the read on the compresses-20x int-pair shuffle bytes and
+    # coalesces the final dedup to ~10 tasks of 64M-entry hash maps
+    # (a GC spiral measured to freeze the executor past the 120 s
+    # heartbeat at the 10x corpus). par*8 keeps per-task dedup state
+    # ~1 GB at the 30x corpus's ~6B-pair candidate stream.
     cand = (
-        pref.alias("a")
-        .join(
-            pref.alias("b"),
-            (F.col("a.w") == F.col("b.w"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        grid.repartition(par * 4)
+        .select(F.explode("ca").alias("a"), "cb")
+        .select("a", F.explode("cb").alias("b"))
+        .where(
+            (F.col("a.i") < F.col("b.i"))
             # PPJoin length filter: prune before the pair materializes
             & (
                 F.least(F.col("a.n"), F.col("b.n")) * t_den
                 >= F.greatest(F.col("a.n"), F.col("b.n")) * t_num
-            ),
+            )
         )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
+        .select(F.col("a.i").alias("doc_a"), F.col("b.i").alias("doc_b"))
+        .repartition(par * 8, "doc_a", "doc_b")
         .distinct()
     )
+    # The verify fuses into the distinct's output stage (explicit
+    # width above — no exchange in between), so the per-pair scoring
+    # runs at machine width with no extra shuffle of the pair stream.
+    if n_vocab is not None and n_vocab <= multiword_vocab_cap:
+        return _verify_pairs_multiword(
+            tok, cand, id_col, t_num, t_den, n_vocab
+        )
+    return _verify_pairs_arrays(tok, cand, id_col, t_num, t_den)
+
+
+def _multiword_masks(tok, id_col, n_vocab):
+    """(id, n, m0..m{W-1}) — every token set packed into
+    W = ceil(vocab/62) int64 mask COLUMNS (62 usable bits per word,
+    the bloom-filter word discipline). Plain scalar expressions end
+    to end; the global rank window runs over the (<= cap) vocabulary
+    only."""
+    words = (n_vocab + 61) // 62
+    vocab = (
+        tok.select("w")
+        .distinct()
+        .select(
+            "w",
+            (F.row_number().over(Window.orderBy("w")) - 1).alias("rk"),
+        )
+    )
+    bits = tok.join(F.broadcast(vocab), "w").select(
+        F.col(id_col),
+        F.expr("rk div 62").cast("int").alias("wd"),
+        F.expr("shiftleft(1L, cast(rk % 62 as int))").alias("bm"),
+    )
+    masks = bits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.coalesce(
+                F.bit_or(F.when(F.col("wd") == i, F.col("bm"))),
+                F.lit(0).cast("long"),
+            ).alias(f"m{i}")
+            for i in range(words)
+        ],
+    )
+    return masks, words
+
+
+def _jaccard_dense_mask_path(tok, id_col, t_num, t_den, n_vocab):
+    """DENSE-corpus exact Jaccard: compare every doc pair directly as
+    multi-word mask bit math — no candidate generation, no pair
+    distinct, no pair shuffle. Chosen by the emission estimate in
+    `_jaccard_prefix_path` when the prefix join would emit more
+    candidate rows than a block-nested sweep of all C(n,2) pairs
+    costs (e.g. the 10x replica corpus: ~17x more).
+
+    Shape: docs chunk into contiguous-id blocks of 4096 mask rows;
+    the (chunk_i, chunk_j | i <= j) grid is a tiny nested-loop join
+    (ceil(n/4096)^2/2 rows); each grid row explodes to its 16.7M
+    probes AFTER an explicit-width spread, so the quadratic sweep
+    runs at machine width in ONE whole-stage-codegen stage (two
+    native Generates + filter + static popcount sum — the chunk
+    arrays pipe between the fused Generates without row
+    materialization). Cross-chunk pairs are already id-ordered by
+    contiguity; in-chunk pairs order by the a.i < b.i filter. The
+    PPJoin length filter prunes before the popcounts evaluate."""
+    masks, words = _multiword_masks(tok, id_col, n_vocab)
+    chunk = 4096
+    ch = masks.withColumn(
+        "cid",
+        F.expr(
+            f"cast((row_number() over (order by {id_col}) - 1) "
+            f"div {chunk} as int)"
+        ),
+    )
+    chunks = ch.groupBy("cid").agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("i"),
+                F.col("n").alias("n"),
+                *[F.col(f"m{k}").alias(f"m{k}") for k in range(words)],
+            )
+        ).alias("arr")
+    )
+    ga = chunks.select(F.col("cid").alias("ci"), F.col("arr").alias("ca"))
+    gb = chunks.select(F.col("cid").alias("cj"), F.col("arr").alias("cb"))
+    grid = ga.join(F.broadcast(gb), F.col("ci") <= F.col("cj"))
+    par = tok.sparkSession.sparkContext.defaultParallelism
+    inter = " + ".join(f"bit_count(a.m{k} & b.m{k})" for k in range(words))
+    scored = (
+        grid.repartition(par * 4)
+        .select(F.explode("ca").alias("a"), "cb")
+        .select("a", F.explode("cb").alias("b"))
+        .where(
+            (F.col("a.i") < F.col("b.i"))
+            # PPJoin length filter before the popcounts evaluate
+            & (
+                F.least(F.col("a.n"), F.col("b.n")) * t_den
+                >= F.greatest(F.col("a.n"), F.col("b.n")) * t_num
+            )
+        )
+        .select(
+            F.col("a.i").alias("doc_a"),
+            F.col("b.i").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.expr(inter).cast("long").alias("n_inter"),
+        )
+        .withColumn(
+            "n_union",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("long"),
+        )
+    )
+    return _jaccard_threshold_select(scored, t_num, t_den)
+
+
+def _verify_pairs_multiword(tok, cand, id_col, t_num, t_den, n_vocab):
+    """Exact verify for MID-VOCAB corpora (62 < vocab <= ~8k): every
+    token set packs into ceil(vocab/62) int64 words, one mask COLUMN
+    per word, and |∩| per candidate pair is a static sum of
+    bit_count(a_i & b_i) terms — plain scalar expressions, fully
+    whole-stage-codegen, no per-row hash set. Measured ~10x cheaper
+    per pair than the array_intersect verify: the 10x replica corpus
+    (vocab 2637 -> 43 words, ~700M candidate pairs) crawled past 9
+    minutes under array_intersect and verifies in seconds as register
+    bit math. The mask dim is ~(words+1)*8 bytes/doc, so it
+    BROADCASTS up to ~512 MB of masks and falls back to an AQE
+    shuffle join above that."""
+    masks, words = _multiword_masks(tok, id_col, n_vocab)
+    masks = masks.cache()
+    bounded = masks.count() * (words + 1) * 8 <= 512 * 2**20
+    ma = masks.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("n").alias("n_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(words)],
+    )
+    mb = masks.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("n").alias("n_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(words)],
+    )
+    if bounded:
+        ma, mb = F.broadcast(ma), F.broadcast(mb)
+    inter = " + ".join(f"bit_count(a{i} & b{i})" for i in range(words))
+    scored = (
+        cand.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.expr(inter).cast("long").alias("n_inter"),
+        )
+        .withColumn(
+            "n_union",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("long"),
+        )
+    )
+    return _jaccard_threshold_select(scored, t_num, t_den)
+
+
+def _verify_pairs_arrays(tok, cand, id_col, t_num, t_den):
+    """Exact verify for REAL-TEXT vocabularies: re-attach full sorted
+    token arrays and compute the intersection map-side
+    (array_intersect). The doc->token-set dim BROADCASTS when bounded
+    (the lm_typicality gate) so the wide arrays never shuffle — the
+    verify is map-side per pair; an unbounded corpus falls back to
+    the shuffle join with AQE."""
     sets = tok.groupBy(id_col).agg(
         F.sort_array(F.collect_list("w")).alias("ws"),
         F.count(F.lit(1)).cast("long").alias("n"),
     ).cache()
-    # Verify-stage shape (r11): the candidate stream can be ORDERS of
-    # magnitude larger than the corpus (638M pairs at the 10x replica
-    # corpus), and each scored row carries two full token arrays.
-    # Letting AQE size the post-distinct exchange coalesced the
-    # verify to 10 tasks of 64M wide rows each — a GC/futex storm
-    # that froze the executor past the 120 s heartbeat timeout and
-    # killed the session. Two changes: (1) explicit-width repartition
-    # of the (16-byte) pair stream BEFORE the arrays attach, the
-    # ngram_jaccard explode-spread pattern; (2) the doc->token-set
-    # dim BROADCASTS when bounded (the lm_typicality gate), so the
-    # wide arrays never shuffle — the verify is map-side per pair.
-    # An unbounded corpus falls back to the shuffle join with AQE.
-    par = tok.sparkSession.sparkContext.defaultParallelism
     bounded = sets.count() <= 2_000_000
     sa = sets.select(
         F.col(id_col).alias("doc_a"),
@@ -958,8 +1218,7 @@ def _jaccard_prefix_path(tok, id_col, t_num, t_den):
     if bounded:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     scored = (
-        cand.repartition(par * 4)
-        .join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
@@ -975,8 +1234,21 @@ def _jaccard_prefix_path(tok, id_col, t_num, t_den):
             (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("long"),
         )
     )
+    return _jaccard_threshold_select(scored, t_num, t_den)
+
+
+def _jaccard_threshold_select(scored, t_num, t_den):
+    # The threshold test is algebraically rearranged to reference
+    # n_inter exactly ONCE: the naive `n_inter*t_den >= n_union*t_num`
+    # references the intersection expression twice (directly and via
+    # n_union), and CollapseProject + filter pushdown inline the FULL
+    # intersection chain per reference — at W=43 mask words that is
+    # ~700 fused ops per probe instead of ~350, a measured 2x on the
+    # dense path's hot filter (the only expression that survives
+    # column pruning under count()-style consumers).
     return scored.where(
-        F.col("n_inter") * t_den >= F.col("n_union") * t_num
+        F.col("n_inter") * (t_den + t_num)
+        >= (F.col("n_a") + F.col("n_b")) * t_num
     ).select(
         "doc_a",
         "doc_b",

@@ -644,8 +644,13 @@ def test_prefix_jaccard_prefix_path_matches_bruteforce_and_bitmask(spark):
     """A 120-word vocabulary forces the PPJoin prefix-filter path;
     its output must equal brute-force all-pairs AND the bitmask path
     is unavailable (>62 bits), so this pins the real-text code path's
-    recall 1.0 and the two paths' cross-consistency on a corpus the
-    bitmask path can't take."""
+    recall 1.0 and the paths' cross-consistency on a corpus the
+    bitmask path can't take. All three mid-vocab tiers are pinned:
+    120 <= multiword_vocab_cap exercises the multi-word mask popcount
+    verify by default, multiword_vocab_cap=0 forces the token-array
+    (array_intersect) verify, and dense_emission_factor=0 forces the
+    block-nested dense mask sweep — every variant must agree exactly
+    with brute force."""
     import random
 
     from foxsec_pipeline_spark.operators.dedup import (
@@ -673,6 +678,19 @@ def test_prefix_jaccard_prefix_path_matches_bruteforce_and_bitmask(spark):
         (r.doc_a, r.doc_b): (r.n_inter, r.n_union)
         for r in prefix_filter_jaccard_pairs(docs, t_num=3, t_den=5).collect()
     }
+    got_arrays = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.n_union)
+        for r in prefix_filter_jaccard_pairs(
+            docs, t_num=3, t_den=5, multiword_vocab_cap=0
+        ).collect()
+    }
+    # dense_emission_factor=0 forces the block-nested dense mask path
+    got_dense = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.n_union)
+        for r in prefix_filter_jaccard_pairs(
+            docs, t_num=3, t_den=5, dense_emission_factor=0.0
+        ).collect()
+    }
     sets = {i: set(ws) for i, ws in texts.items()}
     want = {}
     ids = sorted(sets)
@@ -683,6 +701,8 @@ def test_prefix_jaccard_prefix_path_matches_bruteforce_and_bitmask(spark):
             if inter * 5 >= union * 3:
                 want[(a, b)] = (inter, union)
     assert got == want and len(want) >= 10
+    assert got_arrays == want
+    assert got_dense == want
 
 
 def test_vocab_growth_matches_python_recount(spark, reg):
