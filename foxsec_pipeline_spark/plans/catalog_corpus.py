@@ -834,14 +834,20 @@ FROM scored WHERE n_inter * 5 >= (n_a + n_b - n_inter) * 3
         "RAREST tokens as join keys — any pair with J >= t provably "
         "shares a prefix token, so recall is 1.0 by construction "
         "(brute-force-verified in tests), unlike the documented "
-        "underestimate of the df_cap shingle pruning. Exact verify "
-        "re-attaches full sorted token arrays and computes the "
-        "intersection map-side; the threshold is the cross-multiplied "
-        "integer test 5*|∩| >= 3*|∪| — t stays rational end to end. "
-        "Scale: prefix tokens are rare by construction, so candidate "
-        "fan-out per join key is small (frequent tokens never become "
-        "join keys); the per-doc ranking window is bounded by doc "
-        "length; verify cost is candidates x doc length, map-side",
+        "underestimate of the df_cap shingle pruning. The threshold "
+        "is the cross-multiplied integer test 5*|∩| >= 3*|∪| — t "
+        "stays rational end to end. Scale (r11, statistics-driven "
+        "physical choice): candidate emission Sum_w C(prefix_df_w, 2) "
+        "is measured against C(n_docs, 2); pair-SPARSE corpora run "
+        "chunk-grid candidate generation (hot-token emission spread "
+        "at machine width) + a vocab-tiered exact verify (<= 62 words "
+        "single bitmask, <= 8192 multi-word mask popcounts in "
+        "codegen, else broadcast token arrays); pair-DENSE corpora "
+        "(emission > 2x all-pairs, e.g. the 10x near-dup replica "
+        "testdata at 6.7x) skip candidates entirely for a "
+        "block-nested mask sweep — no pair shuffle, no distinct. "
+        "Measured: 47 s / 628M output pairs at 10x, 445 s / 5.52B at "
+        "30x — linear per output across both decades",
 )
 def q_prefix_jaccard_join(spark, sf_dir):
     from ..operators.dedup import prefix_filter_jaccard_pairs
