@@ -522,6 +522,51 @@ def test_prefix_jaccard_bounded_joins(spark, reg):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_prefix_jaccard_dense_and_chunked_shapes(spark, reg):
+    """r11 shapes of the adaptive Jaccard join on a >62-word corpus.
+
+    DENSE path (emission factor forced to 0): the block-nested mask
+    sweep must be two fused Generates over an explicit-width
+    REPARTITION_BY_NUM exchange — the tiny chunk-grid nested-loop
+    join is the ONLY loop join, there is no pair-key SortMergeJoin,
+    no pair distinct (HashAggregate on doc_a/doc_b), and the probe
+    scoring is static bit_count math (no array_intersect).
+
+    SPARSE path (emission factor forced high): chunk-grid candidate
+    generation must show the grouped two-Generate expansion with an
+    explicit-width hash exchange on the pair keys feeding the
+    distinct — never an AQE-sized read (the compresses-20x int-pair
+    exchange coalesced the dedup to 10 tasks of 64M-entry hash maps
+    at the 10x corpus, a GC freeze)."""
+    from foxsec_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + k) % 100:03d}" for k in range(12)))
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    dense = plan_of(
+        prefix_filter_jaccard_pairs(docs, dense_emission_factor=0.0)
+    )
+    assert "CartesianProduct" not in dense, dense
+    assert dense.count("Generate") >= 2, dense
+    assert "REPARTITION_BY_NUM" in dense, dense
+    assert "SortMergeJoin" not in dense, dense
+    assert "array_intersect" not in dense, dense
+    assert "bit_count" in dense, dense
+
+    sparse = plan_of(
+        prefix_filter_jaccard_pairs(docs, dense_emission_factor=1e18)
+    )
+    assert "CartesianProduct" not in sparse, sparse
+    assert sparse.count("Generate") >= 2, sparse
+    # the pair-dedup aggregate reads the explicit pair-key exchange
+    assert "hashpartitioning(doc_a" in sparse, sparse
+    assert "REPARTITION_BY_NUM" in sparse, sparse
+
+
 def test_triangles_no_cartesian_checkpointed_edges(spark, reg):
     """copurchase_triangles: wedge and closing joins are equi-joins on
     the oriented edge list (no cartesian/nested-loop); the edge list
