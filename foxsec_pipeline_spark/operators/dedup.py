@@ -530,6 +530,49 @@ def simhash_hamming_pairs(
     )
 
 
+def _chunked_self_pairs(grouped, arr_col, par, chunk=1024):
+    """All element pairs (a, b) from each row's SORTED struct array,
+    emitted through a chunk-pair grid: the array splits into
+    `chunk`-element slices and every (slice_i, slice_j | i <= j)
+    grid row becomes an independent unit of quadratic emission.
+
+    Two scale properties the naive explode-the-array-per-element
+    form lacks (measured on multimodal_phash_dedup at the 30x
+    corpus, max bucket 8,298 docs, Sum n^2 = 512M):
+    - the spread shuffle carries O(n * chunk) bytes per group
+      instead of O(n^2) (each exploded element dragging the FULL
+      array through the exchange) — 8 GB of struct arrays at 30x,
+      the super-linear wall in STEPUP_r11's first phash row;
+    - a hot group's emission runs at machine width instead of one
+      task per group.
+
+    Callers filter `a.<first_field> < b.<first_field>` — valid
+    across chunks because slices of a sorted array are contiguous
+    ranges — and project their own columns."""
+    grid = (
+        grouped.select(
+            F.expr(
+                f"transform(sequence(0, (size({arr_col})-1) div {chunk}),"
+                f" c -> slice({arr_col}, c*{chunk}+1, {chunk}))"
+            ).alias("__chunks")
+        )
+        .select(
+            F.posexplode("__chunks").alias("__ci", "__ca"),
+            F.col("__chunks"),
+        )
+        .select(
+            "__ci", "__ca", F.posexplode("__chunks").alias("__cj", "__cb")
+        )
+        .where(F.col("__ci") <= F.col("__cj"))
+        .select("__ca", "__cb")
+    )
+    return (
+        grid.repartition(par)
+        .select(F.explode("__ca").alias("a"), "__cb")
+        .select("a", F.explode("__cb").alias("b"))
+    )
+
+
 def hamming_pairs(
     fp: DataFrame,
     id_col: str = "doc_id",
@@ -564,18 +607,12 @@ def hamming_pairs(
     )
     par = fp.sparkSession.sparkContext.defaultParallelism
     return (
-        # explode the left side FIRST and repartition between the two
-        # explodes: a hot bucket (n near-identical docs) then costs n
-        # rows x n-array each spread over all tasks, instead of one
-        # row paying the whole n^2 pair explode on a single task
-        grouped.select("__ms", F.explode("__ms").alias("__a"))
-        .repartition(par)
-        .select("__a", F.explode("__ms").alias("__b"))
-        .where(F.col("__a.id") < F.col("__b.id"))
+        _chunked_self_pairs(grouped, "__ms", par)
+        .where(F.col("a.id") < F.col("b.id"))
         .select(
-            F.col("__a.id").alias("doc_a"),
-            F.col("__b.id").alias("doc_b"),
-            F.bit_count(F.col("__a.h").bitwiseXOR(F.col("__b.h")))
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
             .cast("long").alias("hamming"),
         )
         .where(F.col("hamming") <= int(max_hamming))
@@ -989,7 +1026,6 @@ def _jaccard_prefix_path(
             return _jaccard_dense_mask_path(
                 tok, id_col, t_num, t_den, n_vocab
             )
-    chunk = 1024
     grouped = (
         pref.groupBy("w")
         .agg(
@@ -1001,18 +1037,6 @@ def _jaccard_prefix_path(
         )
         .where(F.size("ds") >= 2)
     )
-    grid = (
-        grouped.select(
-            F.expr(
-                f"transform(sequence(0, (size(ds)-1) div {chunk}), "
-                f"c -> slice(ds, c*{chunk}+1, {chunk}))"
-            ).alias("chunks")
-        )
-        .select(F.posexplode("chunks").alias("ci", "ca"), F.col("chunks"))
-        .select("ci", "ca", F.posexplode("chunks").alias("cj", "cb"))
-        .where(F.col("ci") <= F.col("cj"))
-        .select("ca", "cb")
-    )
     # The distinct's hash distribution is satisfied by an
     # explicit-width exchange on the pair keys: without it AQE sizes
     # the read on the compresses-20x int-pair shuffle bytes and
@@ -1021,9 +1045,7 @@ def _jaccard_prefix_path(
     # heartbeat at the 10x corpus). par*8 keeps per-task dedup state
     # ~1 GB at the 30x corpus's ~6B-pair candidate stream.
     cand = (
-        grid.repartition(par * 4)
-        .select(F.explode("ca").alias("a"), "cb")
-        .select("a", F.explode("cb").alias("b"))
+        _chunked_self_pairs(grouped, "ds", par * 4)
         .where(
             (F.col("a.i") < F.col("b.i"))
             # PPJoin length filter: prune before the pair materializes
