@@ -258,19 +258,33 @@ _STALE_PRIORITY_R10 = [
     "url_normalize_stats", "sessionize_clickstream", "pivot_event_matrix",
 ]
 
-# Round-11 prefix (the r10 verdict's item-1 ordering): the one NEW
-# query leads (never driver-checked), then the one changed-code row
-# (khop's BFS accumulator switched lazy -> eager localCheckpoint;
-# result-neutral, re-greened on the r9 precedent), then the entire
-# pre-r7 evidence backlog: the 6 r4-stale rows and 42 of the 43
-# r6-stale rows in check_union order. 1 + 1 + 6 + 42 = 50; the LAST
-# r6 row (scd2_point_in_time_join) misses the cut and heads the r12
-# backlog. kcore_decomposition's oracle-construction changed this
-# round too (support threshold now derives from the shared
-# _MIN_PAIR_SUPP constant) but the emitted SQL string is verified
-# byte-identical, so its r10 row stands.
+# Round-11 prefix (the r10 verdict's item-1 ordering, amended by the
+# standing rule that CHANGED-CODE rows outrank stale-but-valid
+# evidence): the one NEW query leads (never driver-checked), then the
+# changed-code rows — khop (BFS accumulator lazy -> eager
+# localCheckpoint, r10 verdict item 2) plus the three queries whose
+# PLANS changed in the 30x step-up work late this round:
+# prefix_jaccard_join (chunk-grid candidates, vocab-tiered mask
+# verify, dense-corpus block-nested sweep), dedup_simhash_pairs and
+# multimodal_phash_dedup (hamming_pairs pair stage rewritten to the
+# shared _chunked_self_pairs chunk grid — the quadratic array-shuffle
+# fix). neardup_pair_recall's simhash candidate leg shares that
+# operator and is the new row anyway. All four re-verified at sf0.01
+# (233/233 local gate, value parity). Then the pre-r7 evidence
+# backlog: the 6 r4-stale rows and 39 of the 43 r6-stale rows in
+# check_union order; 1 + 4 + 6 + 39 = 50, so the last three r6 rows
+# (top_session_paths, transition_dwell_times, large_order_customers)
+# join scd2_point_in_time_join at the head of the r12 backlog —
+# changed-code rows outrank stale-but-valid evidence.
+# kcore_decomposition's oracle-construction changed this round too
+# (support threshold now derives from the shared _MIN_PAIR_SUPP
+# constant) but the emitted SQL string is verified byte-identical,
+# so its r10 row stands.
 _NEW_R11 = ["neardup_pair_recall"]
-_CHANGED_R11 = ["khop_reachability"]
+_CHANGED_R11 = [
+    "khop_reachability", "prefix_jaccard_join",
+    "dedup_simhash_pairs", "multimodal_phash_dedup",
+]
 _STALE_PRIORITY_R11 = [
     # r4-stale (6)
     "approx_quantile_sketch", "value_histogram", "order_rollup_revenue",
