@@ -261,13 +261,21 @@ def main() -> None:
     # two shapes in the same runs), costing judge adjudication every
     # round (r10 verdict item 3). Rows/s uses the MIN wall (max
     # throughput); all reps land in BENCH_FULL's parser_reps.
+    #
+    # The raw line DF is CACHED before measuring (r11): the reference's
+    # ParserBenchmark parses in-memory line arrays, while the uncached
+    # form here re-scanned the tempdir parquet per rep — page-cache
+    # state then dominated the number (measured: nginx 71k rows/s
+    # uncached vs 395k with the scan taken out; r10's 199k vs r11's
+    # 71k "regression" was tempfile I/O variance on an UNCHANGED
+    # parser). The legs now measure parse throughput, not /tmp.
     parser_by_shape = {}
     parser_reps: dict[str, list[float]] = {}
     with tempfile.TemporaryDirectory() as d:
         for shape, lines in shapes.items():
             path = f"{d}/{shape}"
             lines.repartition(32).write.parquet(path)
-            raw = spark.read.parquet(path)
+            raw = spark.read.parquet(path).cache()
             n_parsed = parse_events(raw, ParserCfg()).count()  # warm
             parser_reps[shape] = []
             parse_dt = _escalated(
@@ -280,6 +288,7 @@ def main() -> None:
                 f"{parser_by_shape[shape]} rows/s reps={parser_reps[shape]}",
                 file=sys.stderr,
             )
+            raw.unpersist()
     parser_rps = parser_by_shape.get("glb")
 
     payload = {
