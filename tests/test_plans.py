@@ -430,10 +430,22 @@ def test_corpus_drift_is_take_ordered(spark, reg):
 def test_phash_dedup_no_cartesian(spark, reg):
     """multimodal_phash_dedup must pair bucket-locally (the banded
     equi-join machinery), never a cartesian/nested-loop over
-    fingerprints."""
+    fingerprints — and the pair stage must be the r11 chunk-grid
+    form (_chunked_self_pairs): >= 2 Generate nodes over an
+    explicit-width REPARTITION_BY_NUM spread, so a hot band bucket's
+    quadratic emission neither runs in one task nor shuffles its
+    full struct array per element (the 8 GB quadratic array shuffle
+    measured at the 30x corpus, 50x the steady wall)."""
     plan = plan_of(reg["multimodal_phash_dedup"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Generate") >= 2, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+    # same operator backs the simhash pair family
+    plan_sh = plan_of(reg["dedup_simhash_pairs"].fn(spark, SF_DIR))
+    assert plan_sh.count("Generate") >= 2, plan_sh
+    assert "REPARTITION_BY_NUM" in plan_sh, plan_sh
+    assert "CartesianProduct" not in plan_sh, plan_sh
 
 
 def test_oov_vocab_is_broadcast(spark, reg):
