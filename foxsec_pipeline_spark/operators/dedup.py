@@ -803,8 +803,11 @@ def prefix_filter_jaccard_pairs(
     test everywhere is the cross-multiplied integer comparison
     `t_den*|∩| >= t_num*|∪|` — t stays rational end to end, no float.
 
-    Scale: the vocabulary count is the single driver-side action (one
-    row — same bounded-collect posture as ANN codebook training). At
+    Scale: the driver-side actions are bounded 1-row statistics
+    collects (vocabulary count, doc count, candidate-emission
+    estimate, array byte estimate — the Catalyst-statistics posture):
+    they pick the physical path, size the pair-dedup exchange, and
+    byte-bound the verify broadcasts. At
     real-text vocabularies the prefix path's join keys are rare by
     construction so per-key fan-out stays small; at degenerate
     vocabularies the bitmask path's broadcast side is the compressed
@@ -948,6 +951,25 @@ def _jaccard_bitmask_path(tok, id_col, t_num, t_den):
     )
 
 
+# Target pre-dedup candidate pairs of per-task state in the sparse
+# path's pair-key exchange (~16 bytes/pair of dedup hash-map entry ->
+# ~400 MB/task); the exchange width is ceil(emission / this), floored
+# at machine parallelism.
+_PAIRS_PER_DEDUP_TASK = 25_000_000
+
+# One broadcast side of a verify dim (mask columns or token arrays)
+# must fit this bound or the verify falls back to the AQE shuffle
+# join. Shared by BOTH verify tiers (r12 — the array tier previously
+# gated on a 2M-ROW count, an OOM-grade multi-GB broadcast on real
+# text).
+_BROADCAST_BYTES_CAP = 512 * 2**20
+
+# Driver-side statistics of the most recent prefix-path planning
+# decision (path taken, n_docs, emission, chosen width) — introspection
+# for tests and debugging only; never read by the plans themselves.
+_LAST_STATS: dict = {}
+
+
 def _jaccard_prefix_path(
     tok,
     id_col,
@@ -1009,20 +1031,31 @@ def _jaccard_prefix_path(
     # cheap driver actions, the same posture as the vocab count) and
     # the dense path is only available when token sets pack into
     # multi-word masks and the mask table stays modest.
+    #
+    # n_docs and the emission estimate are computed UNCONDITIONALLY
+    # (r12): the density decision consumes them when the vocab packs
+    # into masks, and the pair-dedup exchange width below derives
+    # from emission on EVERY sparse-path run — a fixed width was the
+    # same class of constant the r11 AQE find replaced (held to ~6B
+    # candidates at ~1 GB/task, then per-task dedup state grows
+    # linearly with corpus).
+    n_docs = tok.select(id_col).distinct().count()
+    emission = (
+        pref.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("p"))
+        .agg(F.sum(F.expr("p * (p - 1) div 2")).alias("em"))
+        .collect()[0]["em"]
+        or 0
+    )
     if n_vocab is not None and n_vocab <= multiword_vocab_cap:
-        n_docs = tok.select(id_col).distinct().count()
-        emission = (
-            pref.groupBy("w")
-            .agg(F.count(F.lit(1)).cast("long").alias("p"))
-            .agg(F.sum(F.expr("p * (p - 1) div 2")).alias("em"))
-            .collect()[0]["em"]
-            or 0
-        )
         all_pairs = n_docs * (n_docs - 1) // 2
         if (
             n_docs <= dense_docs_cap
             and emission > dense_emission_factor * all_pairs
         ):
+            _LAST_STATS.update(
+                path="dense", n_docs=n_docs, emission=emission, width=None
+            )
             return _jaccard_dense_mask_path(
                 tok, id_col, t_num, t_den, n_vocab
             )
@@ -1042,8 +1075,16 @@ def _jaccard_prefix_path(
     # the read on the compresses-20x int-pair shuffle bytes and
     # coalesces the final dedup to ~10 tasks of 64M-entry hash maps
     # (a GC spiral measured to freeze the executor past the 120 s
-    # heartbeat at the 10x corpus). par*8 keeps per-task dedup state
-    # ~1 GB at the 30x corpus's ~6B-pair candidate stream.
+    # heartbeat at the 10x corpus). Width is EMISSION-DERIVED (r12,
+    # replacing a par*8 constant that was right at the 30x corpus's
+    # ~6B-pair stream but nowhere else): target ~25M pre-dedup
+    # candidate pairs of per-task dedup state, floored at machine
+    # width — the estimate is the exact upper bound on rows entering
+    # this exchange (the length filter only removes).
+    width = max(par, -(-emission // _PAIRS_PER_DEDUP_TASK))
+    _LAST_STATS.update(
+        path="sparse", n_docs=n_docs, emission=emission, width=width
+    )
     cand = (
         _chunked_self_pairs(grouped, "ds", par * 4)
         .where(
@@ -1055,7 +1096,7 @@ def _jaccard_prefix_path(
             )
         )
         .select(F.col("a.i").alias("doc_a"), F.col("b.i").alias("doc_b"))
-        .repartition(par * 8, "doc_a", "doc_b")
+        .repartition(width, "doc_a", "doc_b")
         .distinct()
     )
     # The verify fuses into the distinct's output stage (explicit
@@ -1063,7 +1104,7 @@ def _jaccard_prefix_path(
     # runs at machine width with no extra shuffle of the pair stream.
     if n_vocab is not None and n_vocab <= multiword_vocab_cap:
         return _verify_pairs_multiword(
-            tok, cand, id_col, t_num, t_den, n_vocab
+            tok, cand, id_col, t_num, t_den, n_vocab, n_docs
         )
     return _verify_pairs_arrays(tok, cand, id_col, t_num, t_den)
 
@@ -1121,6 +1162,14 @@ def _jaccard_dense_mask_path(tok, id_col, t_num, t_den, n_vocab):
     PPJoin length filter prunes before the popcounts evaluate."""
     masks, words = _multiword_masks(tok, id_col, n_vocab)
     chunk = 4096
+    # The un-partitioned row_number window below is a SINGLE-TASK sort
+    # of the mask table — acceptable ONLY because the caller's
+    # `dense_docs_cap` gate (default 500k docs, ~(words+1)*8 B/row)
+    # bounds what can reach this path; a cap bump past a few million
+    # rows would turn this into a driver-sized straggler and must come
+    # with a partitioned chunk-id scheme (e.g. range-partition by id,
+    # chunk within partitions). The gate is pinned by
+    # tests/test_plans.py::test_dense_path_docs_cap_gates_single_task_sort.
     ch = masks.withColumn(
         "cid",
         F.expr(
@@ -1169,7 +1218,8 @@ def _jaccard_dense_mask_path(tok, id_col, t_num, t_den, n_vocab):
     return _jaccard_threshold_select(scored, t_num, t_den)
 
 
-def _verify_pairs_multiword(tok, cand, id_col, t_num, t_den, n_vocab):
+def _verify_pairs_multiword(tok, cand, id_col, t_num, t_den, n_vocab,
+                            n_docs):
     """Exact verify for MID-VOCAB corpora (62 < vocab <= ~8k): every
     token set packs into ceil(vocab/62) int64 words, one mask COLUMN
     per word, and |∩| per candidate pair is a static sum of
@@ -1179,11 +1229,15 @@ def _verify_pairs_multiword(tok, cand, id_col, t_num, t_den, n_vocab):
     (vocab 2637 -> 43 words, ~700M candidate pairs) crawled past 9
     minutes under array_intersect and verifies in seconds as register
     bit math. The mask dim is ~(words+1)*8 bytes/doc, so it
-    BROADCASTS up to ~512 MB of masks and falls back to an AQE
-    shuffle join above that."""
+    BROADCASTS up to `_BROADCAST_BYTES_CAP` of masks and falls back
+    to an AQE shuffle join above that. The footprint is priced from
+    the caller's n_docs scalar — no cache/count on the dim itself
+    (the r11 form cached it to price the decision and leaked the
+    cache entry for the session's life; the two mask-build subplans
+    below are identical up to the output aliases, so ReuseExchange
+    dedupes the one shuffle between them)."""
     masks, words = _multiword_masks(tok, id_col, n_vocab)
-    masks = masks.cache()
-    bounded = masks.count() * (words + 1) * 8 <= 512 * 2**20
+    bounded = n_docs * (words + 1) * 8 <= _BROADCAST_BYTES_CAP
     ma = masks.select(
         F.col(id_col).alias("doc_a"),
         F.col("n").alias("n_a"),
@@ -1218,15 +1272,28 @@ def _verify_pairs_multiword(tok, cand, id_col, t_num, t_den, n_vocab):
 def _verify_pairs_arrays(tok, cand, id_col, t_num, t_den):
     """Exact verify for REAL-TEXT vocabularies: re-attach full sorted
     token arrays and compute the intersection map-side
-    (array_intersect). The doc->token-set dim BROADCASTS when bounded
-    (the lm_typicality gate) so the wide arrays never shuffle — the
-    verify is map-side per pair; an unbounded corpus falls back to
-    the shuffle join with AQE."""
+    (array_intersect). The doc->token-set dim BROADCASTS when its
+    estimated BYTES fit `_BROADCAST_BYTES_CAP` — the r11 gate was a
+    2M-ROW count, which at a few hundred tokens/doc is a multi-GB
+    OOM-grade broadcast on exactly the real-text corpora this tier
+    exists for; the estimate (Σ len(w) string payload + ~8 B/element
+    array overhead, one 1-row agg on tok) is the same driver-side
+    pricing the mask tier applies to its footprint. Bounded -> the
+    wide arrays never shuffle (map-side verify per pair); above the
+    cap -> shuffle join with AQE. No cache on the dim: the two
+    set-build subplans are identical up to output aliases, so
+    ReuseExchange dedupes the one shuffle between them (the r11 cache
+    leaked an executor-memory entry per invocation)."""
+    stats = tok.agg(
+        F.sum(F.length("w")).cast("long").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("r"),
+    ).collect()[0]
+    est_bytes = (stats["b"] or 0) + 8 * (stats["r"] or 0)
     sets = tok.groupBy(id_col).agg(
         F.sort_array(F.collect_list("w")).alias("ws"),
         F.count(F.lit(1)).cast("long").alias("n"),
-    ).cache()
-    bounded = sets.count() <= 2_000_000
+    )
+    bounded = est_bytes <= _BROADCAST_BYTES_CAP
     sa = sets.select(
         F.col(id_col).alias("doc_a"),
         F.col("ws").alias("ws_a"),

@@ -739,7 +739,15 @@ def test_neardup_pair_recall_plan_and_values(spark, reg):
     sf0.01 the eval is non-vacuous: >= 20 true pairs, both methods
     catch > 0, minhash recall strictly between 0 and 1e6 ppm (the
     truncation ladder spans grazing Jaccard by construction)."""
-    df = reg["neardup_pair_recall"].fn(spark, "/root/testdata/sf0.01")
+    # the non-vacuity thresholds below are calibrated at sf0.01
+    # specifically, so this test pins that scale — but resolves it
+    # relative to SF_DIR's corpus root rather than hardcoding the
+    # absolute path (r11 ADVICE)
+    import os
+
+    df = reg["neardup_pair_recall"].fn(
+        spark, os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    )
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan
     # the only nested-loop joins allowed are the two scalar n_true
@@ -754,3 +762,105 @@ def test_neardup_pair_recall_plan_and_values(spark, reg):
     assert 0 < mh["n_caught"] <= mh["n_true"]
     assert 0 < mh["recall_ppm"] < 1_000_000
     assert sh["n_caught"] > 0
+
+
+# ---------------------------------------------------------------------------
+# r12 additions
+
+
+def _dense_corpus(spark, n=200):
+    """>62-word corpus where every prefix token is hot (vocab 100,
+    12 tokens/doc over 200 docs) — the shape that exercises the
+    multiword/dense machinery of the adaptive Jaccard join."""
+    return spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + k) % 100:03d}" for k in range(12)))
+         for i in range(n)],
+        "doc_id long, text string",
+    )
+
+
+def test_dense_path_docs_cap_gates_single_task_sort(spark):
+    """r11 verdict item 6 pin: the dense mask sweep's chunk-id
+    assignment is a SINGLE-TASK row_number sort, bounded only by the
+    `dense_docs_cap` gate in `_jaccard_prefix_path` — a future cap
+    bump must not silently un-bound it. Forcing the density test TRUE
+    (emission factor 0) while the corpus EXCEEDS the cap must fall
+    through to the sparse prefix path (pair-key exchange present, no
+    chunk-grid loop join), and the gated fallback returns the same
+    exact pairs."""
+    from foxsec_pipeline_spark.operators import dedup as D
+
+    docs = _dense_corpus(spark)
+    dense_df = D.prefix_filter_jaccard_pairs(docs, dense_emission_factor=0.0)
+    assert D._LAST_STATS["path"] == "dense", D._LAST_STATS
+    gated_df = D.prefix_filter_jaccard_pairs(
+        docs, dense_emission_factor=0.0, dense_docs_cap=100
+    )
+    assert D._LAST_STATS["path"] == "sparse", D._LAST_STATS
+    gated = plan_of(gated_df)
+    assert "hashpartitioning(doc_a" in gated, gated
+    key = ["doc_a", "doc_b"]
+    assert sorted(map(tuple, dense_df.select(*key).collect())) == sorted(
+        map(tuple, gated_df.select(*key).collect())
+    )
+
+
+def test_array_verify_broadcast_byte_bounded(spark, monkeypatch):
+    """r11 verdict item 2: the REAL-TEXT array verify must gate its
+    broadcast on estimated BYTES (the mask tier's 512 MB discipline),
+    not a row count. Below the cap the token-array dims broadcast
+    (BroadcastExchange present); forcing the cap to 0 must drop the
+    hint and fall back to the AQE shuffle join — same corpus, fewer
+    broadcast exchanges, a shuffled join on the pair keys."""
+    from foxsec_pipeline_spark.operators import dedup as D
+
+    # vocab 300*35 unique + 20 shared = 10520 > multiword_vocab_cap,
+    # so verification takes the ARRAYS tier; the shared pool creates
+    # real candidates.
+    docs = spark.createDataFrame(
+        [(i,
+          " ".join(f"u{i * 35 + k:06d}" for k in range(35))
+          + " " + " ".join(f"shared{(i + k) % 20:02d}" for k in range(5)))
+         for i in range(300)],
+        "doc_id long, text string",
+    )
+    bounded = plan_of(D.prefix_filter_jaccard_pairs(docs))
+    assert D._LAST_STATS["path"] == "sparse", D._LAST_STATS
+    assert "array_intersect" in bounded, bounded
+    assert bounded.count("BroadcastExchange") >= 1, bounded
+
+    monkeypatch.setattr(D, "_BROADCAST_BYTES_CAP", 0)
+    unbounded = plan_of(D.prefix_filter_jaccard_pairs(docs))
+    assert "array_intersect" in unbounded, unbounded
+    assert unbounded.count("BroadcastExchange") < bounded.count(
+        "BroadcastExchange"
+    ), unbounded
+    assert (
+        "SortMergeJoin" in unbounded or "ShuffledHashJoin" in unbounded
+    ), unbounded
+
+
+def test_pair_dedup_width_emission_derived(spark, monkeypatch):
+    """r11 verdict item 4: the sparse path's pair-dedup exchange width
+    must derive from the measured candidate emission (ceil(emission /
+    pairs-per-task), floored at machine parallelism) — two forced
+    emission targets yield two different widths, and the chosen width
+    is the one in the plan's REPARTITION_BY_NUM exchange."""
+    from foxsec_pipeline_spark.operators import dedup as D
+
+    docs = _dense_corpus(spark)
+    par = spark.sparkContext.defaultParallelism
+
+    D.prefix_filter_jaccard_pairs(docs, dense_emission_factor=1e18)
+    s1 = dict(D._LAST_STATS)
+    assert s1["path"] == "sparse" and s1["emission"] > par, s1
+    # default 25M-pairs/task target: tiny corpus floors at par
+    assert s1["width"] == par, s1
+
+    monkeypatch.setattr(D, "_PAIRS_PER_DEDUP_TASK", 1)
+    plan = plan_of(
+        D.prefix_filter_jaccard_pairs(docs, dense_emission_factor=1e18)
+    )
+    s2 = dict(D._LAST_STATS)
+    assert s2["width"] == max(par, s2["emission"]) > s1["width"], (s1, s2)
+    assert f", {s2['width']}), REPARTITION_BY_NUM" in plan, plan
