@@ -271,11 +271,13 @@ _STALE_PRIORITY_R10 = [
 # fix). neardup_pair_recall's simhash candidate leg shares that
 # operator and is the new row anyway. All four re-verified at sf0.01
 # (233/233 local gate, value parity). Then the pre-r7 evidence
-# backlog: the 6 r4-stale rows and 39 of the 43 r6-stale rows in
-# check_union order; 1 + 4 + 6 + 39 = 50, so the last three r6 rows
-# (top_session_paths, transition_dwell_times, large_order_customers)
-# join scd2_point_in_time_join at the head of the r12 backlog —
-# changed-code rows outrank stale-but-valid evidence.
+# backlog: the 6 r4-stale rows and 42 of the 43 r6-stale rows in
+# check_union order (the list below is 53 names; the driver records
+# only the FIRST 50, so its last three entries — top_session_paths,
+# transition_dwell_times, large_order_customers — fell outside the
+# r11 cut and join scd2_point_in_time_join at the head of the r12
+# backlog, as CORRECTNESS_r11/check_union confirm) — changed-code
+# rows outrank stale-but-valid evidence.
 # kcore_decomposition's oracle-construction changed this round too
 # (support threshold now derives from the shared _MIN_PAIR_SUPP
 # constant) but the emitted SQL string is verified byte-identical,
@@ -307,10 +309,47 @@ _STALE_PRIORITY_R11 = [
     "transition_dwell_times", "large_order_customers",
 ]
 
+# Round-12 prefix (the r11 verdict's item-1 ordering): the one
+# CHANGED-CODE row leads — prefix_jaccard_join is the only catalog
+# query routed through the rewritten jaccard machinery (emission-
+# derived pair-dedup width, byte-bounded verify broadcasts, verify
+# dim cache removal; re-verified value-exact vs the DuckDB oracle at
+# sf0.01 in-round). Then the entire remaining pre-r8 backlog in
+# check_union staleness order: the 4 r6-stale rows, then all 45
+# r7-stale rows. 1 + 4 + 45 = 50 — the driver's full budget, leaving
+# the r8 rows as the oldest evidence for r13.
+_CHANGED_R12 = ["prefix_jaccard_join"]
+_STALE_PRIORITY_R12 = [
+    # r6-stale (4)
+    "top_session_paths", "transition_dwell_times",
+    "large_order_customers", "scd2_point_in_time_join",
+    # r7-stale (45, check_union order)
+    "corpus_drift", "oov_rate_filter", "seasonal_anomaly",
+    "reservoir_sample_per_key", "lm_typicality_filter",
+    "consistent_hash_assignment", "autocorrelation_lags",
+    "ngram_novelty_score", "dsir_importance_weights",
+    "bm25_topk_retrieval", "cluster_canonical_docs",
+    "tokenizer_fertility", "session_overlap_pairs",
+    "new_vs_returning_users", "category_lift_matrix",
+    "telemetry_gap_detection", "record_linkage_sorted_neighborhood",
+    "text_stats", "text_quality", "alert_summary_rollup",
+    "auth_state_decision", "session_limit_analysis",
+    "per_endpoint_error_rate", "threshold_with_nat_exclusion",
+    "salted_hard_limit", "authprofile_pipeline", "status_comparator",
+    "source_login_failure", "dedup_clusters",
+    "ann_cosine_lsh_multiprobe", "token_count_bpe", "text_repetition",
+    "regional_revenue", "stratified_sample", "pii_scrub",
+    "quality_filter_pipeline", "language_id", "doc_fingerprint",
+    "multimodal_metadata", "pricing_summary", "segment_revenue",
+    "priority_semijoin", "topk_per_group", "events_dim_join",
+    "xff_client_select",
+]
+
 _seen: set[str] = set()
 _VERIFY_FIRST = [
     n
     for n in [
+        *_CHANGED_R12, *_STALE_PRIORITY_R12,
         *_NEW_R11, *_CHANGED_R11, *_STALE_PRIORITY_R11,
         *_CHANGED_R10, *_STALE_PRIORITY_R10,
         *_CHANGED_R9, *_NEW_R9, *_STALE_R3_PRIORITY_R9,

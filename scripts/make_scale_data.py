@@ -55,7 +55,24 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--neardup-pct", type=int, default=1)
     args = ap.parse_args()
-    assert args.k <= 60, "near-dup groups need scaled shingle DF <= 64"
+    # The DF-cap guard only matters when near-dup groups exist: their
+    # salted shingles have base DF 1 -> scaled DF K, which must stay
+    # <= the dedup operators' df_cap=64. A plain replica corpus
+    # (--neardup-pct 0, e.g. the 90x third-decade band) has no salted
+    # groups and may scale past 60.
+    assert args.k <= 60 or args.neardup_pct == 0, (
+        "near-dup groups need scaled shingle DF <= 64; pass "
+        "--neardup-pct 0 for K > 60"
+    )
+    # Near-dup groups are formed from replicas 1..K-1 only (rep 0 is
+    # the unmodified base row), so K=2 gives single-member "groups"
+    # and ZERO true near-dup pairs — the ladder silently vanishes
+    # (r11 ADVICE: the K >= 3 constraint lived only in a comment).
+    assert args.k >= 3 or args.neardup_pct == 0, (
+        f"--k {args.k} with --neardup-pct {args.neardup_pct}: near-dup "
+        "groups need K >= 3 (rep 0 stays the base row, so groups are "
+        "replicas 1..K-1); pass --neardup-pct 0 for K < 3"
+    )
 
     from pyspark.sql import functions as F
 

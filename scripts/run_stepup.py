@@ -24,6 +24,8 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--scale-dir", default="/tmp/sfscale1")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--tag", default="10x",
+                    help="label for the scale-dir leg in the output")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -58,7 +60,7 @@ def main() -> None:
     for name in args.queries:
         spec = reg[name]
         entry: dict = {}
-        for tag, d in (("sf0.1", args.base), ("10x", args.scale_dir)):
+        for tag, d in (("sf0.1", args.base), (args.tag, args.scale_dir)):
             reps = []
             rows = None
             for _ in range(max(1, args.reps)):
@@ -81,10 +83,12 @@ def main() -> None:
             print(f"# {name} {tag}: {min(reps)}s rows={rows} reps={reps}",
                   file=sys.stderr)
         base_s = entry["sf0.1"]["sec"]
-        entry["ratio_wall"] = round(entry["10x"]["sec"] / base_s, 1) if base_s else None
+        entry["ratio_wall"] = (
+            round(entry[args.tag]["sec"] / base_s, 1) if base_s else None
+        )
         br = entry["sf0.1"]["rows"]
         entry["ratio_output"] = (
-            round(entry["10x"]["rows"] / br, 1) if br else None
+            round(entry[args.tag]["rows"] / br, 1) if br else None
         )
         out[name] = entry
     print(json.dumps(out, indent=1))
