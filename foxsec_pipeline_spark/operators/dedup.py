@@ -82,13 +82,22 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
         )
         .where(F.col("__last").isNotNull())  # complete n-grams only
         .select(F.col(id_col), md5_bucket(F.col("__s")).alias("shingle"))
-        .distinct()
     )
-    wc = Window.partitionBy(id_col)
-    return sh.select(
-        F.col(id_col),
-        F.count(F.lit(1)).over(wc).alias("n_sh"),
-        F.col("shingle"),
+    # dedup + per-doc count in ONE id-keyed aggregate (collect_set
+    # dedups, size counts) instead of distinct + count-window: the
+    # window form paid an extra sort over the shingle stream and its
+    # count pass, while this HashAggregate reuses the lead-window's
+    # hashpartitioning(id) outright — no added exchange, and the
+    # explode is map-side (guide §2.4; array width is bounded by doc
+    # length, the same bound the pair expansions already carry)
+    return (
+        sh.groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("__ss"))
+        .select(
+            F.col(id_col),
+            F.size("__ss").cast("long").alias("n_sh"),
+            F.explode("__ss").alias("shingle"),
+        )
     )
 
 

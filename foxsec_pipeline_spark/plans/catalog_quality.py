@@ -1969,7 +1969,14 @@ def q_neardup_pair_recall(spark, sf_dir):
             ).alias("text"),
         )
     )
-    aug = base.unionByName(variants)
+    # the eval corpus feeds THREE independent leg pipelines (truth
+    # shingle join, minhash banding, simhash banding); un-checkpointed,
+    # each leg re-scans documents and re-tokenizes the slice (tokens()
+    # evaluates in the filter AND the projection), so the slice build
+    # ran 3x per query (r12: eager cut here measured 5.99 -> 4.42 s
+    # steady at sf0.1, identical output — guide §2.4, one pass instead
+    # of three over the same subtree)
+    aug = base.unionByName(variants).localCheckpoint()
     # truth has THREE consumers (n_true agg + two semijoins): eager
     # checkpoint so the shingle-join pipeline runs exactly once (the
     # kcore/khop multi-consumer discipline)
