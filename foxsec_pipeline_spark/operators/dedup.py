@@ -401,27 +401,23 @@ def simhash(
     )
     base = df.select(F.col(id_col), th.alias("__th"))
 
-    def _bit_set_count(b: int):
-        # closure factory: a default-arg lambda would change the
-        # visible arity and break PySpark's higher-order-function
-        # signature inspection. Integer bitwiseAND, NOT floor(h/2^b):
-        # double division silently drops low bits of hashes >= 2^53,
-        # which corrupted every low-order fingerprint bit at 60-bit
-        # width (exact at the old 16-bit width by luck of magnitude).
-        def is_set(h):
-            return h.bitwiseAND(F.lit(1 << b)) != 0
-
-        return F.size(F.filter(F.col("__th"), is_set))
-
-    n_tok = F.size(F.col("__th"))  # array length: cheap, safe to inline
-    bit_cols = [
-        F.when(2 * _bit_set_count(b) > n_tok, F.lit(2**b)).otherwise(F.lit(0))
+    # The per-bit majority sum is generated as ONE SQL string parsed
+    # by a single F.expr: the Column-API form (60 filter() HOFs built
+    # through py4j) cost ~7.6k gateway round-trips = 1.4 s of pure
+    # DRIVER time per plan build (profiled; guide §1.2 — fixed driver
+    # cost paid on every bench rep). The parsed tree is operator-
+    # identical: integer bitwiseAND, NOT floor(h/2^b) — double
+    # division silently drops low bits of hashes >= 2^53, which
+    # corrupted every low-order fingerprint bit at 60-bit width
+    # (exact at the old 16-bit width by luck of magnitude).
+    fp_sql = " + ".join(
+        f"(CASE WHEN 2 * size(filter(__th, h -> (h & {1 << b}) != 0))"
+        f" > size(__th) THEN {1 << b} ELSE 0 END)"
         for b in range(bits)
-    ]
-    fp = bit_cols[0]
-    for c in bit_cols[1:]:
-        fp = fp + c
-    return base.select(F.col(id_col), fp.cast("long").alias("simhash"))
+    )
+    return base.select(
+        F.col(id_col), F.expr(fp_sql).cast("long").alias("simhash")
+    )
 
 
 def decontaminate(

@@ -900,89 +900,102 @@ def q_mmr_diversified_topk(spark, sf_dir):
     pw = Window.partitionBy("query_id").orderBy(
         F.col("rel").desc(), F.col("nid")
     )
-    # materialize the pool ONCE (|queries| x 20 rows — tiny): the five
-    # selection rounds below each reference it, and without the
-    # checkpoint every round re-runs the corpus-wide scoring pass
-    # (measured 16.3 s -> the corpus scan happened ~8x; with it, one
-    # scan + five sub-second rounds)
+    # pool = top-20 per query by rel (rk carries the rel-desc order
+    # into the collected array below)
     pool = (
         scored.withColumn("rk", F.row_number().over(pw))
-        .where(F.col("rk") <= 20).drop("rk")
-        .coalesce(4)
-        .localCheckpoint()
+        .where(F.col("rk") <= 20)
     )
-    pe = pool.join(
-        e.select(F.col("vec_id").alias("nid"), "embedding"), "nid"
-    ).select(
-        "query_id", "nid", F.col("embedding").alias("__v"),
-        l2_norm(F.col("embedding")).alias("__n"),
-    )
-    a = pe.select(
-        "query_id", F.col("nid").alias("na"),
-        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
-    )
-    b = pe.select(
-        "query_id", F.col("nid").alias("nb"),
-        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
-    )
-    # pool-local pair sims (|queries| x 20 x 19 rows) — also
-    # materialized once for the same reason
-    psim = (
-        a.join(b, "query_id")
-        .where(F.col("na") != F.col("nb"))
+    # r12 rewrite (guide §2.4/§4.1): the five selection rounds used to
+    # run as a driver-unrolled chain of per-round join+window+eager-
+    # localCheckpoint jobs — 7 sequential tiny jobs, 2.8 s of pure
+    # build-time at sf0.1 with the actual compute < 0.1 s. The pool is
+    # BOUNDED (20 candidates/query) by construction, so the whole MMR
+    # selection fits in one codegen-stage aggregate: collect each
+    # query's pool (with vectors) into an array and run the greedy
+    # argmax loop as a JVM higher-order expression. One corpus scan,
+    # two small shuffles (window + groupBy on query_id), zero
+    # checkpoints. Arithmetic is identical per element (same dot/norm
+    # folds, same round(.,6) at the same points, same (score desc,
+    # nid asc) tie-break), so picks match the old plan row-for-row.
+    # Scale shape: per-query work is O(20*5*dim) regardless of corpus
+    # size, distributed by query_id.
+    pe = (
+        e.select(F.col("vec_id").alias("nid"), "embedding")
+        .join(F.broadcast(pool), "nid")
         .select(
-            "query_id", "na", "nb",
-            F.round(
-                dot(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb")), 6,
-            ).alias("s"),
+            "query_id", "rk", "nid", "rel",
+            F.col("embedding").alias("__v"),
+            l2_norm(F.col("embedding")).alias("__n"),
         )
-        .coalesce(4)
-        .localCheckpoint()
     )
-    sel = (
-        pool.withColumn("rk", F.row_number().over(pw))
-        .where(F.col("rk") == 1).drop("rk")
-        .withColumn("pick_rank", F.lit(1))
-        .coalesce(1)
-        .localCheckpoint()
+    grouped = pe.groupBy("query_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("rk", "nid", "rel", "__v", "__n"))
+        ).alias("__pool")
     )
-    for t in range(2, 6):
-        picked = sel.select("query_id", F.col("nid").alias("nb"))
-        ms = (
-            psim.join(picked, ["query_id", "nb"])
-            .groupBy("query_id", F.col("na").alias("nid"))
-            .agg(F.max("s").alias("ms"))
+    pool_c = F.col("__pool")
+
+    def _at(i):
+        return F.element_at(pool_c, i)
+
+    def _sim(i, j):
+        # identical expression shape to the old psim column: rounded
+        # cosine from the same dot/norm folds
+        return F.round(
+            dot(_at(i)["__v"], _at(j)["__v"]) / (_at(i)["__n"] * _at(j)["__n"]),
+            6,
         )
-        cand = (
-            pool.join(
-                sel.select("query_id", "nid"), ["query_id", "nid"],
-                "left_anti",
-            )
-            .join(ms, ["query_id", "nid"])
-            .withColumn(
-                "score", F.round(0.7 * F.col("rel") - 0.3 * F.col("ms"), 6)
-            )
+
+    def _step(acc, _t):
+        cands = F.filter(
+            F.sequence(F.lit(1), F.size(pool_c)),
+            lambda i: ~F.array_contains(acc, i),
         )
-        sw = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("nid")
+        scored_c = F.transform(
+            cands,
+            lambda i: F.struct(
+                F.round(
+                    0.7 * _at(i)["rel"]
+                    - 0.3 * F.array_max(F.transform(acc, lambda j: _sim(i, j))),
+                    6,
+                ).alias("score"),
+                _at(i)["nid"].alias("nid"),
+                i.alias("idx"),
+            ),
         )
-        # each round's pick is materialized (queries-cardinality):
-        # sel is referenced three times per round (picked-set, anti
-        # join, and inside the next pick), so an un-checkpointed
-        # lineage re-executes earlier rounds ~3^t times — the same
-        # bounded-iteration discipline as the CC-resolution loop
-        pick = (
-            cand.withColumn("rk", F.row_number().over(sw))
-            .where(F.col("rk") == 1)
-            .select("query_id", "nid", "rel", F.lit(t).alias("pick_rank"))
-            .coalesce(1)
-            .localCheckpoint()
+        best = F.aggregate(
+            scored_c,
+            F.element_at(scored_c, 1),
+            lambda b, x: F.when(
+                (x["score"] > b["score"])
+                | ((x["score"] == b["score"]) & (x["nid"] < b["nid"])),
+                x,
+            ).otherwise(b),
         )
-        sel = sel.unionByName(pick)
-    return sel.select(
-        "query_id", F.col("nid").alias("neighbor_id"), "rel",
-        F.col("pick_rank").cast("long").alias("pick_rank"),
+        return F.when(
+            F.size(cands) > 0, F.concat(acc, F.array(best["idx"]))
+        ).otherwise(acc)
+
+    picked_idx = F.aggregate(
+        F.sequence(F.lit(2), F.lit(5)), F.array(F.lit(1)), _step
+    )
+    picks = F.transform(
+        picked_idx,
+        lambda idx, t: F.struct(
+            _at(idx)["nid"].alias("nid"),
+            _at(idx)["rel"].alias("rel"),
+            (t + 1).alias("pick_rank"),
+        ),
+    )
+    return (
+        grouped.select("query_id", F.explode(picks).alias("__p"))
+        .select(
+            "query_id",
+            F.col("__p.nid").alias("neighbor_id"),
+            F.col("__p.rel").alias("rel"),
+            F.col("__p.pick_rank").cast("long").alias("pick_rank"),
+        )
     )
 
 
@@ -1983,7 +1996,6 @@ def q_neardup_pair_recall(spark, sf_dir):
     truth = (
         ngram_jaccard_pairs(aug, n=3, threshold=0.5, df_cap=64)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
     )
     n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
     cand_mh = minhash_lsh_pairs(aug, n=3, num_hashes=8, band_size=2)
