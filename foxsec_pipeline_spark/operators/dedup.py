@@ -173,6 +173,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding.
 
@@ -198,23 +199,32 @@ def minhash_lsh_pairs(
     # shuffle is ~|docs| rows at any scale.
     from pyspark.sql import Window
 
-    df = spread(df)
-    tok = df.where(F.size(tokens(F.col(text_col))) >= n).select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "__t")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("__t")] + [F.lead("__t", i).over(w) for i in range(1, n)]
-    hashed = (
-        tok.select(
+    if hashed is None:
+        df = spread(df)
+        tok = df.where(F.size(tokens(F.col(text_col))) >= n).select(
             F.col(id_col),
-            F.concat_ws(" ", *parts).alias("__s"),
-            parts[-1].alias("__last"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "__t"),
         )
-        .where(F.col("__last").isNotNull())
-        .select(
-            F.col(id_col), (md5_bucket(F.col("__s")) % F.lit(MINHASH_P)).alias("__h")
+        w = Window.partitionBy(id_col).orderBy("pos")
+        parts = [F.col("__t")] + [F.lead("__t", i).over(w) for i in range(1, n)]
+        hashed = (
+            tok.select(
+                F.col(id_col),
+                F.concat_ws(" ", *parts).alias("__s"),
+                parts[-1].alias("__last"),
+            )
+            .where(F.col("__last").isNotNull())
+            .select(
+                F.col(id_col),
+                (md5_bucket(F.col("__s")) % F.lit(MINHASH_P)).alias("__h"),
+            )
         )
-    )
+    # else: caller supplies (id_col, __h) shingle hashes — e.g. a
+    # query that ALSO needs the hash table for its own legs passes the
+    # shared (deduplicated) relation so the corpus shingle pipeline
+    # exists once in the plan and ReuseExchange serves every consumer.
+    # min() per permutation is duplicate-insensitive, so a distinct
+    # hash set yields the identical signature (guide §2.4).
     sig = hashed.groupBy(id_col).agg(
         *[
             F.min(
@@ -326,6 +336,16 @@ def dedup_clusters(
         .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
         .localCheckpoint(eager=True)
     )
+    # r12: each round runs ONE job, not two — `upd` is persist()ed and
+    # the changed-probe aggregate both answers the fixpoint test and
+    # materializes the cache in the same pass (the old eager
+    # localCheckpoint + separate agg paid two sequential jobs per
+    # round). Lineage stays shallow (each round reads the previous
+    # round's cache), and the final labels are cut to an eager
+    # checkpoint below so every per-round cache can be unpersisted
+    # before return — nothing leaks into later queries (the r10
+    # persist-leak lesson).
+    cached_rounds = []
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -341,12 +361,16 @@ def dedup_clusters(
                 ).alias("label"),
                 (F.col("nlabel") < F.col("label")).cast("int").alias("__chg"),
             )
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        cached_rounds.append(upd)
         changed = upd.agg(F.max("__chg")).first()[0]
         labels = upd.drop("__chg")
         if not changed:
             break
+    labels = labels.localCheckpoint(eager=True)
+    for c in cached_rounds:
+        c.unpersist(blocking=False)
     singletons = (
         nodes.select(F.col(id_col).alias("node"))
         .join(labels.select("node"), "node", "left_anti")

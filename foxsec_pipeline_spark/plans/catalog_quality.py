@@ -1750,7 +1750,6 @@ def q_minhash_jaccard_estimate_error(spark, sf_dir):
     from ..operators import minhash_lsh_pairs
 
     docs = _docs(spark, sf_dir)
-    cand = minhash_lsh_pairs(docs, n=3, num_hashes=8, band_size=2)
     from pyspark.sql import Window as W
 
     tok = docs.where(F.size(tokens(F.col("text"))) >= 3).select(
@@ -1770,6 +1769,16 @@ def q_minhash_jaccard_estimate_error(spark, sf_dir):
             (md5_bucket(F.col("__s")) % F.lit(MINHASH_P)).alias("h"),
         )
         .distinct()
+    )
+    # the candidate leg reuses hsh's shingle hashes (min per
+    # permutation is duplicate-insensitive, so the distinct hash set
+    # yields the identical signature): before r12 minhash_lsh_pairs
+    # rebuilt its own corpus tokenize->window->md5 pipeline, so the
+    # corpus shingle pass ran TWICE per query (guide §2.4 — now one
+    # subtree, ReuseExchange serves cand + ha/hb + mh alike)
+    cand = minhash_lsh_pairs(
+        docs, n=3, num_hashes=8, band_size=2,
+        hashed=hsh.select("doc_id", F.col("h").alias("__h")),
     )
     nsh = hsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # long-form 8-slot signature (doc_id, i, h_min)

@@ -329,3 +329,34 @@ def test_edit_distance_pairs_blocked_max_dist_1(spark):
     assert exact == hot == [
         ("b", 1, 2, 1), ("b", 1, 4, 0), ("b", 2, 3, 1), ("b", 2, 4, 1),
     ]
+
+
+def test_dedup_clusters_unpersists_round_caches(spark):
+    """The CC loop persist()s each round's labels (one job per round:
+    the changed-probe aggregate doubles as cache materialization); all
+    of them must be unpersisted before return so nothing leaks into
+    later queries in a long-lived session (the r10 persist-leak
+    lesson). Only pre-existing cache entries may survive."""
+    from foxsec_pipeline_spark.operators.dedup import dedup_clusters
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long"
+    )
+    out = dedup_clusters(pairs, nodes, id_col="doc_id")
+    rows = {(r.doc_id, r.cluster_keeper, r.cluster_size)
+            for r in out.collect()}
+    assert rows == {
+        (1, 1, 3), (2, 1, 3), (3, 1, 3), (5, 5, 2), (6, 5, 2),
+        (4, 4, 1), (7, 7, 1),
+    }
+    after = jsc.getPersistentRDDs().size()
+    # exactly three localCheckpoint RDDs may remain registered (edges,
+    # seed labels, final labels — reclaimed by the ContextCleaner when
+    # the python refs drop); every per-round persist() must be gone.
+    # A leaked round cache would add one entry per CC round on top.
+    assert after - before <= 3
