@@ -309,16 +309,33 @@ _STALE_PRIORITY_R11 = [
     "transition_dwell_times", "large_order_customers",
 ]
 
-# Round-12 prefix (the r11 verdict's item-1 ordering): the one
-# CHANGED-CODE row leads — prefix_jaccard_join is the only catalog
-# query routed through the rewritten jaccard machinery (emission-
-# derived pair-dedup width, byte-bounded verify broadcasts, verify
-# dim cache removal; re-verified value-exact vs the DuckDB oracle at
-# sf0.01 in-round). Then the entire remaining pre-r8 backlog in
-# check_union staleness order: the 4 r6-stale rows, then all 45
-# r7-stale rows. 1 + 4 + 45 = 50 — the driver's full budget, leaving
-# the r8 rows as the oldest evidence for r13.
-_CHANGED_R12 = ["prefix_jaccard_join"]
+# Round-12 prefix (the r11 verdict's item-1 ordering, amended by the
+# standing rule: CHANGED-CODE rows outrank stale-but-valid evidence).
+# The r12 optimization round touched the plan of 14 queries —
+# prefix_jaccard_join (emission-derived pair-dedup width, byte-bounded
+# verify broadcasts), the _shingled one-aggregate rewrite (ngram
+# jaccard / containment / decontaminate / bloom / training pipeline /
+# neardup truth leg), the simhash single-expression fingerprint
+# (dedup_simhash, dedup_simhash_pairs, neardup simhash leg), the CC
+# loop persist-fusion (dedup_clusters, cluster_canonical_docs,
+# split_leakage_check), the MMR HOF-aggregate rewrite, and the shared-
+# hash minhash candidate leg (minhash_jaccard_estimate_error) — every
+# one re-verified value-exact vs the DuckDB oracle at sf0.01 in-round.
+# These 14 lead; then the stale backlog in check_union order (4
+# r6-stale rows, then the r7-stale rows). 14 + 4 + 45 > 50, so the
+# last r7 rows overflow to the r13 prefix (changed-code outranks
+# stale — the overflow is the standing rule working as intended;
+# cluster_canonical_docs and dedup_clusters appear in both lists and
+# are counted once by the _seen dedup).
+_CHANGED_R12 = [
+    "prefix_jaccard_join",
+    "mmr_diversified_topk", "neardup_pair_recall",
+    "dedup_simhash_pairs", "dedup_simhash",
+    "minhash_jaccard_estimate_error", "dedup_ngram_jaccard",
+    "containment_dedup", "decontaminate", "bloom_decontaminate",
+    "training_data_pipeline", "dedup_clusters",
+    "cluster_canonical_docs", "split_leakage_check",
+]
 _STALE_PRIORITY_R12 = [
     # r6-stale (4)
     "top_session_paths", "transition_dwell_times",
