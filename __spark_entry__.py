@@ -335,6 +335,7 @@ _CHANGED_R12 = [
     "containment_dedup", "decontaminate", "bloom_decontaminate",
     "training_data_pipeline", "dedup_clusters",
     "cluster_canonical_docs", "split_leakage_check",
+    "dsir_importance_weights", "oov_rate_filter",
 ]
 _STALE_PRIORITY_R12 = [
     # r6-stale (4)

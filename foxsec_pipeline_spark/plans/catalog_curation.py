@@ -535,21 +535,39 @@ GROUP BY f.doc_id
 )
 def q_dsir_importance_weights(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    feat = docs.select(
-        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
-    ).select(
-        "doc_id",
-        "lang",
-        (
-            F.expr("cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)")
-            % _DSIR_BUCKETS
-        ).alias("bucket"),
+    # r12: aggregate BEFORE the shuffles (guide §2.3). The old shape
+    # kept the exploded token table and fed it to three independent
+    # consumers (src/tgt histograms + the per-doc mean), so every
+    # token row crossed three exchanges and the tokenize+md5 pass ran
+    # three times. Counting per (doc_id, lang, bucket) first caps the
+    # relation at 64 rows/doc, lets the partial (map-side) aggregate
+    # shrink the one remaining wide exchange, and the identical
+    # subtree under all three consumers collapses to a single shared
+    # shuffle at runtime (ReuseExchange). Values are unchanged
+    # exactly: sum(r_ppm) over tokens == sum(cnt * r_ppm) and
+    # count(1) == sum(cnt), all integer arithmetic.
+    feat = (
+        docs.select(
+            "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.expr(
+                    "cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)"
+                )
+                % _DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     src = feat.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("s")
+        F.sum("cnt").cast("long").alias("s")
     )
     tgt = feat.where(F.col("lang") == "en").groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("t")
+        F.sum("cnt").cast("long").alias("t")
     )
     ratio = (
         src.join(tgt, "bucket", "left")
@@ -565,9 +583,9 @@ def q_dsir_importance_weights(spark, sf_dir):
         feat.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
             F.expr(
-                "cast(sum(r_ppm) div count(1) as bigint)"
+                "cast(sum(cnt * r_ppm) div sum(cnt) as bigint)"
             ).alias("importance_ppm"),
         )
     )
@@ -645,6 +663,13 @@ FROM ranked WHERE rank <= {_BM25_TOPK}
 )
 def q_bm25_topk_retrieval(spark, sf_dir):
     docs = _docs(spark, sf_dir)
+    # r12 note: a (doc_id, w) pre-aggregate shared by the three token
+    # consumers was A/B'd and REJECTED (+0.4 s interleaved): this
+    # query's existing aggregates all shrink to tiny exchanges via
+    # map-side partial agg (dl <= n_docs rows, qterms <= vocab rows,
+    # tf semi-join prunes to the 5 query terms BEFORE aggregating),
+    # so a shared pre-agg only added a wide (doc_id, w) shuffle that
+    # dwarfs the repeated map-side tokenize it saved.
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("w")
     )

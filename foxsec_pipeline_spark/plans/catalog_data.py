@@ -2799,23 +2799,35 @@ def q_oov_rate_filter(spark, sf_dir):
     from ..functions.text import tokens
 
     docs = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    # r12: one (doc_id, token) count aggregate replaces two
+    # independent consumers of the raw exploded token table (the
+    # vocab top-20 and the per-doc scorer each re-ran
+    # scan+tokenize+explode; guide §2.3 — aggregate before you
+    # shuffle). The identical subtree under both consumers collapses
+    # to one shared exchange at runtime, and count(1) over tokens ==
+    # sum(c) over (doc, token) groups exactly, so values and the
+    # deterministic top-20 tie-break are unchanged.
+    base = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     vocab = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("c"))
+        base.groupBy("token")
+        .agg(F.sum("c").alias("c"))
         .orderBy(F.desc("c"), "token")
         .limit(20)
         .select("token", F.lit(True).alias("__in_vocab"))
     )
     scored = (
-        tok.join(F.broadcast(vocab), "token", "left")
+        base.join(F.broadcast(vocab), "token", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("n_tokens"),
             F.sum(
-                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+                F.when(F.col("__in_vocab").isNull(), F.col("c")).otherwise(0)
             ).cast("long").alias("n_oov"),
         )
     )
