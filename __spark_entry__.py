@@ -336,6 +336,7 @@ _CHANGED_R12 = [
     "training_data_pipeline", "dedup_clusters",
     "cluster_canonical_docs", "split_leakage_check",
     "dsir_importance_weights", "oov_rate_filter",
+    "account_creation_dist", "record_linkage_blocking",
 ]
 _STALE_PRIORITY_R12 = [
     # r6-stale (4)

@@ -31,8 +31,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import levenshtein_ratio
-
 _UNITS = {
     "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
     "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
@@ -228,18 +226,49 @@ def account_creation_dist(
     else:
         base = proj.withColumn("__hot", F.lit(None).cast("boolean"))
 
+    # r12 (guide §1.2 per-task work): Levenshtein is invariant under
+    # stripping a prefix COMMON TO BOTH arguments, and the prefix
+    # shared by every name in the input is exactly the common prefix
+    # of lexicographic min(name) and max(name) (any string outside it
+    # would sort outside the [min, max] band; UTF-8 byte order is
+    # code-point order, so the python commonprefix matches Spark's
+    # string min/max). Spark's levenshtein does NOT trim internally
+    # (microbenched: 2M 18-char fixed-prefix pairs 0.946 s full vs
+    # 0.530 s stripped, identical sums), so on fixed-format name
+    # populations ("Customer#000000042") stripping nearly halves the
+    # DP cell count of the quadratic kernel for the price of one
+    # linear min/max pass. The RATIO keeps the original-length
+    # denominator, so the predicate value is bit-identical.
+    import os as _os
+
+    _mm = df.select(
+        F.min(F.col(name_col)).alias("__mn"),
+        F.max(F.col(name_col)).alias("__mx"),
+    ).first()
+    _pre = 0
+    if _mm is not None and _mm["__mn"] is not None and _mm["__mx"] is not None:
+        _pre = len(_os.path.commonprefix([_mm["__mn"], _mm["__mx"]]))
+
+    def _lev_arg(c):
+        if _pre >= 2:
+            return c.substr(F.lit(_pre + 1), F.length(c))
+        return c
+
     def _sim(name_a, name_b):
         if max_distance is not None:
             # bounded edit distance: banded DP + early exit, returns -1
             # past the threshold. Sound when max_distance >=
             # ceil(max_ratio * longest name) — the caller asserts that.
-            d = F.levenshtein(name_a, name_b, max_distance)
+            d = F.levenshtein(_lev_arg(name_a), _lev_arg(name_b), max_distance)
             return (d >= 0) & (
                 d <= F.lit(float(max_ratio)) * F.greatest(
                     F.length(name_a), F.length(name_b)
                 )
             )
-        return levenshtein_ratio(name_a, name_b) <= F.lit(float(max_ratio))
+        return (
+            F.levenshtein(_lev_arg(name_a), _lev_arg(name_b))
+            / F.greatest(F.length(name_a), F.length(name_b))
+        ) <= F.lit(float(max_ratio))
 
     def _pairs(a, b, extra_keys):
         joined = a.join(b, ["g", *extra_keys])

@@ -1490,6 +1490,30 @@ def edit_distance_pairs_blocked(
     base = df.select(
         *block_cols, F.col(id_col).alias("__id"), F.col(name_col).alias("__nm")
     )
+    # r12 (guide §1.2 per-task work): strip the GLOBAL common name
+    # prefix before anything touches __nm. Levenshtein is invariant
+    # under removing a prefix common to both arguments, every name
+    # shares the common prefix of lexicographic min/max (UTF-8 byte
+    # order == code-point order, so python commonprefix matches
+    # Spark's min/max), name-equality classes and pairwise length
+    # gaps are preserved (all names lose exactly the same chars), and
+    # Spark's levenshtein does not trim internally (microbenched ~2x
+    # on fixed-format names). So the DP verify, the deletion-variant
+    # fan-out (C(L,2) keys on the SHORTER stripped length), and the
+    # emitted name_dist are all exact-identical for one linear
+    # min/max pass over the input.
+    import os as _os
+
+    _mm = base.select(
+        F.min("__nm").alias("__mn"), F.max("__nm").alias("__mx")
+    ).first()
+    if _mm is not None and _mm["__mn"] is not None and _mm["__mx"] is not None:
+        _pre = len(_os.path.commonprefix([_mm["__mn"], _mm["__mx"]]))
+        if _pre >= 2:
+            base = base.withColumn(
+                "__nm",
+                F.col("__nm").substr(F.lit(_pre + 1), F.length("__nm")),
+            )
     sizes = base.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__bsz"))
     cutoff, any_hot = density_hot_split(
         sizes, "__bsz", work_budget_pairs, int(hot_block_cutoff)
