@@ -311,18 +311,21 @@ _STALE_PRIORITY_R11 = [
 
 # Round-12 prefix (the r11 verdict's item-1 ordering, amended by the
 # standing rule: CHANGED-CODE rows outrank stale-but-valid evidence).
-# The r12 optimization round touched the plan of 14 queries —
+# The r12 optimization round touched the plan of 18 queries —
 # prefix_jaccard_join (emission-derived pair-dedup width, byte-bounded
 # verify broadcasts), the _shingled one-aggregate rewrite (ngram
 # jaccard / containment / decontaminate / bloom / training pipeline /
 # neardup truth leg), the simhash single-expression fingerprint
 # (dedup_simhash, dedup_simhash_pairs, neardup simhash leg), the CC
 # loop persist-fusion (dedup_clusters, cluster_canonical_docs,
-# split_leakage_check), the MMR HOF-aggregate rewrite, and the shared-
-# hash minhash candidate leg (minhash_jaccard_estimate_error) — every
+# split_leakage_check), the MMR HOF-aggregate rewrite, the shared-
+# hash minhash candidate leg (minhash_jaccard_estimate_error), the
+# aggregate-before-shuffle pair (dsir_importance_weights,
+# oov_rate_filter), and the Levenshtein prefix-strip pair
+# (account_creation_dist, record_linkage_blocking) — every
 # one re-verified value-exact vs the DuckDB oracle at sf0.01 in-round.
-# These 14 lead; then the stale backlog in check_union order (4
-# r6-stale rows, then the r7-stale rows). 14 + 4 + 45 > 50, so the
+# These 18 lead; then the stale backlog in check_union order (4
+# r6-stale rows, then the r7-stale rows). 18 + 4 + 45 > 50, so the
 # last r7 rows overflow to the r13 prefix (changed-code outranks
 # stale — the overflow is the standing rule working as intended;
 # cluster_canonical_docs and dedup_clusters appear in both lists and

@@ -238,16 +238,14 @@ def account_creation_dist(
     # populations ("Customer#000000042") stripping nearly halves the
     # DP cell count of the quadratic kernel for the price of one
     # linear min/max pass. The RATIO keeps the original-length
-    # denominator, so the predicate value is bit-identical.
-    import os as _os
+    # denominator, so the predicate value is bit-identical. NOTE (r12
+    # ADVICE): the probe is an EAGER driver-blocking 1-row min/max job
+    # at plan-construction time — memoized per (session, input plan)
+    # in session.global_common_prefix_len, so only the FIRST
+    # invocation on a given input pays the scan.
+    from ..session import global_common_prefix_len
 
-    _mm = df.select(
-        F.min(F.col(name_col)).alias("__mn"),
-        F.max(F.col(name_col)).alias("__mx"),
-    ).first()
-    _pre = 0
-    if _mm is not None and _mm["__mn"] is not None and _mm["__mx"] is not None:
-        _pre = len(_os.path.commonprefix([_mm["__mn"], _mm["__mx"]]))
+    _pre = global_common_prefix_len(df.select(F.col(name_col)), name_col)
 
     def _lev_arg(c):
         if _pre >= 2:

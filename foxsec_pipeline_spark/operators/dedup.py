@@ -303,16 +303,22 @@ def dedup_clusters(
     `nodes` — singletons keep themselves, so the output is directly a
     keep/drop decision: drop rows where id != cluster_keeper.
 
-    Each round is cut with an eager `localCheckpoint` rather than
-    `persist`: the logical plan would otherwise grow by one
-    join+agg per round, so round N pays O(N) re-analysis and the
-    final plan is the whole loop unrolled (measured ~10 s -> ~3 s
-    at sf0.1). Checkpoint blocks are reclaimed by the ContextCleaner
-    when the python refs drop, so nothing stays pinned after return
-    (the old persist-based version leaked its final cache and
-    contaminated every later query in the bench run). Change
-    detection rides the update join itself (max(changed) over a
-    flag column) instead of a second old-vs-new join.
+    Loop mechanics (r12): each round's update is `persist()`ed and a
+    single probe aggregate (max of the per-row changed flag) both
+    answers the fixpoint test AND materializes that cache — one job
+    per round, where the older eager-localCheckpoint + separate probe
+    paid two sequential jobs. The logical plan does nest round over
+    round (persist does not truncate lineage, and `labels` is read
+    twice per round), but every inner reference resolves to an
+    already-populated InMemoryRelation at planning time, so
+    re-analysis stays cheap and no subtree re-executes. The FINAL
+    labels are cut with one eager `localCheckpoint` and every
+    per-round cache is then unpersisted before return, so nothing
+    stays pinned after the call (the old persist-based version leaked
+    its final cache and contaminated every later query in the bench
+    run; a leak-regression test pins this). Change detection rides
+    the update join itself (max(changed) over a flag column) instead
+    of a second old-vs-new join.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -1067,14 +1073,20 @@ def _jaccard_prefix_path(
     # from emission on EVERY sparse-path run — a fixed width was the
     # same class of constant the r11 AQE find replaced (held to ~6B
     # candidates at ~1 GB/task, then per-task dedup state grows
-    # linearly with corpus).
-    n_docs = tok.select(id_col).distinct().count()
-    emission = (
+    # linearly with corpus). Both are 1-row bounded statistics,
+    # memoized per (session, probe plan) — r13, the same
+    # plan_stat_memo posture as the prefix strip, so bench reps and
+    # repeat callers don't re-pay the token-stream pass at plan build.
+    from ..session import plan_stat_memo
+
+    n_docs = plan_stat_memo(
+        tok.select(id_col).distinct(), lambda p: p.count()
+    )
+    emission = plan_stat_memo(
         pref.groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("p"))
-        .agg(F.sum(F.expr("p * (p - 1) div 2")).alias("em"))
-        .collect()[0]["em"]
-        or 0
+        .agg(F.sum(F.expr("p * (p - 1) div 2")).alias("em")),
+        lambda p: p.collect()[0]["em"] or 0,
     )
     if n_vocab is not None and n_vocab <= multiword_vocab_cap:
         all_pairs = n_docs * (n_docs - 1) // 2
@@ -1313,11 +1325,17 @@ def _verify_pairs_arrays(tok, cand, id_col, t_num, t_den):
     set-build subplans are identical up to output aliases, so
     ReuseExchange dedupes the one shuffle between them (the r11 cache
     leaked an executor-memory entry per invocation)."""
-    stats = tok.agg(
-        F.sum(F.length("w")).cast("long").alias("b"),
-        F.count(F.lit(1)).cast("long").alias("r"),
-    ).collect()[0]
-    est_bytes = (stats["b"] or 0) + 8 * (stats["r"] or 0)
+    from ..session import plan_stat_memo
+
+    est_bytes = plan_stat_memo(
+        tok.agg(
+            F.sum(F.length("w")).cast("long").alias("b"),
+            F.count(F.lit(1)).cast("long").alias("r"),
+        ),
+        lambda p: (lambda s: (s["b"] or 0) + 8 * (s["r"] or 0))(
+            p.collect()[0]
+        ),
+    )
     sets = tok.groupBy(id_col).agg(
         F.sort_array(F.collect_list("w")).alias("ws"),
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1500,20 +1518,19 @@ def edit_distance_pairs_blocked(
     # Spark's levenshtein does not trim internally (microbenched ~2x
     # on fixed-format names). So the DP verify, the deletion-variant
     # fan-out (C(L,2) keys on the SHORTER stripped length), and the
-    # emitted name_dist are all exact-identical for one linear
-    # min/max pass over the input.
-    import os as _os
+    # emitted name_dist are all exact-identical. NOTE (r12 ADVICE):
+    # the probe is an EAGER driver-blocking 1-row min/max job at
+    # plan-construction time — memoized per (session, input plan) in
+    # session.global_common_prefix_len, so only the FIRST invocation
+    # on a given input pays the scan.
+    from ..session import global_common_prefix_len
 
-    _mm = base.select(
-        F.min("__nm").alias("__mn"), F.max("__nm").alias("__mx")
-    ).first()
-    if _mm is not None and _mm["__mn"] is not None and _mm["__mx"] is not None:
-        _pre = len(_os.path.commonprefix([_mm["__mn"], _mm["__mx"]]))
-        if _pre >= 2:
-            base = base.withColumn(
-                "__nm",
-                F.col("__nm").substr(F.lit(_pre + 1), F.length("__nm")),
-            )
+    _pre = global_common_prefix_len(base, "__nm")
+    if _pre >= 2:
+        base = base.withColumn(
+            "__nm",
+            F.col("__nm").substr(F.lit(_pre + 1), F.length("__nm")),
+        )
     sizes = base.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__bsz"))
     cutoff, any_hot = density_hot_split(
         sizes, "__bsz", work_budget_pairs, int(hot_block_cutoff)

