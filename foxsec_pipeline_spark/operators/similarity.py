@@ -1008,6 +1008,85 @@ def pq_codebook_df(spark, codebooks: dict[tuple[int, int], list[int]]) -> DataFr
     )
 
 
+def _fixed_point_hof_sql(vec_col: str) -> str:
+    """SQL twin of `_int_exploded`'s guarded fixed-point conversion as
+    ONE transform() over the whole vector — identical floor/scale
+    arithmetic AND the identical out-of-range raise, so the
+    literal-codebook paths keep the operator's error contract."""
+    return (
+        f"transform({vec_col}, __x -> CASE "
+        f"WHEN abs(CAST(__x AS DOUBLE)) <= {INT_COMPONENT_BOUND}D "
+        f"THEN CAST(floor(CAST(__x AS DOUBLE) * {float(LSH_SCALE)}D) "
+        f"AS BIGINT) "
+        f"ELSE CAST(raise_error(concat('fixed-point component out of "
+        f"range (|x| > {INT_COMPONENT_BOUND}): normalize the corpus "
+        f"before the bucketed similarity paths; got ', "
+        f"CAST(CAST(__x AS DOUBLE) AS STRING))) AS BIGINT) END)"
+    )
+
+
+def pq_encode_literal(
+    corpus: DataFrame,
+    codebooks: dict[tuple[int, int], list[int]],
+    n_sub: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, __m, code) — same contract as :func:`pq_encode`, but
+    the trained codebook enters as LITERAL arrays in one scalar
+    projection instead of an exploded broadcast-join: per subspace the
+    argmin over K codes is `array_min(transform(<literal codewords>,
+    cw -> struct(Σ(xs-cs)², cid)))` (lexicographic struct order ==
+    min_by(cid, struct(d, cid)) ties-to-lowest), and the code row
+    stream is a map-side `stack`.
+
+    Why (r13, guide §2.3/§2.4): the relational encode posexplodes the
+    corpus 64-wide, fans out Kx against the codebook join, and pays
+    TWO aggregate exchanges (|corpus| x dim x K rows through the
+    first) — the committed before-plan showed 30 Exchanges for
+    ann_cosine_pq. This form encodes in ONE projection: zero
+    exchanges, zero joins, |corpus| rows in flight. HOF form, not the
+    unrolled per-term SQL: the first attempt unrolled all
+    n_sub*K*sub_dim squared-diff terms into scalar expressions and
+    Janino compilation of the resulting megamethod cost ~7 s PER PLAN
+    at sf0.1 (REJECTED, numbers in OPTIMIZATION_r13.md); the HOF tree
+    is ~50 nodes, evaluates interpreted per-row, and costs microseconds
+    at this K. Integer math is bit-identical (int64 sums of the same
+    terms; addition order immaterial).
+
+    Contract: vectors must carry exactly `n_sub * sub_dim` components
+    (the same fixed-dim assumption the PQ oracle's range(1, dim+1)
+    unnest encodes); each component passes the `_int_exploded` range
+    guard, preserving the raise-on-unnormalized behavior."""
+    proj = spread(corpus).selectExpr(
+        id_col, f"{_fixed_point_hof_sql(vec_col)} AS __xs"
+    )
+    per_sub = []
+    for m in range(int(n_sub)):
+        cws = ", ".join(
+            f"named_struct('c', {int(cid)}L, 'v', array("
+            + ", ".join(f"{int(cs)}L" for cs in comps)
+            + "))"
+            for (mm, cid), comps in sorted(codebooks.items())
+            if mm == m
+        )
+        sub = f"slice(__xs, {m * int(sub_dim) + 1}, {int(sub_dim)})"
+        per_sub.append(
+            f"array_min(transform(array({cws}), cw -> named_struct("
+            f"'d', aggregate(zip_with({sub}, cw.v, "
+            f"(x, c) -> (x - c) * (x - c)), 0L, (a, b) -> a + b), "
+            f"'c', cw.c))).c AS __code{m}"
+        )
+    wide = proj.selectExpr(id_col, *per_sub)
+    stack = ", ".join(
+        f"CAST({m} AS INT), __code{m}" for m in range(int(n_sub))
+    )
+    return wide.selectExpr(
+        id_col, f"stack({int(n_sub)}, {stack}) AS (__m, code)"
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebook: DataFrame,
@@ -1079,7 +1158,15 @@ def cosine_topk_pq(
             id_col=id_col, vec_col=vec_col,
         )
     cb = pq_codebook_df(corpus.sparkSession, codebooks)
-    codes = pq_encode(corpus, cb, sub_dim, id_col=id_col, vec_col=vec_col)
+    # r13: the CORPUS-scale encode takes the literal-codebook path
+    # (one whole-stage-codegen projection, zero exchanges) instead of
+    # the posexplode + broadcast-join + two-agg relational form; the
+    # query-side LUT below stays relational — it is |Q|-sized and its
+    # explode/join cost is noise. Same integer math, same argmin
+    # tie-break (see pq_encode_literal), so codes are bit-identical.
+    codes = pq_encode_literal(
+        corpus, codebooks, n_sub, sub_dim, id_col=id_col, vec_col=vec_col
+    )
     q_ex = _int_exploded_sub(queries, id_col, vec_col, "__qid", sub_dim)
     lut = (
         q_ex.join(F.broadcast(cb), ["__m", "__jj"])

@@ -476,18 +476,24 @@ def q_bpe_train_merges(spark, sf_dir):
         "broadcast. Oracle unrolls training + application",
 )
 def q_bpe_token_counts(spark, sf_dir):
-    from ..operators.textanalysis import bpe_segment_counts, bpe_train
+    from ..operators.textanalysis import (
+        bpe_segment_counts,
+        bpe_train_merge_list,
+    )
 
     docs = _docs(spark, sf_dir)
-    merges = bpe_train(docs, n_merges=_BPE_N)
-    seg = bpe_segment_counts(docs, merges, _BPE_N)
-    n_tok = docs.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    # r13: literal merge rules (zero joins in the segmentation pass)
+    # and n_tokens carried through that same pass — the old shape
+    # scanned documents a second time just to re-tokenize for the
+    # count and joined the scans back on doc_id (guide §2.4)
+    merges = bpe_train_merge_list(docs, n_merges=_BPE_N)
+    seg = bpe_segment_counts(
+        docs, merges, _BPE_N,
+        carry_cols={
+            "n_tokens": F.size(tokens(F.col("text"))).cast("long"),
+        },
     )
-    return n_tok.join(seg, "doc_id").select(
-        "doc_id", "n_tokens", "n_bpe_units"
-    )
+    return seg.select("doc_id", "n_tokens", "n_bpe_units")
 
 
 def _winnow_fp(docs):

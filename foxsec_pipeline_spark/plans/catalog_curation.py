@@ -940,19 +940,30 @@ WHERE z.rn = 1
         "family already pays; this adds a slice-cardinality hash-agg",
 )
 def q_tokenizer_fertility(spark, sf_dir):
-    from ..operators.textanalysis import bpe_segment_counts, bpe_train
+    from ..operators.textanalysis import (
+        bpe_segment_counts,
+        bpe_train_merge_list,
+    )
     from .catalog_corpus import _BPE_N
 
     docs = _docs(spark, sf_dir)
-    merges = bpe_train(docs, n_merges=_BPE_N)
-    seg = bpe_segment_counts(docs, merges, _BPE_N)
-    n_tok = docs.select(
-        "doc_id", "lang", "source",
-        F.col("n_chars").cast("long").alias("nc"),
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    # r13: literal merge rules + every per-doc column carried through
+    # the ONE segmentation pass (carry_cols) — the old shape scanned
+    # documents twice and joined the two scans back on doc_id (6
+    # broadcast-join rounds + 1 SMJ/BHJ exchange pair), all for
+    # columns derivable from the same row (guide §2.4)
+    merges = bpe_train_merge_list(docs, n_merges=_BPE_N)
+    seg = bpe_segment_counts(
+        docs, merges, _BPE_N,
+        carry_cols={
+            "lang": F.col("lang"),
+            "source": F.col("source"),
+            "nc": F.col("n_chars").cast("long"),
+            "n_tokens": F.size(tokens(F.col("text"))).cast("long"),
+        },
     )
     return (
-        n_tok.join(seg.select("doc_id", "n_bpe_units"), "doc_id")
+        seg
         .groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

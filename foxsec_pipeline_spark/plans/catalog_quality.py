@@ -1769,6 +1769,15 @@ def q_minhash_jaccard_estimate_error(spark, sf_dir):
             (md5_bucket(F.col("__s")) % F.lit(MINHASH_P)).alias("h"),
         )
         .distinct()
+        # r13: EAGER checkpoint — hsh has FIVE consumers (cand's
+        # banding, nsh, mh, ha, hb) and the committed r12 before-plan
+        # showed the tokenize->Window->md5 shingle pipeline replicated
+        # NINE times (9 parquet scans / 9 Windows, zero ReusedExchange
+        # in the initial plan). Materializing the distinct hash table
+        # once collapses those to one corpus pass + 8 reads of the
+        # checkpoint (guide §2.4); interleaved A/B at sf0.1:
+        # means 2.6 -> 2.0 s, mins 2.03 -> 1.80 s, output identical.
+        .localCheckpoint(eager=True)
     )
     # the candidate leg reuses hsh's shingle hashes (min per
     # permutation is duplicate-insensitive, so the distinct hash set
