@@ -117,6 +117,25 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 # global_stats lesson).
 LSH_SCALE = 1 << 20
 
+# cutoff between lsh_buckets_relational's two physical forms: at or
+# below this many total planes the zero-exchange map form wins; above
+# it the interpreted per-plane HOF dots cost more than the aggregate
+# exchange they save (interleaved A/B at sf0.1: 4 planes -> map form
+# wins ~1.2x; 24 planes -> relational wins ~1.2x). A structural
+# constant of the plane config, not a data-dependent switch.
+_LSH_MAP_FORM_MAX_PLANES = 8
+
+
+def _fixed_point_plain_hof_sql(vec_col: str) -> str:
+    """SQL for the UNGUARDED fixed-point conversion as one transform()
+    — the exact twin of the relational LSH path's floor(x * 2^20)
+    (which carries no range guard; the guarded variant backs the
+    IVF/PQ paths via `_fixed_point_hof_sql`)."""
+    return (
+        f"transform({vec_col}, __x -> CAST(floor(CAST(__x AS DOUBLE) * "
+        f"{float(LSH_SCALE)}D) AS BIGINT))"
+    )
+
 
 def lsh_buckets_relational(
     df: DataFrame,
@@ -124,20 +143,69 @@ def lsh_buckets_relational(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, __tbl, __bkt) — one row per (vector, LSH table), computed
-    relationally: posexplode the vector, one integer agg per (table,
-    plane), sign-pack per table, posexplode the per-table buckets.
+    """(id, vec, __tbl, __bkt) — one row per (vector, LSH table):
+    fixed-point the vector once, one literal-coefficient integer dot
+    per (table, plane), sign-pack per table, posexplode the per-table
+    buckets.
 
-    Why not the `lsh_bucket` expression per row: each plane dot is a
-    higher-order fold (interpreted, no codegen), and CollapseProject
-    inlines the whole bucket expression into every downstream use —
-    with 6 tables x 4 planes the plan spends multiples of the runtime
-    in compilation alone. Here the plane dot is sum(scaled_x * coef)
-    under groupBy(id): whole-stage codegen end to end, and map-side
-    partial agg shrinks the exploded (id, j, x) rows back to one row
-    per (id, partition) before the exchange — the shuffle stays
-    ~|vectors| rows at any scale.
+    r13 — the form is PLANE-COUNT-adaptive, both branches measured
+    interleaved at sf0.1 (OPTIMIZATION_r13.md):
+
+    MAP form (total planes <= _LSH_MAP_FORM_MAX_PLANES): zero
+    exchanges — fixed-point once via transform(), each plane dot is
+    `aggregate(zip_with(__xs, <literal coef array>, *), 0L, +)`
+    (integer addition is commutative, so the left-fold equals the
+    shuffled sum bit-for-bit). The r9 objections are engineered
+    around, not ignored: (1) CollapseProject inlining — the
+    fixed-point array, the plane dots, and the bucket pack live in
+    THREE layered projections; __xs is multi-referenced and non-cheap
+    so CollapseProject leaves the layers alone, and each dot is
+    referenced exactly once by the pack; (2) Generate re-evaluation —
+    the posexplode consumes a MATERIALIZED pack-array column
+    (re-evaluating an attribute reference per output row is free);
+    (3) py4j cost — the dot exprs are parsed SQL strings. Null/empty
+    vectors are filtered up front (the posexplode form emitted no
+    rows for them). Measured at 4 planes: dedup_embedding_cosine
+    1.32 -> 1.09 s, ann_cosine_lsh ~flat-to-better, semdedup/
+    embedding_cluster_summary win big with the joins also removed.
+
+    RELATIONAL form (above the cutoff): posexplode + one codegen
+    integer agg per plane + sign-pack. HOFs evaluate INTERPRETED, and
+    at 6 tables x 4 planes x dim 64 the per-row lambda cost exceeds
+    the saved aggregate exchange — interleaved A/B on
+    ann_cosine_lsh_multiprobe: map form 1.75 s vs relational 1.42 s
+    min, so the wide-table path keeps codegen.
     """
+    if sum(len(t) for t in tables) <= _LSH_MAP_FORM_MAX_PLANES:
+        base = (
+            spread(df)
+            .where(F.size(F.col(vec_col)) >= 1)
+            .selectExpr(
+                id_col, vec_col, f"{_fixed_point_plain_hof_sql(vec_col)} AS __xs"
+            )
+        )
+        dot_exprs = []
+        for t, table in enumerate(tables):
+            for i, plane in enumerate(table):
+                coefs = ", ".join(f"{int(v)}L" for v in plane)
+                dot_exprs.append(
+                    f"aggregate(zip_with(__xs, array({coefs}), "
+                    f"(x, c) -> x * c), 0L, (a, b) -> a + b) AS __d_{t}_{i}"
+                )
+        dots = base.selectExpr(id_col, vec_col, *dot_exprs)
+        packed = ", ".join(
+            " + ".join(
+                f"(CASE WHEN __d_{t}_{i} > 0 THEN {2 ** i} ELSE 0 END)"
+                for i in range(len(table))
+            )
+            for t, table in enumerate(tables)
+        )
+        wide = dots.selectExpr(id_col, vec_col, f"array({packed}) AS __pk")
+        return wide.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.posexplode("__pk").alias("__tbl", "__bkt"),
+        )
     ex = spread(df).select(
         F.col(id_col), F.col(vec_col), F.posexplode(vec_col).alias("__j", "__x")
     )
@@ -1084,6 +1152,78 @@ def pq_encode_literal(
     )
     return wide.selectExpr(
         id_col, f"stack({int(n_sub)}, {stack}) AS (__m, code)"
+    )
+
+
+def _ivf_cell_sql(codebook: dict[int, list[float]]) -> str:
+    """SQL expr for the argmax-MIPS IVF cell id over a materialized
+    `__xs` fixed-point array column — the literal-codebook twin of
+    `ivf_assign`'s max_by(cid, struct(__d, -cid)): array_max over
+    (d, -cid) structs picks max dot, ties to the LOWEST cid. Codebook
+    components are exact 2^-20 multiples (ivf_train_codebook), so the
+    floor re-scale recovers the trained integers losslessly — the
+    same conversion `_int_exploded` applies to the centroid frame."""
+    import math
+
+    structs = []
+    for cid, comps in sorted(codebook.items()):
+        cs = ", ".join(
+            f"{math.floor(float(x) * LSH_SCALE)}L" for x in comps
+        )
+        structs.append(
+            f"named_struct('d', aggregate(zip_with(__xs, array({cs}), "
+            f"(x, c) -> x * c), 0L, (a, b) -> a + b), "
+            f"'nc', CAST({-int(cid)} AS BIGINT))"
+        )
+    body = (
+        f"array_max(array({', '.join(structs)})).nc"
+        if len(structs) > 1
+        else f"({structs[0]}).nc"
+    )
+    return f"CAST(-({body}) AS BIGINT)"
+
+
+def _lsh_pack_sql(table: list[list[float]]) -> str:
+    """SQL expr for one LSH table's sign-packed bucket id over a
+    materialized `__xs` fixed-point array column (literal integer
+    plane coefficients — see lsh_buckets_relational)."""
+    terms = []
+    for i, plane in enumerate(table):
+        coefs = ", ".join(f"{int(v)}L" for v in plane)
+        d = (
+            f"aggregate(zip_with(__xs, array({coefs}), "
+            f"(x, c) -> x * c), 0L, (a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {d} > 0 THEN {2 ** i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def ivf_assign_literal(
+    corpus: DataFrame,
+    codebook: dict[int, list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """(id, [carry_cols...,] cell) — same contract and identical cell
+    ids as :func:`ivf_assign` over `ivf_codebook_df(codebook)`, but the
+    trained codebook enters as LITERAL arrays in one map projection
+    instead of the posexplode + broadcast-join + agg/window relational
+    form (r13, guide §2.3/§2.4 — the pq_encode_literal pattern): zero
+    exchanges, zero joins, |corpus| rows in flight. ``carry_cols``
+    projects extra input columns through the same pass so consumers
+    don't join the assignment back to the corpus on id. Null/empty
+    vectors are dropped (the relational form's posexplode emitted no
+    rows for them); components pass the `_int_exploded` range guard."""
+    proj = (
+        spread(corpus)
+        .where(F.size(F.col(vec_col)) >= 1)
+        .selectExpr(
+            id_col, *carry_cols, f"{_fixed_point_hof_sql(vec_col)} AS __xs"
+        )
+    )
+    return proj.selectExpr(
+        id_col, *carry_cols, f"{_ivf_cell_sql(codebook)} AS cell"
     )
 
 

@@ -73,7 +73,10 @@ def quality_score(
 
 
 def language_id(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Stopword-marker language guess: argmax over per-language
     stopword hit ratios, 'und' (undetermined) if all zero.
@@ -81,6 +84,12 @@ def language_id(
     A real deployment swaps this for fastText/CLD via a pandas UDF;
     the operator shape (map-side projection, argmax over a struct
     array) is identical.
+
+    ``carry_cols`` (r13): extra input columns projected through the
+    one map pass (appended after the standard output columns), so a
+    consumer that needs e.g. `source` alongside pred_lang does not
+    re-scan the corpus and join the two passes back on doc_id
+    (guide §2.4 — the bpe_segment_counts carry_cols pattern).
     """
     df = spread(df)
     tok = tokens(F.col(text_col))
@@ -98,6 +107,7 @@ def language_id(
         F.col(id_col),
         F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("pred_lang"),
         best["score"].alias("lang_score"),
+        *[F.col(c) for c in carry_cols],
     )
 
 

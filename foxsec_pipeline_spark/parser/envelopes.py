@@ -611,91 +611,66 @@ AUTH0_BODY = T.StructType(
 _AUTH0_WRAPPED = T.StructType([T.StructField("jsonPayload", AUTH0_BODY)])
 
 
-def strip_envelopes(df: DataFrame, value_col: str = "value") -> DataFrame:
-    """Attach the parsed wide struct (`j`) plus hoisted envelope
-    columns: `moz_fields` (top-level or stackdriver-nested mozlog),
-    `moz_logger`/`moz_type`, `sd_project`, `payload_text` (text body
-    for regex payloads; the raw line when not enveloped), and
-    `envelope_ts` (Stackdriver ts > mozlog ns ts).
-    """
+_ENVELOPE_COLS: dict[str, tuple] = {}
+
+
+def _envelope_cols(value_col: str) -> tuple:
+    """Input-independent Column trees of `strip_envelopes`, cached per
+    value_col — the `_projection` posture (parse.py:97): Columns are
+    immutable unresolved expressions bound to nothing, reusable across
+    DataFrames and queries, and rebuilding this set is ~90 py4j calls
+    (~0.1-0.2 s of driver time) per parse_events call (r13, guide
+    §1.2 — fixed driver cost paid on every bench rep)."""
+    hit = _ENVELOPE_COLS.get(value_col)
+    if hit is not None:
+        return hit
     j = F.from_json(F.col(value_col), WIDE_SCHEMA)
-    moz_shaped = F.col(value_col).contains('"Timestamp"') | F.col(value_col).contains(
-        '"Fields"'
-    )
+    moz_shaped = F.col(value_col).contains('"Timestamp"') | F.col(
+        value_col
+    ).contains('"Fields"')
     m = F.when(moz_shaped, F.from_json(F.col(value_col), MOZLOG_SCHEMA))
-    # BATCHED withColumns, not a withColumn chain: every withColumn is
-    # a full analyzer pass over a plan that carries the WIDE_SCHEMA
-    # from_json tree, and eleven chained passes cost ~1.4 s of pure
-    # DRIVER time per parse_events call (measured at r9; 4 batched
-    # passes bring envelope attachment to ~0.3 s). Batches follow the
-    # dependency layers: (j, m, a0) <- mt <- moz_*/sd/payload_text
-    # <- envelope_ts.
-    out = df.withColumns(
-        {
-            "j": j,
-            "m": m,
-            # gated on the _id marker so the two extra JSON parses run
-            # only on auth0-shaped lines (same trick as moz_shaped)
-            "a0": F.when(
-                F.col(value_col).contains('"_id"'),
-                F.coalesce(
-                    F.from_json(F.col(value_col), _AUTH0_WRAPPED)[
-                        "jsonPayload"
-                    ],
-                    F.from_json(F.col(value_col), AUTH0_BODY),
-                ),
-            ),
-        }
+    a0 = F.when(
+        F.col(value_col).contains('"_id"'),
+        F.coalesce(
+            F.from_json(F.col(value_col), _AUTH0_WRAPPED)["jsonPayload"],
+            F.from_json(F.col(value_col), AUTH0_BODY),
+        ),
     )
-    # a Stackdriver textPayload may itself BE a mozlog JSON string
-    # (Parser.java strips the Stackdriver envelope, then probes the
-    # inner text — ParserTest.testParseStackdriverTextDuopullBypass);
-    # gated on the mozlog markers so only such lines pay the parse
-    out = out.withColumns(
-        {
-            "mt": F.when(
-                F.col("j.textPayload").contains('"Fields"')
-                | F.col("j.textPayload").contains('"Timestamp"'),
-                F.from_json(F.col("j.textPayload"), MOZLOG_SCHEMA),
-            ),
-        }
+    mt = F.when(
+        F.col("j.textPayload").contains('"Fields"')
+        | F.col("j.textPayload").contains('"Timestamp"'),
+        F.from_json(F.col("j.textPayload"), MOZLOG_SCHEMA),
     )
     moz_ts_raw = F.coalesce(
         F.col("m.Timestamp"), F.col("j.jsonPayload.Timestamp"),
         F.col("mt.Timestamp"),
     )
-    out = out.withColumns(
-        {
-            "moz_fields": F.coalesce(
-                F.col("j.jsonPayload.Fields"), F.col("m.Fields"),
-                F.col("mt.Fields"),
-            ),
-            "moz_logger": F.coalesce(
-                F.col("m.Logger"), F.col("j.jsonPayload.Logger"),
-                F.col("mt.Logger"),
-            ),
-            "moz_type": F.coalesce(
-                F.col("m.Type"), F.col("j.jsonPayload.Type"),
-                F.col("mt.Type"),
-            ),
-            # integer ns normally, but bmoaudit emits the ns count in
-            # scientific notation ('1.548956727E18') which Jackson
-            # reads as a double — try the exact integer parse first,
-            # fall through to the double form, never throw (ANSI-safe)
-            "moz_ts_ns": F.coalesce(
-                F.try_to_number(
-                    moz_ts_raw, F.lit("S" + "9" * 19)
-                ).cast("long"),
-                moz_ts_raw.try_cast("double").cast("long"),
-            ),
-            "sd_project": F.coalesce(
-                F.col("j.resource.labels.project_id"), F.col("j.logName")
-            ),
-            "payload_text": F.coalesce(
-                F.col("j.textPayload"), F.col(value_col)
-            ),
-        }
-    )
+    layer3 = {
+        "moz_fields": F.coalesce(
+            F.col("j.jsonPayload.Fields"), F.col("m.Fields"),
+            F.col("mt.Fields"),
+        ),
+        "moz_logger": F.coalesce(
+            F.col("m.Logger"), F.col("j.jsonPayload.Logger"),
+            F.col("mt.Logger"),
+        ),
+        "moz_type": F.coalesce(
+            F.col("m.Type"), F.col("j.jsonPayload.Type"),
+            F.col("mt.Type"),
+        ),
+        # integer ns normally, but bmoaudit emits the ns count in
+        # scientific notation ('1.548956727E18') which Jackson
+        # reads as a double — try the exact integer parse first,
+        # fall through to the double form, never throw (ANSI-safe)
+        "moz_ts_ns": F.coalesce(
+            F.try_to_number(moz_ts_raw, F.lit("S" + "9" * 19)).cast("long"),
+            moz_ts_raw.try_cast("double").cast("long"),
+        ),
+        "sd_project": F.coalesce(
+            F.col("j.resource.labels.project_id"), F.col("j.logName")
+        ),
+        "payload_text": F.coalesce(F.col("j.textPayload"), F.col(value_col)),
+    }
     # mozlog ns Timestamp WINS over the Stackdriver envelope ts when
     # both are present: Parser.java:424-446 strips the Stackdriver
     # envelope first (setting ts from LogEntry.timestamp) and then
@@ -708,4 +683,30 @@ def strip_envelopes(df: DataFrame, value_col: str = "value") -> DataFrame:
         F.timestamp_micros(F.expr("moz_ts_ns div 1000")),
         F.to_timestamp(F.col("j.timestamp")),
     )
+    built = (j, m, a0, mt, layer3, envelope_ts)
+    _ENVELOPE_COLS[value_col] = built
+    return built
+
+
+def strip_envelopes(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Attach the parsed wide struct (`j`) plus hoisted envelope
+    columns: `moz_fields` (top-level or stackdriver-nested mozlog),
+    `moz_logger`/`moz_type`, `sd_project`, `payload_text` (text body
+    for regex payloads; the raw line when not enveloped), and
+    `envelope_ts` (Stackdriver ts > mozlog ns ts).
+    """
+    j, m, a0, mt, layer3, envelope_ts = _envelope_cols(value_col)
+    # BATCHED withColumns, not a withColumn chain: every withColumn is
+    # a full analyzer pass over a plan that carries the WIDE_SCHEMA
+    # from_json tree, and eleven chained passes cost ~1.4 s of pure
+    # DRIVER time per parse_events call (measured at r9; 4 batched
+    # passes bring envelope attachment to ~0.3 s). Batches follow the
+    # dependency layers: (j, m, a0) <- mt <- moz_*/sd/payload_text
+    # <- envelope_ts. The a0 parse is gated on the _id marker so the
+    # two extra JSON parses run only on auth0-shaped lines; mt probes
+    # a Stackdriver textPayload that may itself BE a mozlog JSON
+    # string (ParserTest.testParseStackdriverTextDuopullBypass).
+    out = df.withColumns({"j": j, "m": m, "a0": a0})
+    out = out.withColumns({"mt": mt})
+    out = out.withColumns(layer3)
     return out.withColumn("envelope_ts", envelope_ts)

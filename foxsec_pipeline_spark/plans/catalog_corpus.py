@@ -749,27 +749,30 @@ def q_winnowing_plagiarism_pairs(spark, sf_dir):
     docn = d.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_fp")
     )
-    bk = (
+    # r13 (guide §2.4): pairs are generated INSIDE each fp_hash bucket
+    # by grouping doc ids and exploding ordered combinations — the r12
+    # aliased SELF-JOIN evaluated the whole fingerprint pipeline for
+    # both join sides (Catalyst gives aliased subplans no exchange
+    # reuse), and needed a separate df hash-agg + semi-join for the
+    # cap. Here the df-cap [2, _WINNOW_DF_CAP] folds into the same
+    # grouping aggregate as pair generation (size of the id array),
+    # the same shape as ngram_jaccard_pairs / minhash_lsh_pairs; the
+    # explicit-width repartition spreads the quadratic explode AQE
+    # can't see (byte-blind coalescing).
+    par = spark.sparkContext.defaultParallelism
+    grouped = (
         d.groupBy("fp_hash")
-        .agg(F.count(F.lit(1)).alias("_df"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
         .where(
-            (F.col("_df") >= 2) & (F.col("_df") <= _WINNOW_DF_CAP)
+            (F.size("docs") >= 2) & (F.size("docs") <= _WINNOW_DF_CAP)
         )
-        .select("fp_hash")
     )
-    bd = d.join(bk, "fp_hash", "semi")
-    a = bd.alias("a")
-    b = bd.alias("b")
     pr = (
-        a.join(
-            b,
-            (F.col("a.fp_hash") == F.col("b.fp_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        grouped.repartition(par)
+        .select("docs", F.explode("docs").alias("doc_a"))
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= 2)
     )

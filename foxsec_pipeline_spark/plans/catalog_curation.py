@@ -843,7 +843,7 @@ def q_kcore_decomposition(spark, sf_dir):
 
     n_li = plan_stat_memo(li, lambda p: p.count())
     k = _KCORE_K if n_li < _KCORE_N_SMALL else _KCORE_K_LARGE
-    for _ in range(_KCORE_ROUNDS):
+    for r in range(_KCORE_ROUNDS):
         deg = edges.groupBy(F.col("u").alias("node")).agg(
             F.count(F.lit(1)).cast("long").alias("degree")
         )
@@ -854,8 +854,14 @@ def q_kcore_decomposition(spark, sf_dir):
             )
             .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
         )
+        # every round's output is read TWICE by the next round (degree
+        # agg + semi-join left side) — checkpoint those; the LAST
+        # round feeds only the final aggregate, whose plan reads the
+        # previous (materialized) round's RDD, so the closing
+        # checkpoint job is pure waste (r13: one fewer sequential job)
+        if r != _KCORE_ROUNDS - 1:
+            edges = edges.localCheckpoint()
     return edges.groupBy(F.col("u").alias("part")).agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")
     )
@@ -1376,7 +1382,7 @@ def q_khop_reachability(spark, sf_dir):
         .select(F.col("node").alias("seed"), F.col("node"))
     )
     reached = seeds
-    for _ in range(_KHOP_ROUNDS):
+    for r in range(_KHOP_ROUNDS):
         expanded = (
             reached.join(edges, reached["node"] == edges["u"])
             .select("seed", F.col("v").alias("node"))
@@ -1388,7 +1394,13 @@ def q_khop_reachability(spark, sf_dir):
         # frontier is small here so lazy happened to measure fine, but
         # the race is latent; eager matches the five sibling sites
         # (pagerank, kcore, triangles, frequent_itemsets, link_jaccard).
-        reached = reached.unionByName(expanded).distinct().localCheckpoint()
+        # LAST round excepted (r13): it feeds only the final per-seed
+        # aggregate — one consumer, so the closing checkpoint job is
+        # pure waste (the plan still reads the previous round's
+        # materialized RDD twice, which is safe).
+        reached = reached.unionByName(expanded).distinct()
+        if r != _KHOP_ROUNDS - 1:
+            reached = reached.localCheckpoint()
     return reached.groupBy("seed").agg(
         (F.count(F.lit(1)) - 1).cast("long").alias("n_reachable")
     )

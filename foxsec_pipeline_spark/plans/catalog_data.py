@@ -791,12 +791,17 @@ FROM top WHERE rn = 1
         "unrolls the same integer Lloyd training",
 )
 def q_embedding_cluster_summary(spark, sf_dir):
-    from ..operators.similarity import ivf_assign, ivf_codebook_df
+    from ..operators.similarity import ivf_assign_literal
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     cb = _trained_ivf_codebook(spark, sf_dir)
-    cells = ivf_assign(emb, ivf_codebook_df(spark, cb))
-    lab = cells.join(emb.select("vec_id", "label"), "vec_id")
+    # r13: literal-codebook map-side assignment with label carried
+    # through the one pass — the r12 shape posexploded the corpus,
+    # broadcast-joined the centroid frame, aggregated twice, and then
+    # joined the cells BACK to the corpus on vec_id just to fetch
+    # label (guide §2.3/§2.4; cell ids bit-identical, see
+    # ivf_assign_literal / tests/test_ivf_assign_literal.py)
+    lab = ivf_assign_literal(emb, cb, carry_cols=("label",))
     per = lab.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("c"))
     agg = per.groupBy("cell").agg(
         F.sum("c").alias("n_vecs"),
@@ -975,21 +980,37 @@ FROM pairs WHERE cosine >= 0.4 GROUP BY 1, 2
 )
 def q_semdedup(spark, sf_dir):
     from ..operators.similarity import (
+        _fixed_point_hof_sql,
+        _ivf_cell_sql,
+        _lsh_pack_sql,
         dot,
-        ivf_assign,
-        ivf_codebook_df,
         l2_norm,
-        lsh_buckets_relational,
     )
     from ..operators.skew import spread
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     cb = _trained_ivf_codebook(spark, sf_dir)
-    cells = ivf_assign(emb, ivf_codebook_df(spark, cb))
-    b = lsh_buckets_relational(emb, [_PLANES]).select(
-        "vec_id", F.col("__bkt").alias("bkt")
+    # r13: cell AND bucket are both per-row functions of the one
+    # embedding, so they compute in ONE map pass over a shared
+    # fixed-point layer — the r12 shape ran two posexplode+agg
+    # pipelines (IVF assign with a broadcast centroid join; LSH dots)
+    # and equi-joined them back on vec_id (guide §2.3/§2.4). The __xs
+    # layer stays its own projection so the cell/bucket HOFs reference
+    # an attribute, not 20 inlined copies of the conversion. Cell ids
+    # and buckets are bit-identical (integer dots, same floor scale;
+    # tests/test_ivf_assign_literal.py pins both).
+    keyed = (
+        spread(emb)
+        .where(F.size(F.col("embedding")) >= 1)
+        .selectExpr(
+            "vec_id", f"{_fixed_point_hof_sql('embedding')} AS __xs"
+        )
+        .selectExpr(
+            "vec_id",
+            f"{_ivf_cell_sql(cb)} AS cell",
+            f"{_lsh_pack_sql(_PLANES)} AS bkt",
+        )
     )
-    keyed = cells.join(b, "vec_id")
     par = spark.sparkContext.defaultParallelism
     pairs = (
         keyed.groupBy("cell", "bkt")
@@ -1375,23 +1396,71 @@ FROM joined
         "doc_id/content-hash",
 )
 def q_quality_filter_pipeline(spark, sf_dir):
-    from ..operators.textanalysis import repetition_stats
+    # r13 (guide §2.1/§2.4): all four gate signals are PER-ROW
+    # functions of the one documents row, so they compute in ONE
+    # map-side projection — the r12 shape built four separate metric
+    # frames (quality_score, language_id, repetition_stats, the
+    # fingerprint) and joined them back on doc_id (4 joins + the
+    # repetition window/agg pair + a keeper agg+join: 11 exchanges,
+    # 5 scans). The only non-map signal, the exact-dedup keeper, is
+    # min(doc_id) OVER (PARTITION BY ch) — a window on the content
+    # hash instead of agg + join-back (the duplicate_ngram_fraction
+    # lesson). Repetition needs only dup_shingle_ratio here, which is
+    # distinct-count over the doc's own 3-gram multiset: shingles as
+    # an arrays_zip of three slices (NOT element_at(tok, i) inside the
+    # lambda — a captured outer expression re-evaluates per element,
+    # turning the tokenize quadratic), structs instead of concat
+    # strings (tokens carry no whitespace, so tuple-distinct ==
+    # string-distinct, the oracle's list_distinct). Interleaved A/B
+    # and plan diff in OPTIMIZATION_r13.md; values bit-identical
+    # (same double arithmetic, same rounding).
+    from ..functions.text import doc_fingerprint, tokens
+    from ..operators.skew import spread
+    from ..operators.textanalysis import STOPWORDS, _ratio_in
+    from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
-    q = quality_score(docs).select("doc_id", "quality")
-    l = language_id(docs).select("doc_id", "pred_lang")
-    rep = repetition_stats(docs).select("doc_id", "dup_shingle_ratio")
-    from ..functions.text import doc_fingerprint
-
-    h = docs.select("doc_id", doc_fingerprint(F.col("text")).alias("ch"))
-    keepers = h.groupBy("ch").agg(F.min("doc_id").alias("keeper_id"))
-    joined = (
-        q.join(l, "doc_id")
-        .join(rep, "doc_id", "left")
-        .withColumn("dup_shingle_ratio", F.coalesce("dup_shingle_ratio", F.lit(0.0)))
-        .join(h, "doc_id")
-        .join(keepers, "ch")
-        .withColumn("is_keeper", F.col("doc_id") == F.col("keeper_id"))
+    docs = spread(_docs(spark, sf_dir))
+    tok = tokens(F.col("text"))
+    n_tok = F.size(tok)
+    diversity = F.size(F.array_distinct(tok)) / F.greatest(n_tok, F.lit(1))
+    stop_ratio = _ratio_in(tok, STOPWORDS["en"])
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), 1.0).otherwise(0.0)
+    quality = F.round(
+        0.4 * len_ok
+        + 0.3 * F.least(diversity * 2, F.lit(1.0))
+        + 0.3 * F.least(stop_ratio * 10, F.lit(1.0)),
+        6,
+    )
+    scores = F.array(
+        *[
+            F.struct(
+                F.round(_ratio_in(tok, words), 6).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(scores)
+    pred_lang = F.when(best["score"] > 0, best["lang"]).otherwise("und")
+    sh_len = F.greatest(n_tok - 2, F.lit(0))
+    shingles = F.arrays_zip(
+        F.slice(tok, 1, sh_len), F.slice(tok, 2, sh_len), F.slice(tok, 3, sh_len)
+    )
+    n_distinct = F.size(F.array_distinct(shingles))
+    dup = F.when(
+        n_tok >= 3,
+        F.round(1.0 - n_distinct * 1.0 / (n_tok - 2), 6),
+    ).otherwise(F.lit(0.0))
+    base = docs.select(
+        "doc_id",
+        quality.alias("quality"),
+        pred_lang.alias("pred_lang"),
+        dup.alias("dup_shingle_ratio"),
+        doc_fingerprint(F.col("text")).alias("ch"),
+    )
+    joined = base.withColumn(
+        "is_keeper",
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("ch")),
     )
     keep = (
         F.col("is_keeper")
@@ -2163,10 +2232,18 @@ def q_tfidf_top_terms(spark, sf_dir):
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfq, "term").select(
+    # r13: document frequency as COUNT OVER (PARTITION BY term) on the
+    # tf table itself — one exchange on term — instead of a vocab
+    # hash-agg plus an equi-join back on term (two exchanges + a join;
+    # the duplicate_ngram_fraction corpus-frequency-as-window lesson,
+    # guide §2.2). df = rows per term in tf either way; identical.
+    scored = tf.select(
         "doc_id", "term", "tf",
-        F.round(F.col("tf") * float(n_docs) / F.col("df"), 6).alias("score"),
+        F.round(
+            F.col("tf") * float(n_docs)
+            / F.count(F.lit(1)).over(W.partitionBy("term")),
+            6,
+        ).alias("score"),
     )
     w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
     return (
@@ -2459,11 +2536,13 @@ def q_doc_language_mix(spark, sf_dir):
     from ..operators.textanalysis import language_id
 
     docs = _docs(spark, sf_dir)
-    lid = language_id(docs).select("doc_id", "pred_lang")
-    per = (
-        lid.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source", "pred_lang")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # r13: source rides the one language_id map pass (carry_cols)
+    # instead of a second documents scan joined back on doc_id
+    lid = language_id(docs, carry_cols=("source",)).select(
+        "doc_id", "pred_lang", "source"
+    )
+    per = lid.groupBy("source", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
     )
     agg = per.groupBy("source").agg(
         F.sum("n").cast("long").alias("n_docs"),
