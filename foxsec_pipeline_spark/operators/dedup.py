@@ -1556,6 +1556,22 @@ def edit_distance_pairs_blocked(
         joined = a.join(b, block_cols).where(F.col("__id_a") < F.col("__id_b"))
         if extra_cond is not None:
             joined = joined.where(extra_cond)
+        # length-gap prune BEFORE the DP: levenshtein(a, b) >=
+        # |len(a) - len(b)|, so the gap test is a free (codegen
+        # integer) necessary condition that spares the O(len_a *
+        # len_b) DP on every pair it rejects. No-op on uniform-length
+        # name corpora (this testdata post-strip), real on
+        # heterogeneous names at scale (r13; VERDICT item 3). NOTE the
+        # known double-DP on SURVIVORS stays by choice: the filter
+        # predicate and the name_dist projection each evaluate the
+        # 2-arg DP once, but survivors are output-sized, and the
+        # single-eval alternative — the 3-arg banded levenshtein — is
+        # ~2x slower PER CALL at the short post-strip lengths this
+        # operator produces (r12 microbench), i.e. worse on every pair
+        # instead of 2x on the few that match.
+        joined = joined.where(
+            F.abs(F.length("__nm_a") - F.length("__nm_b")) <= max_dist
+        )
         joined = joined.withColumn(
             "name_dist", F.levenshtein(F.col("__nm_a"), F.col("__nm_b"))
         ).where(F.col("name_dist") <= max_dist)

@@ -299,22 +299,26 @@ def media_phash(
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        # r13 (guide §4 — vectorize inside the worker): codepoints via
+        # one utf-32-le reinterpret (identical to ord() per char —
+        # python strs carry no surrogates) instead of a per-char
+        # python list, and the bit-majority packs as one masked
+        # power-of-two sum instead of a 63-iteration python loop.
+        # Values bit-identical; max sum = 2^63 - 1 fits int64.
+        powers = np.int64(1) << np.arange(bits, dtype=np.int64)
         for pdf in batches:
             ids, hashes = [], []
             for i, payload in zip(pdf[id_col], pdf["payload"]):
-                cps = np.array(
-                    [ord(c) for c in bytes(payload).decode("utf-8")],
-                    dtype=np.int64,
-                )
+                cps = np.frombuffer(
+                    bytes(payload).decode("utf-8").encode("utf-32-le"),
+                    dtype=np.uint32,
+                ).astype(np.int64)
                 if cps.size < 2:
                     continue
                 pairs = (cps[:-1] * 31 + cps[1:]) % bits
                 hist = np.bincount(pairs, minlength=bits)
                 total = int(hist.sum())
-                ph = 0
-                for b in range(bits):
-                    if int(hist[b]) * bits > total:
-                        ph |= 1 << b
+                ph = int(powers[hist.astype(np.int64) * bits > total].sum())
                 ids.append(i)
                 hashes.append(ph)
             yield pd.DataFrame(

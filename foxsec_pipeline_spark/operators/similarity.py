@@ -794,9 +794,46 @@ def _ivf_candidates(
     nprobe: int,
     queries_in_corpus: bool,
     centroids: DataFrame | None,
+    codebook: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id) candidate pairs from IVF cell probing —
-    the shared head of `cosine_topk_ivf` and `cosine_range_ivf`."""
+    the shared head of `cosine_topk_ivf` and `cosine_range_ivf`.
+
+    When the caller holds the trained codebook DICT (`codebook`), both
+    assignment passes take the r13 literal map form: corpus cell =
+    `_ivf_cell_sql` argmax, query probe cells = `_ivf_probe_sql`
+    top-nprobe — zero joins/aggregates/exchanges before the cell-id
+    equi-join, where the relational form posexploded the corpus
+    against a broadcast centroid frame and paid an aggregate exchange
+    (guide §2.3/§2.4). Cell ids and probe sets are bit-identical
+    (integer dots, identical tie order); the `queries_in_corpus` dots
+    reuse becomes moot because query scoring is map-side over |Q|
+    rows."""
+    if codebook is not None:
+        corpus_cells = ivf_assign_literal(
+            corpus, codebook, id_col=id_col, vec_col=vec_col
+        ).select(
+            F.col(id_col).alias("neighbor_id"), F.col("cell").alias("__cell")
+        )
+        q_wide = (
+            spread(queries)
+            .where(F.size(F.col(vec_col)) >= 1)
+            .selectExpr(
+                id_col, f"{_fixed_point_hof_sql(vec_col)} AS __xs"
+            )
+            .selectExpr(
+                id_col, f"{_ivf_probe_sql(codebook, nprobe)} AS __cells"
+            )
+        )
+        query_cells = q_wide.select(
+            F.col(id_col).alias("query_id"),
+            F.explode("__cells").alias("__cell"),
+        )
+        return (
+            corpus_cells.join(F.broadcast(query_cells), "__cell")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
     if centroids is not None:
         cents = centroids
     elif centroid_ids is not None:
@@ -856,6 +893,7 @@ def cosine_topk_ivf(
     nprobe: int = 2,
     queries_in_corpus: bool = False,
     centroids: DataFrame | None = None,
+    codebook: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) bucketing: each corpus
     vector lands in exactly ONE cell (nearest centroid); each query
@@ -872,7 +910,7 @@ def cosine_topk_ivf(
     """
     cand = _ivf_candidates(
         queries, corpus, centroid_ids, id_col, vec_col, nprobe,
-        queries_in_corpus, centroids,
+        queries_in_corpus, centroids, codebook,
     )
     return _score_candidates(cand, queries, corpus, id_col, vec_col, k)
 
@@ -887,6 +925,7 @@ def cosine_range_ivf(
     nprobe: int = 2,
     queries_in_corpus: bool = False,
     centroids: DataFrame | None = None,
+    codebook: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """Approximate cosine RANGE (radius) search via IVF cell probing:
     all probed candidates with cosine >= `radius`, the sub-linear
@@ -898,7 +937,7 @@ def cosine_range_ivf(
     map-side over the scored candidates."""
     cand = _ivf_candidates(
         queries, corpus, centroid_ids, id_col, vec_col, nprobe,
-        queries_in_corpus, centroids,
+        queries_in_corpus, centroids, codebook,
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1181,6 +1220,30 @@ def _ivf_cell_sql(codebook: dict[int, list[float]]) -> str:
         else f"({structs[0]}).nc"
     )
     return f"CAST(-({body}) AS BIGINT)"
+
+
+def _ivf_probe_sql(codebook: dict[int, list[float]], nprobe: int) -> str:
+    """SQL expr for a vector's `nprobe` nearest cell ids (integer MIPS
+    dot, ORDER BY d DESC, cid ASC) over a materialized `__xs` column —
+    the literal-codebook twin of the rank-window probe: array_sort on
+    (-d, cid) structs is the identical total order, so the first
+    nprobe entries equal the window's rn <= nprobe rows."""
+    import math
+
+    structs = []
+    for cid, comps in sorted(codebook.items()):
+        cs = ", ".join(
+            f"{math.floor(float(x) * LSH_SCALE)}L" for x in comps
+        )
+        structs.append(
+            f"named_struct('nd', -(aggregate(zip_with(__xs, array({cs}), "
+            f"(x, c) -> x * c), 0L, (a, b) -> a + b)), "
+            f"'cid', CAST({int(cid)} AS BIGINT))"
+        )
+    return (
+        f"transform(slice(array_sort(array({', '.join(structs)})), 1, "
+        f"{int(nprobe)}), s -> s.cid)"
+    )
 
 
 def _lsh_pack_sql(table: list[list[float]]) -> str:

@@ -563,13 +563,15 @@ FROM ranked WHERE rank <= 5
         "measured in tests/test_similarity_recall.py",
 )
 def q_ann_cosine_ivf(spark, sf_dir):
-    from ..operators.similarity import ivf_codebook_df
-
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     cb = _trained_ivf_codebook(spark, sf_dir)
+    # r13: the trained codebook dict rides in as literals (map-side
+    # corpus assign + map-side probe cells — guide §2.3/§2.4, see
+    # _ivf_candidates); centroids kept for the relational fallback's
+    # contract documentation
     return cosine_topk_ivf(
         emb.where(F.col("vec_id") < 10), emb, k=5, nprobe=2,
-        queries_in_corpus=True, centroids=ivf_codebook_df(spark, cb),
+        queries_in_corpus=True, codebook=cb,
     )
 
 

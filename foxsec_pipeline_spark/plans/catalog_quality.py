@@ -477,7 +477,7 @@ SELECT query_id, neighbor_id, cosine FROM scored WHERE cosine >= 0.2
         "filter are all hash-verified cross-engine",
 )
 def q_ann_range_search_ivf(spark, sf_dir):
-    from ..operators.similarity import cosine_range_ivf, ivf_codebook_df
+    from ..operators.similarity import cosine_range_ivf
     from .catalog_data import _trained_ivf_codebook
 
     e = _emb(spark, sf_dir)
@@ -486,9 +486,10 @@ def q_ann_range_search_ivf(spark, sf_dir):
         .limit(16)
     )
     cb = _trained_ivf_codebook(spark, sf_dir)
+    # r13: literal-codebook map-side assign/probe (guide §2.3/§2.4)
     return cosine_range_ivf(
         q, e, radius=0.2, nprobe=2, queries_in_corpus=True,
-        centroids=ivf_codebook_df(spark, cb),
+        codebook=cb,
     )
 
 

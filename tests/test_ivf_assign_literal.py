@@ -107,6 +107,37 @@ def test_lsh_buckets_map_form_matches_relational(spark):
     assert "Aggregate" not in plan and "hashpartitioning" not in plan
 
 
+def test_ivf_candidates_literal_matches_relational(spark):
+    """The codebook fast path of _ivf_candidates must produce the
+    identical (query, neighbor) candidate set as the relational
+    centroid-frame path — same argmax cells, same top-nprobe probe
+    order (d DESC, cid ASC) including ties."""
+    from foxsec_pipeline_spark.operators.similarity import (
+        _ivf_candidates,
+    )
+    from foxsec_pipeline_spark.plans.catalog_data import _CENTROID_IDS
+
+    emb = load_tables(spark, SF_DIR, "embeddings")["embeddings"]
+    cb = ivf_train_codebook(emb, list(_CENTROID_IDS), iters=3)
+    q = emb.where(F.col("vec_id") < 10)
+    for nprobe in (1, 2, 4):
+        rel = {
+            (r["query_id"], r["neighbor_id"])
+            for r in _ivf_candidates(
+                q, emb, None, "vec_id", "embedding", nprobe, True,
+                ivf_codebook_df(spark, cb),
+            ).collect()
+        }
+        lit = {
+            (r["query_id"], r["neighbor_id"])
+            for r in _ivf_candidates(
+                q, emb, None, "vec_id", "embedding", nprobe, True,
+                None, cb,
+            ).collect()
+        }
+        assert rel == lit, nprobe
+
+
 def test_lsh_buckets_drops_null_and_empty_vectors(spark):
     """The posexplode form emitted no rows for null/empty vectors; the
     map form must preserve that (not emit a bucket-0 row)."""
