@@ -330,6 +330,35 @@ _STALE_PRIORITY_R11 = [
 # stale — the overflow is the standing rule working as intended;
 # cluster_canonical_docs and dedup_clusters appear in both lists and
 # are counted once by the _seen dedup).
+# Round-13 prefix (standing rule: CHANGED-CODE rows outrank stale
+# evidence). The r13 optimization round changed the plan of 19
+# queries — the BPE literal-merge family (bpe_train_merges,
+# bpe_token_counts, tokenizer_fertility), the minhash shingle-hash
+# checkpoint (minhash_jaccard_estimate_error), the PQ/IVF/LSH
+# literal-codebook map kernels (ann_cosine_pq, ann_cosine_ivf,
+# ann_range_search_ivf, ann_cosine_lsh, semdedup,
+# embedding_cluster_summary, dedup_embedding_cosine), the one-
+# projection quality pipeline (quality_filter_pipeline,
+# training_data_pipeline), carry_cols (doc_language_mix), df-as-
+# window (tfidf_top_terms), grouped winnowing pairs
+# (winnowing_plagiarism_pairs), the kcore/khop last-round-checkpoint
+# skip, and the edit-distance length-gap prune
+# (record_linkage_blocking) — plus multimodal_phash_dedup, whose
+# plan is unchanged but whose pandas-UDF internals were vectorized
+# (bit-identical by test, listed for scrutiny anyway). Every one
+# re-verified value-exact vs the DuckDB oracle at sf0.01 in-round.
+_CHANGED_R13 = [
+    "quality_filter_pipeline", "training_data_pipeline",
+    "semdedup", "embedding_cluster_summary", "dedup_embedding_cosine",
+    "ann_cosine_lsh", "ann_cosine_ivf", "ann_range_search_ivf",
+    "ann_cosine_pq", "minhash_jaccard_estimate_error",
+    "bpe_train_merges", "bpe_token_counts", "tokenizer_fertility",
+    "tfidf_top_terms", "winnowing_plagiarism_pairs",
+    "kcore_decomposition", "khop_reachability",
+    "record_linkage_blocking", "doc_language_mix",
+    "multimodal_phash_dedup",
+]
+
 _CHANGED_R12 = [
     "prefix_jaccard_join",
     "mmr_diversified_topk", "neardup_pair_recall",
@@ -371,6 +400,7 @@ _seen: set[str] = set()
 _VERIFY_FIRST = [
     n
     for n in [
+        *_CHANGED_R13,
         *_CHANGED_R12, *_STALE_PRIORITY_R12,
         *_NEW_R11, *_CHANGED_R11, *_STALE_PRIORITY_R11,
         *_CHANGED_R10, *_STALE_PRIORITY_R10,
