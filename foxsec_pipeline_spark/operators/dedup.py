@@ -53,51 +53,77 @@ def exact_dedup(
     )
 
 
+def _shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = True
+) -> DataFrame:
+    """(id, __ss: array<string>) — per-doc word n-gram shingles built
+    ENTIRELY map-side: zero exchanges, zero sorts, zero aggregates.
+
+    r13 (guide §2.1/§2.2): replaces the posexplode + window-`lead`
+    shingle pipeline, whose Window(partitionBy id) shuffled and sorted
+    the WHOLE exploded token stream (|corpus tokens| rows) before any
+    consumer aggregate. The r12 rejection of the `word_shingles` HOF
+    does not apply here because its failure mode was never "HOFs are
+    slow" but the lambda capturing `tokens(text)` — a regex split —
+    re-evaluated PER ELEMENT once CollapseProject inlined it (the rule
+    counts CONSUMER EXPRESSIONS, not occurrences, so a single-consumer
+    layering does not protect a multiply-used subtree). The fix is a
+    LET BINDING the optimizer cannot unpick: the split is the input of
+    a single-element outer `transform`, so it evaluates exactly once
+    per row and the n-gram lambda only touches the bound lambda
+    VARIABLE (never an inlinable attribute). Short docs (< n tokens)
+    yield an empty array — downstream explodes drop them, identical to
+    the old size-filter, without a second split evaluation. Measured
+    interleaved on sf0.1 documents (distinct shingle-hash stream,
+    min of 3): let-bound form 0.40 s vs window-lead 0.60-0.81 s, equal
+    row counts; shape pinned by tests/test_shingle_kernel.py.
+    """
+    tok_arr = F.array(tokens(F.col(text_col)))
+
+    def grams(tok):
+        return F.when(
+            F.size(tok) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tok, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    sg = F.transform(tok_arr, grams)[0]
+    if distinct:
+        # string-distinct == the old 60-bit-hash distinct absent an
+        # in-doc md5-prefix collision (odds ~C(52,2)·2^-60 ≈ 1e-15 per
+        # doc — far below the 4e-7 cross-doc bound already accepted)
+        sg = F.array_distinct(sg)
+    return spread(df).select(F.col(id_col), sg.alias("__ss"))
+
+
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle_hash, n_shingles) exploded — the common candidate
     base. The join key is a 60-bit md5-prefix long, not the shingle
     string: the self-join shuffles (id, n_sh, int64) rows and compares
     longs instead of ~40-byte strings (collision odds at 1e6 distinct
-    shingles ≈ 4e-7 — below any bench's noise floor)."""
-    # Shingling is RELATIONAL, not a higher-order-function pipeline:
-    # posexplode the tokens, form each n-gram with window `lead`s, hash,
-    # distinct. The `word_shingles` HOF costs ~1.3 ms/doc interpreted
-    # (per-element lambda eval), and Generate re-evaluates the array
-    # expression per OUTPUT row — ~25 ms/doc at 52 shingles. The lead
-    # form is whole-stage-codegen end to end: measured 25x faster on
-    # the sf0.1 documents table.
-    from pyspark.sql import Window
+    shingles ≈ 4e-7 — below any bench's noise floor).
 
-    df = spread(df)
-    tok = df.where(F.size(tokens(F.col(text_col))) >= n).select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "__t")
+    r13: built on `_shingle_arrays` — the per-doc distinct + count
+    happen in the array domain (array_distinct/size) inside the same
+    map pass, so the r12 shape's Exchange(id) + Sort over the token
+    stream AND its collect_set aggregate are gone; md5 hashes after
+    the explode in whole-stage codegen. First exchange a consumer
+    pays is its own (e.g. groupBy(shingle)). n_sh is computed BELOW
+    the explode (its own projection layer) so the Generate carries
+    (id, n_sh) per output row, never the whole shingle array."""
+    base = _shingle_arrays(df, id_col, text_col, n).select(
+        F.col(id_col),
+        F.col("__ss"),
+        F.size("__ss").cast("long").alias("n_sh"),
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("__t")] + [F.lead("__t", i).over(w) for i in range(1, n)]
-    sh = (
-        tok.select(
-            F.col(id_col),
-            F.concat_ws(" ", *parts).alias("__s"),
-            parts[-1].alias("__last"),
-        )
-        .where(F.col("__last").isNotNull())  # complete n-grams only
-        .select(F.col(id_col), md5_bucket(F.col("__s")).alias("shingle"))
-    )
-    # dedup + per-doc count in ONE id-keyed aggregate (collect_set
-    # dedups, size counts) instead of distinct + count-window: the
-    # window form paid an extra sort over the shingle stream and its
-    # count pass, while this HashAggregate reuses the lead-window's
-    # hashpartitioning(id) outright — no added exchange, and the
-    # explode is map-side (guide §2.4; array width is bounded by doc
-    # length, the same bound the pair expansions already carry)
-    return (
-        sh.groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("__ss"))
-        .select(
-            F.col(id_col),
-            F.size("__ss").cast("long").alias("n_sh"),
-            F.explode("__ss").alias("shingle"),
-        )
+    return base.select(
+        F.col(id_col), F.col("n_sh"), F.explode("__ss").alias("__s")
+    ).select(
+        F.col(id_col), F.col("n_sh"), md5_bucket(F.col("__s")).alias("shingle")
     )
 
 
@@ -186,34 +212,23 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % band_size == 0
     # signature is computed RELATIONALLY: explode shingle hashes, then
-    # groupBy(id).agg(min(perm_i(h))) per permutation. Two reasons over
-    # the array-shaped (word_shingles + transform + array_min) form:
-    # (1) higher-order functions evaluate interpreted, outside
-    # whole-stage codegen; (2) CollapseProject inlines an array-shaped
-    # signature into every downstream band column, duplicating the
-    # whole HOF tree ~num_hashes^2 times — Catalyst then spends more
-    # time COMPILING the plan than executing it (measured: ~1.7 s
-    # compile vs ~0.3 s run at sf0.1). The aggregation is a collapse
-    # barrier, and map-side partial agg shrinks the exploded shingles
+    # groupBy(id).agg(min(perm_i(h))) per permutation — the agg stays
+    # codegen and map-side partial agg shrinks the exploded shingles
     # back to one row per (doc, partition) before the exchange, so the
-    # shuffle is ~|docs| rows at any scale.
-    from pyspark.sql import Window
-
+    # shuffle is ~|docs| rows at any scale. An array-shaped signature
+    # (transform + array_min per permutation) was rejected in r9/r12:
+    # CollapseProject inlines it into every band column, duplicating
+    # the HOF tree ~num_hashes^2 times (~1.7 s COMPILE vs 0.3 s run).
+    # r13: the shingle stream itself is the map-side `_shingle_arrays`
+    # kernel (per-doc distinct in the array domain; min per permutation
+    # is duplicate-insensitive, so dedup'd shingles give the identical
+    # signature) — the old window-lead form's Exchange(id) + Sort over
+    # the full token stream is gone, and the ONLY exchange before
+    # banding moves |docs| partial-agg rows, not |corpus tokens|.
     if hashed is None:
-        df = spread(df)
-        tok = df.where(F.size(tokens(F.col(text_col))) >= n).select(
-            F.col(id_col),
-            F.posexplode(tokens(F.col(text_col))).alias("pos", "__t"),
-        )
-        w = Window.partitionBy(id_col).orderBy("pos")
-        parts = [F.col("__t")] + [F.lead("__t", i).over(w) for i in range(1, n)]
         hashed = (
-            tok.select(
-                F.col(id_col),
-                F.concat_ws(" ", *parts).alias("__s"),
-                parts[-1].alias("__last"),
-            )
-            .where(F.col("__last").isNotNull())
+            _shingle_arrays(df, id_col, text_col, n)
+            .select(F.col(id_col), F.explode("__ss").alias("__s"))
             .select(
                 F.col(id_col),
                 (md5_bucket(F.col("__s")) % F.lit(MINHASH_P)).alias("__h"),

@@ -1751,20 +1751,17 @@ def q_minhash_jaccard_estimate_error(spark, sf_dir):
     from ..operators import minhash_lsh_pairs
 
     docs = _docs(spark, sf_dir)
-    from pyspark.sql import Window as W
+    from ..operators.dedup import _shingle_arrays
 
-    tok = docs.where(F.size(tokens(F.col("text"))) >= 3).select(
-        F.col("doc_id"), F.posexplode(tokens(F.col("text"))).alias("pos", "__t")
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("__t"), F.lead("__t", 1).over(w), F.lead("__t", 2).over(w)]
+    # r13 second pass: shingles come from the map-side array kernel
+    # (zero exchanges before the distinct — the window-lead form paid
+    # an Exchange(doc_id) + Sort over the full token stream first).
+    # The (doc_id, h) `.distinct()` STAYS: per-doc string-distinct is
+    # finer than mod-P hash-distinct, so the distinct preserves the
+    # exact hash-domain row set the downstream counts depend on.
     hsh = (
-        tok.select(
-            F.col("doc_id"),
-            F.concat_ws(" ", *parts).alias("__s"),
-            parts[-1].alias("__last"),
-        )
-        .where(F.col("__last").isNotNull())
+        _shingle_arrays(docs, "doc_id", "text", 3)
+        .select("doc_id", F.explode("__ss").alias("__s"))
         .select(
             "doc_id",
             (md5_bucket(F.col("__s")) % F.lit(MINHASH_P)).alias("h"),
